@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Benchmark: DeepLabV3+ (ResNet-50 + ASPP) training throughput @ 513x513,
+bf16, on one chip — the reference's headline config (BASELINE.json:
+'>=3x images/sec/chip vs 2080ti baseline on DeepLabV3+ 513^2').
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline note: the reference publishes no absolute throughput
+(SURVEY.md §6). An RTX 2080 Ti trains torchvision DeepLabV3+ResNet-50 at
+513^2 at ~16 images/s in fp16 (typical public benchmark range 12-20);
+vs_baseline is measured against that 16 img/s estimate.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+BASELINE_2080TI_IMG_PER_SEC = 16.0
+
+
+def main():
+    from pytorch_segmentation_tpu.engine.steps import (create_train_state,
+                                                      make_train_step)
+    from pytorch_segmentation_tpu.models import DeepLabV3Plus
+    from pytorch_segmentation_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
+    on_tpu = jax.devices()[0].platform == "tpu"
+    img = 513 if on_tpu else 129
+    num_classes = 21
+
+    model = DeepLabV3Plus(num_classes=num_classes, dtype=jnp.bfloat16)
+    tx = optax.sgd(1e-3, momentum=0.9)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3), jnp.float32), tx)
+    step = make_train_step(accumulate=1)
+
+    value = None
+    for bs in ([32, 16, 8] if on_tpu else [4]):
+        try:
+            images = jax.random.normal(jax.random.PRNGKey(1),
+                                       (bs, img, img, 3), jnp.float32)
+            segs = jnp.zeros((bs, img, img), jnp.int32)
+            s = state
+            for _ in range(3):  # warmup + compile
+                s, loss = step(s, images, segs)
+            jax.block_until_ready(loss)
+            n_steps = 10
+            t0 = time.perf_counter()
+            for _ in range(n_steps):
+                s, loss = step(s, images, segs)
+            jax.block_until_ready(loss)
+            dt = time.perf_counter() - t0
+            value = bs * n_steps / dt
+            break
+        except Exception as e:  # OOM at this batch size -> try smaller
+            if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
+                continue
+            raise
+    if value is None:
+        raise RuntimeError("all batch sizes failed")
+
+    print(json.dumps({
+        "metric": f"DeepLabV3+ ResNet-50 bf16 train throughput @ {img}x{img} (bs {bs})",
+        "value": round(value, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(value / BASELINE_2080TI_IMG_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

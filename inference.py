@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Inference CLI (rebuild of reference inference.py): dir of images ->
+color-mapped PNG masks. Batched on device (the reference ran batch=1);
+`--legacy-preproc` reproduces the reference's /255 normalization mismatch
+(SURVEY.md §2.2), the default uses the training normalization."""
+
+import argparse
+import os
+import os.path as osp
+import shutil
+
+import cv2
+from tqdm import tqdm
+
+from pytorch_segmentation_tpu.data import IMG_EXT, VOC_COLORMAP, colorize_mask
+from pytorch_segmentation_tpu.engine.checkpoint import load_model_bundle
+from pytorch_segmentation_tpu.inference import inference
+from pytorch_segmentation_tpu.models import build_model
+
+
+def run(img_dir, output_dir, img_size, num_classes, weights, model_name,
+        legacy_preproc=False, batch_size=8):
+    shutil.rmtree(output_dir, ignore_errors=True)
+    os.makedirs(output_dir, exist_ok=True)
+    model = build_model(model_name, num_classes=num_classes)
+    bundle = load_model_bundle(model, weights, (img_size[1], img_size[0]))
+
+    names = sorted(n for n in os.listdir(img_dir)
+                   if osp.splitext(n)[1] in IMG_EXT)
+    for start in tqdm(range(0, len(names), batch_size)):
+        chunk = names[start:start + batch_size]
+        imgs = [cv2.imread(osp.join(img_dir, n)) for n in chunk]
+        segmaps = inference(bundle, imgs, img_size,
+                            legacy_preproc=legacy_preproc)
+        for name, segmap in zip(chunk, segmaps):
+            seg = colorize_mask(segmap, VOC_COLORMAP)
+            cv2.imwrite(osp.join(output_dir, osp.splitext(name)[0] + ".png"),
+                        seg)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("img_dir", type=str)
+    parser.add_argument("output_dir", type=str)
+    parser.add_argument("--model", type=str, default="deeplabv3plus",
+                        choices=["unet", "deeplabv3plus", "hrnet"])
+    parser.add_argument("-s", "--img_size", type=int, nargs=2,
+                        default=[320, 320])
+    parser.add_argument("-nc", "--num-classes", type=int, default=2)
+    parser.add_argument("--weights", type=str, default="weights/best.ckpt")
+    parser.add_argument("-bs", "--batch-size", type=int, default=8)
+    parser.add_argument("--legacy-preproc", action="store_true",
+                        help="reproduce the reference's /255 inference "
+                             "normalization instead of the training contract")
+    parser.add_argument("--show", action="store_true", help="display results")
+    opt = parser.parse_args()
+    print(opt)
+
+    from pytorch_segmentation_tpu.utils.runtime import setup_runtime
+    setup_runtime()
+    run(opt.img_dir, opt.output_dir, opt.img_size, opt.num_classes,
+        opt.weights, opt.model, opt.legacy_preproc, opt.batch_size)

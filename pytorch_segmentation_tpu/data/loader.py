@@ -1,0 +1,131 @@
+"""Data loading: threaded host loader + device-prefetching Fetcher.
+
+TPU-native rebuild of the reference's DataLoader + pytorch_modules Fetcher
+stack (reference train.py:29-39, SURVEY.md §2.9). Differences by design:
+
+  - worker threads, not processes: the host work is only decode+resize
+    (cv2/numpy release the GIL); the heavy augmentation runs on the TPU.
+  - static shapes: train batches drop the last partial batch; eval batches
+    are padded to `batch_size` by repeating samples and carry a `valid`
+    count so the jitted eval step can mask padded samples out of the
+    metrics. This keeps one XLA compilation per image size.
+  - the Fetcher overlaps host loading and H2D transfer with device compute
+    by prefetching `prefetch` batches ahead (the reference Fetcher's role).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+__all__ = ["DataLoader", "Fetcher", "Batch"]
+
+
+class Batch:
+    """One host batch: images [B,H,W,3] u8, segs [B,H,W] u8, valid count."""
+
+    __slots__ = ("images", "segs", "valid")
+
+    def __init__(self, images, segs, valid):
+        self.images = images
+        self.segs = segs
+        self.valid = valid
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 drop_last: bool = False, num_workers: int = 4,
+                 seed: int = 0, rank: int = 0, world_size: int = 1):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, int(num_workers))
+        self.seed = seed
+        self.rank = rank
+        self.world_size = world_size
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self._local_indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _local_indices(self):
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            idx = rng.permutation(n)
+        if self.world_size > 1:
+            # equal per-rank shards, padded by wrap-around — the
+            # DistributedSampler contract (reference train.py:33-35)
+            per_rank = (n + self.world_size - 1) // self.world_size
+            padded = np.resize(idx, per_rank * self.world_size)
+            idx = padded[self.rank::self.world_size]
+        return idx
+
+    def __iter__(self):
+        indices = self._local_indices()
+        bs = self.batch_size
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            for start in range(0, len(indices), bs):
+                chunk = indices[start:start + bs]
+                if len(chunk) < bs:
+                    if self.drop_last:
+                        break
+                    pad = bs - len(chunk)
+                    chunk = np.concatenate([chunk, np.resize(chunk, pad)])
+                    valid = bs - pad
+                else:
+                    valid = bs
+                samples = list(pool.map(self.dataset.__getitem__, chunk))
+                images = np.stack([s[0] for s in samples])
+                segs = np.stack([s[1] for s in samples])
+                yield Batch(images, segs, valid)
+        self.epoch += 1
+
+
+class Fetcher:
+    """Device-prefetching iterator (pytorch_modules.utils.Fetcher contract:
+    wraps a loader, applies post_fetch_fn per batch, exposes `.loader` —
+    reference train.py:39, test.py:18)."""
+
+    def __init__(self, loader: DataLoader, post_fetch_fn=None, prefetch: int = 2):
+        self.loader = loader
+        self.post_fetch_fn = post_fetch_fn
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err: list = []
+
+        def producer():
+            try:
+                for batch in self.loader:
+                    out = (self.post_fetch_fn(batch)
+                           if self.post_fetch_fn is not None else batch)
+                    q.put(out)
+            except BaseException as e:  # propagate to consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]

@@ -1,0 +1,91 @@
+"""Device-side batch pipeline: augmentation hook + normalization +
+multi-scale resize.
+
+This is the TPU-native rebuild of the reference's `post_fetch_fn`
+(utils/datasets.py:199-213) plus the imgaug augmentation that the reference
+ran per-sample in DataLoader workers. Everything here is one jitted function
+per (shape, train) signature; per-batch randomness comes from folding a step
+counter into a base PRNG key on the host (cheap) so the jitted function stays
+pure.
+
+Multi-scale: the reference snaps a random 0.7–1.5 scale of the base size to
+multiples of 32 and resizes the *normalized* batch with nearest interpolation
+(F.interpolate default). We pick the size on the host (a handful of distinct
+sizes -> a bounded set of XLA specializations) and resize on device.
+"""
+
+from __future__ import annotations
+
+import random as _pyrandom
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .datasets import IMAGENET_MEAN, IMAGENET_STD
+from .loader import Batch
+from .resize_host import multi_scale_sizes
+from ..ops.resize import resize_nearest
+
+__all__ = ["normalize_images", "PostFetch", "multi_scale_sizes"]
+
+
+def normalize_images(images: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """uint8 RGB NHWC -> ImageNet-normalized float NHWC
+    (reference utils/datasets.py:199-205)."""
+    mean = jnp.asarray(IMAGENET_MEAN, dtype=jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, dtype=jnp.float32)
+    x = images.astype(jnp.float32)
+    return ((x - mean) / std).astype(dtype)
+
+
+class PostFetch:
+    """Callable applied to each host Batch; returns device arrays
+    (images f32/bf16 normalized, segs int32, valid int)."""
+
+    def __init__(self, augment_fn=None, multi_scale: bool = False,
+                 base_hw=None, seed: int = 0, dtype=jnp.float32,
+                 sharding=None):
+        self.augment_fn = augment_fn
+        self.multi_scale = multi_scale
+        self.base_hw = base_hw
+        self.dtype = dtype
+        self.sharding = sharding
+        self._rng = _pyrandom.Random(seed)
+        self._base_key = jax.random.PRNGKey(seed)
+        self._step = 0
+        self._jitted = {}
+
+    def _fn(self, out_hw):
+        key = (out_hw, self.augment_fn is not None)
+        if key not in self._jitted:
+            augment_fn = self.augment_fn
+            dtype = self.dtype
+
+            def run(rng, images, segs):
+                if augment_fn is not None:
+                    images, segs = augment_fn(rng, images, segs)
+                images = normalize_images(images, dtype=dtype)
+                segs = segs.astype(jnp.int32)
+                if out_hw is not None:
+                    # nearest, matching torch F.interpolate default
+                    images = resize_nearest(images, out_hw)
+                return images, segs
+
+            self._jitted[key] = jax.jit(run)
+        return self._jitted[key]
+
+    def __call__(self, batch: Batch):
+        out_hw = None
+        if self.multi_scale and self.base_hw is not None:
+            sizes = multi_scale_sizes(self.base_hw)
+            out_hw = self._rng.choice(sizes)
+        rng = jax.random.fold_in(self._base_key, self._step)
+        self._step += 1
+        images = jnp.asarray(batch.images)
+        segs = jnp.asarray(batch.segs)
+        if self.sharding is not None:
+            images = jax.device_put(images, self.sharding)
+            segs = jax.device_put(segs, self.sharding)
+        images, segs = self._fn(out_hw)(rng, images, segs)
+        return images, segs, batch.valid

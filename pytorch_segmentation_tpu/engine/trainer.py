@@ -1,0 +1,143 @@
+"""Trainer — the training engine (TPU-native rebuild of the
+pytorch_modules.utils.Trainer contract, SURVEY.md §2.9).
+
+Contract preserved from the reference usage (train.py:61-81):
+  Trainer(model, fetcher, loss_fn, workdir, accumulate, adam, lr, weights,
+          resume, mixed_precision) with attrs .epoch, .model, .metrics and
+  methods .step() (one epoch) and .save(best).
+
+TPU-native internals: one jitted train step (grad accumulation via lax.scan,
+bf16 compute / f32 params+optimizer when mixed_precision), parameters
+replicated and batches sharded over the data mesh axis; XLA emits the
+gradient all-reduce over ICI. No DDP wrapper, no loss scaling (bf16 needs
+none — replaces apex AMP, reference train.py:102-105).
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+from tqdm import tqdm
+
+from ..ops.loss import compute_loss
+from ..parallel.mesh import data_sharding, make_mesh, replicated_sharding
+from .checkpoint import load_checkpoint, restore_into, save_checkpoint
+from .steps import create_train_state, make_train_step
+
+__all__ = ["Trainer", "ModelBundle"]
+
+
+class ModelBundle:
+    """A model definition + its live variables, passed around where the
+    reference passes an nn.Module instance (e.g. test(trainer.model, ...))."""
+
+    def __init__(self, module, params, batch_stats):
+        self.module = module
+        self.params = params
+        self.batch_stats = batch_stats
+
+    @property
+    def apply_fn(self):
+        return self.module.apply
+
+
+class Trainer:
+    def __init__(self, model, fetcher, loss_fn=compute_loss,
+                 workdir: str = "weights", accumulate: int = 1,
+                 adam: bool = False, lr: float = 1e-3, weights: str = "",
+                 resume: bool = False, mixed_precision: bool = False,
+                 momentum: float = 0.9, weight_decay: float = 0.0,
+                 mesh=None, seed: int = 0, log: bool = True):
+        self.module = model
+        self.fetcher = fetcher
+        self.workdir = workdir
+        self.accumulate = max(1, int(accumulate))
+        self.epoch = 0
+        self.metrics = 0.0  # best val mIoU so far (reference train.py:76-79)
+        self.log = log
+
+        if adam:
+            tx = optax.adam(lr)
+        else:
+            tx = optax.sgd(lr, momentum=momentum, nesterov=False)
+        if weight_decay:
+            tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+        self.tx = tx
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self._data_sharding = data_sharding(self.mesh)
+        self._repl_sharding = replicated_sharding(self.mesh)
+
+        # init from the dataset's static shape
+        ds = fetcher.loader.dataset
+        w, h = ds.img_size
+        sample = jnp.zeros((1, h, w, 3), jnp.float32)
+        rng = jax.random.PRNGKey(seed)
+        self.state = create_train_state(self.module, rng, sample, self.tx)
+        self.state = jax.device_put(self.state, self._repl_sharding)
+
+        if weights:
+            ckpt = load_checkpoint(weights)
+            self.state = self.state.replace(
+                params=restore_into(self.state.params, ckpt["model"]),
+                batch_stats=restore_into(self.state.batch_stats,
+                                         ckpt["batch_stats"]))
+        if resume:
+            last = osp.join(workdir, "last.ckpt")
+            ckpt = load_checkpoint(last)
+            self.state = self.state.replace(
+                params=restore_into(self.state.params, ckpt["model"]),
+                batch_stats=restore_into(self.state.batch_stats,
+                                         ckpt["batch_stats"]),
+                opt_state=restore_into(self.state.opt_state,
+                                       ckpt["opt_state"]))
+            self.epoch = int(ckpt["epoch"])
+            self.metrics = float(ckpt["best_miou"])
+
+        self._train_step = make_train_step(loss_fn=loss_fn,
+                                           accumulate=self.accumulate)
+
+    @property
+    def model(self) -> ModelBundle:
+        return ModelBundle(self.module, self.state.params,
+                           self.state.batch_stats)
+
+    def step(self):
+        """Run one training epoch (reference Trainer.step contract)."""
+        running_loss = 0.0
+        n = 0
+        t0 = time.time()
+        images_seen = 0
+        pbar = tqdm(self.fetcher, total=len(self.fetcher),
+                    disable=not self.log or jax.process_index() != 0)
+        for images, segs, valid in pbar:
+            images = jax.device_put(images, self._data_sharding)
+            segs = jax.device_put(segs, self._data_sharding)
+            self.state, loss = self._train_step(self.state, images, segs)
+            n += 1
+            images_seen += int(valid)
+            running_loss += float(loss)  # host sync once per step
+            pbar.set_description(
+                f"epoch {self.epoch} loss {running_loss / n:8g}")
+        self.epoch += 1
+        dt = time.time() - t0
+        if self.log and n and jax.process_index() == 0:
+            print(f"epoch {self.epoch - 1}: {images_seen / dt:.1f} img/s, "
+                  f"loss {running_loss / n:.4f}")
+        return running_loss / max(n, 1)
+
+    def save(self, best: bool = False):
+        """Write last.ckpt (and best.ckpt when best) — reference
+        Trainer.save(best) contract; rank-0 only."""
+        if jax.process_index() != 0:
+            return
+        kw = dict(params=self.state.params, batch_stats=self.state.batch_stats,
+                  opt_state=self.state.opt_state, epoch=self.epoch,
+                  best_miou=self.metrics)
+        save_checkpoint(osp.join(self.workdir, "last.ckpt"), **kw)
+        if best:
+            save_checkpoint(osp.join(self.workdir, "best.ckpt"), **kw)

@@ -1,0 +1,27 @@
+"""Model zoo (reference: models/__init__.py:1-3).
+
+Adds a name registry so model choice is a CLI flag (`--model`), fixing the
+reference's hard-coded selection (train.py:57-59, SURVEY.md §2.2).
+"""
+
+from .deeplabv3plus import DeepLabV3Plus
+from .hrnet import HRNet
+from .unet import UNet
+
+MODEL_REGISTRY = {
+    "unet": UNet,
+    "deeplabv3plus": DeepLabV3Plus,
+    "hrnet": HRNet,
+}
+
+
+def build_model(name: str, num_classes: int, **kwargs):
+    try:
+        cls = MODEL_REGISTRY[name.lower()]
+    except KeyError:
+        raise ValueError(
+            f"unknown model {name!r}; available: {sorted(MODEL_REGISTRY)}")
+    return cls(num_classes=num_classes, **kwargs)
+
+
+__all__ = ["UNet", "DeepLabV3Plus", "HRNet", "MODEL_REGISTRY", "build_model"]

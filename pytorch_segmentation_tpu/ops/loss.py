@@ -1,0 +1,111 @@
+"""Segmentation losses.
+
+`compute_loss` mirrors the reference's active loss path
+(reference: utils/utils.py:17-24): bilinearly upsample logits to the label
+resolution with align_corners=True, then mean softmax cross-entropy over all
+pixels. Here the upsample rides the MXU (see ops/resize.py) and the
+cross-entropy is a numerically stable fused logsumexp that XLA folds into the
+surrounding graph; a Pallas kernel variant lives in ops/pallas/softmax_ce.py
+for the TPU hot path.
+
+Also provides focal BCE and Lovász-softmax as working equivalents of the
+reference's auxiliary criterions (reference: utils/criterions.py — whose
+LovaszLoss is dead/broken code; we implement the intended math).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .resize import resize_bilinear
+
+__all__ = [
+    "softmax_cross_entropy",
+    "compute_loss",
+    "focal_bce_loss",
+    "lovasz_softmax_loss",
+]
+
+
+def softmax_cross_entropy(logits: jax.Array, labels: jax.Array,
+                          ignore_index: int | None = None) -> jax.Array:
+    """Mean CE over pixels. logits [..., C] f-any, labels [...] int."""
+    logits = logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    safe_labels = labels.astype(jnp.int32)
+    if ignore_index is not None:
+        valid = labels != ignore_index
+        safe_labels = jnp.where(valid, safe_labels, 0)
+    true_logit = jnp.take_along_axis(
+        logits, safe_labels[..., None], axis=-1, mode="clip")[..., 0]
+    per_pixel = lse - true_logit
+    if ignore_index is not None:
+        validf = valid.astype(jnp.float32)
+        return jnp.sum(per_pixel * validf) / jnp.maximum(jnp.sum(validf), 1.0)
+    return jnp.mean(per_pixel)
+
+
+def compute_loss(logits: jax.Array, targets: jax.Array,
+                 ignore_index: int | None = None) -> jax.Array:
+    """Reference-parity loss (utils/utils.py:17-24).
+
+    logits: [B, h, w, C] at model output resolution.
+    targets: [B, H, W] integer class ids at label resolution.
+    Upsamples logits to (H, W) with align_corners=True, then mean CE.
+    """
+    th, tw = targets.shape[1], targets.shape[2]
+    logits = resize_bilinear(logits.astype(jnp.float32), (th, tw),
+                             align_corners=True)
+    return softmax_cross_entropy(logits, targets, ignore_index=ignore_index)
+
+
+def focal_bce_loss(logits: jax.Array, targets_onehot: jax.Array,
+                   gamma: float = 2.0, alpha: float = 0.25) -> jax.Array:
+    """Focal binary CE (equivalent of pytorch_modules.nn.FocalBCELoss,
+    instantiated at reference utils/utils.py:14)."""
+    logits = logits.astype(jnp.float32)
+    t = targets_onehot.astype(jnp.float32)
+    p = jax.nn.sigmoid(logits)
+    # stable BCE-with-logits
+    bce = jnp.maximum(logits, 0) - logits * t + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    p_t = p * t + (1 - p) * (1 - t)
+    alpha_t = alpha * t + (1 - alpha) * (1 - t)
+    return jnp.mean(alpha_t * (1 - p_t) ** gamma * bce)
+
+
+def _lovasz_grad(gt_sorted: jax.Array) -> jax.Array:
+    """Gradient of the Lovász extension w.r.t. sorted errors."""
+    p = gt_sorted.shape[0]
+    gts = jnp.sum(gt_sorted)
+    intersection = gts - jnp.cumsum(gt_sorted)
+    union = gts + jnp.cumsum(1.0 - gt_sorted)
+    jaccard = 1.0 - intersection / jnp.maximum(union, 1e-9)
+    if p > 1:
+        jaccard = jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
+    return jaccard
+
+
+def lovasz_softmax_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Multi-class Lovász-softmax (working version of the reference's intended
+    utils/criterions.py:77-131). logits [..., C], labels [...] int.
+
+    Classes absent from the batch contribute zero (masked, static-shape —
+    XLA-friendly replacement for the reference's dynamic `classes='present'`).
+    """
+    num_classes = logits.shape[-1]
+    probas = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    probas = probas.reshape(-1, num_classes)
+    labels = labels.reshape(-1)
+
+    def class_loss(c):
+        fg = (labels == c).astype(jnp.float32)
+        errors = jnp.abs(fg - probas[:, c])
+        errors_sorted, perm = jax.lax.top_k(errors, errors.shape[0])
+        fg_sorted = fg[perm]
+        loss_c = jnp.dot(errors_sorted, _lovasz_grad(fg_sorted))
+        present = jnp.sum(fg) > 0
+        return jnp.where(present, loss_c, 0.0), present.astype(jnp.float32)
+
+    losses, present = jax.vmap(class_loss)(jnp.arange(num_classes))
+    return jnp.sum(losses) / jnp.maximum(jnp.sum(present), 1.0)

@@ -1,0 +1,120 @@
+"""Bilinear / nearest image resizing as MXU matmuls.
+
+TPU-first design note: separable bilinear interpolation is expressed as two
+dense matrix multiplications (one along H, one along W) with small, statically
+constructed interpolation matrices. XLA lowers these straight onto the MXU and
+fuses surrounding elementwise work, which is dramatically faster than the
+gather-based lowering of a generic `jax.image.resize` and — unlike
+`jax.image.resize` — lets us implement the exact PyTorch `align_corners=True`
+coordinate convention used throughout the reference:
+
+  - loss upsampling (reference: utils/utils.py:17-24, align_corners=True)
+  - decoder upsampling (reference: models/unet.py:30-55,
+    models/deeplabv3plus.py:34-43, align_corners=True)
+  - ASPP pooling / HRNet fuse upsampling (reference: models/aspp.py:16-19,
+    models/hrnet.py:201-204, 401-404, align_corners=False)
+
+All functions take NHWC arrays (TPU-native layout).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "resize_bilinear",
+    "resize_nearest",
+    "upsample2x",
+]
+
+
+@functools.lru_cache(maxsize=256)
+def _interp_weights(in_size: int, out_size: int, align_corners: bool):
+    """Dense [out_size, in_size] bilinear interpolation matrix (numpy f32).
+
+    Matches torch.nn.functional.interpolate(mode='bilinear') coordinate
+    conventions for both align_corners settings.
+    """
+    if in_size == out_size:
+        return np.eye(out_size, dtype=np.float32)
+    out = np.arange(out_size, dtype=np.float64)
+    if align_corners:
+        if out_size == 1:
+            src = np.zeros(1, dtype=np.float64)
+        else:
+            src = out * (in_size - 1) / (out_size - 1)
+    else:
+        src = (out + 0.5) * (in_size / out_size) - 0.5
+        src = np.clip(src, 0.0, in_size - 1)
+    i0 = np.floor(src).astype(np.int64)
+    i0 = np.clip(i0, 0, in_size - 1)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    w1 = (src - i0).astype(np.float32)
+    w0 = 1.0 - w1
+    mat = np.zeros((out_size, in_size), dtype=np.float32)
+    mat[np.arange(out_size), i0] += w0
+    mat[np.arange(out_size), i1] += w1
+    return mat
+
+
+@functools.lru_cache(maxsize=256)
+def _nearest_indices(in_size: int, out_size: int) -> np.ndarray:
+    # torch 'nearest' convention: src = floor(out * in / out_size)
+    idx = np.floor(np.arange(out_size, dtype=np.float64) * in_size / out_size)
+    return np.clip(idx.astype(np.int64), 0, in_size - 1)
+
+
+def resize_bilinear(x: jax.Array, out_hw, align_corners: bool = False,
+                    compute_dtype=None) -> jax.Array:
+    """Bilinear-resize NHWC (or HWC) `x` to spatial size `out_hw=(H, W)`.
+
+    The interpolation runs on the MXU via two einsum contractions. Output
+    dtype matches input dtype; accumulation happens in `compute_dtype`
+    (default: f32 for float inputs).
+    """
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    b, h, w, c = x.shape
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    if (oh, ow) == (h, w):
+        return x[0] if squeeze else x
+    orig_dtype = x.dtype
+    if compute_dtype is None:
+        compute_dtype = jnp.float32 if x.dtype in (jnp.float32, jnp.float64) else jnp.bfloat16
+    mh = jnp.asarray(_interp_weights(h, oh, align_corners), dtype=compute_dtype)
+    mw = jnp.asarray(_interp_weights(w, ow, align_corners), dtype=compute_dtype)
+    y = x.astype(compute_dtype)
+    # [oh,h] x [b,h,w,c] -> [b,oh,w,c]; then [ow,w] x [b,oh,w,c] -> [b,oh,ow,c]
+    y = jnp.einsum("oh,bhwc->bowc", mh, y, precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("pw,bowc->bopc", mw, y, precision=jax.lax.Precision.HIGHEST)
+    y = y.astype(orig_dtype)
+    return y[0] if squeeze else y
+
+
+def resize_nearest(x: jax.Array, out_hw) -> jax.Array:
+    """Nearest-neighbour resize for NHWC / NHW (masks) arrays.
+
+    Pure gather — used for label masks where interpolation is meaningless.
+    """
+    spatial_offset = 1 if x.ndim >= 3 else 0
+    h = x.shape[spatial_offset]
+    w = x.shape[spatial_offset + 1]
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    if (oh, ow) == (h, w):
+        return x
+    hi = jnp.asarray(_nearest_indices(h, oh))
+    wi = jnp.asarray(_nearest_indices(w, ow))
+    x = jnp.take(x, hi, axis=spatial_offset)
+    x = jnp.take(x, wi, axis=spatial_offset + 1)
+    return x
+
+
+def upsample2x(x: jax.Array, align_corners: bool = True) -> jax.Array:
+    """scale_factor=2 bilinear upsampling of NHWC, matching torch semantics."""
+    _, h, w, _ = x.shape
+    return resize_bilinear(x, (2 * h, 2 * w), align_corners=align_corners)

@@ -1,0 +1,68 @@
+"""Device mesh + sharding helpers.
+
+TPU-native replacement for the reference's NCCL/DDP stack (reference
+train.py:108-123, SURVEY.md §2.3-2.4). Instead of per-process NCCL ranks and
+explicit allreduce, we build a `jax.sharding.Mesh` over all local (or
+distributed) devices with a 'data' axis, shard the batch dimension across it,
+and keep parameters replicated. The train/eval steps are written as global
+(single-program) functions; XLA's SPMD partitioner inserts the gradient
+all-reduces and metric psums over ICI automatically — including cross-replica
+BatchNorm statistics, since batch-dim reductions inside BN become collectives.
+
+Multi-host: call `initialize_distributed()` (jax.distributed.initialize) once
+per host before building the mesh; `jax.devices()` then spans the slice.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "initialize_distributed", "make_mesh", "data_sharding",
+    "replicated_sharding", "shard_batch", "process_batch_slice",
+]
+
+
+def initialize_distributed():
+    """Multi-host rendezvous (the `init_process_group` analog,
+    reference train.py:112-117). No-op when single-process."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
+    """1-D data-parallel mesh over all devices (extend with more axes for
+    tp/sp when models require it)."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Batch-dim sharding: leading axis split across the data axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, *arrays, axis_name: str = "data"):
+    """Place host arrays onto the mesh with the batch axis sharded."""
+    sh = data_sharding(mesh, axis_name)
+    out = tuple(jax.device_put(a, sh) for a in arrays)
+    return out[0] if len(out) == 1 else out
+
+
+def process_batch_slice(global_batch_size: int):
+    """(start, size) of this host's slice of the global batch for multi-host
+    data loading (each process feeds its addressable shard)."""
+    n = jax.process_count()
+    i = jax.process_index()
+    per = global_batch_size // n
+    return i * per, per

@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""Standalone evaluation CLI (rebuild of reference test.py:76-106).
+
+Adds `--model` (the reference hard-codes DeepLabV3Plus here while train.py
+defaults to UNet — SURVEY.md §2.2)."""
+
+import argparse
+
+from pytorch_segmentation_tpu.data import CocoDataset, DataLoader, Fetcher, PostFetch
+from pytorch_segmentation_tpu.engine import test
+from pytorch_segmentation_tpu.engine.checkpoint import load_model_bundle
+from pytorch_segmentation_tpu.models import build_model
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("val", type=str)
+    parser.add_argument("--model", type=str, default="deeplabv3plus",
+                        choices=["unet", "deeplabv3plus", "hrnet"])
+    parser.add_argument("--weights", type=str, default="")
+    parser.add_argument("--rect", action="store_true")
+    parser.add_argument("-s", "--img_size", type=int, nargs=2,
+                        default=[320, 320])
+    parser.add_argument("-bs", "--batch-size", type=int, default=32)
+    parser.add_argument("--num-workers", type=int, default=4)
+    opt = parser.parse_args()
+
+    from pytorch_segmentation_tpu.utils.runtime import setup_runtime
+    setup_runtime()
+
+    val_data = CocoDataset(opt.val, img_size=opt.img_size, augments=False,
+                           rect=opt.rect)
+    val_loader = DataLoader(val_data, batch_size=opt.batch_size,
+                            num_workers=opt.num_workers)
+    val_fetcher = Fetcher(val_loader, PostFetch())
+
+    model = build_model(opt.model, num_classes=len(val_data.classes))
+    bundle = load_model_bundle(model, opt.weights,
+                               (opt.img_size[1], opt.img_size[0]))
+    metrics = test(bundle, val_fetcher)
+    print("metrics: %8g" % metrics)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Data pipeline: colormap round-trip, rasterization parity with cv2,
+datasets, loader padding, normalization."""
+
+import json
+import os.path as osp
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+
+from pytorch_segmentation_tpu.data import (IMAGENET_MEAN, IMAGENET_STD,
+                                           VOC_COLORMAP, CocoDataset,
+                                           CocoInstance, DataLoader, Fetcher,
+                                           PostFetch, colorize_mask,
+                                           mask_from_colors, voc_colormap)
+from pytorch_segmentation_tpu.data.rasterize import (_fill_polygon_numpy,
+                                                     rasterize_annotations)
+
+
+def test_voc_colormap_values():
+    cm = voc_colormap(32)
+    # class 0 black; class 1 = (128,0,0) RGB = (0,0,128) BGR (reference BGR)
+    assert tuple(cm[0]) == (0, 0, 0)
+    assert tuple(cm[1]) == (0, 0, 128)
+    assert tuple(cm[2]) == (0, 128, 0)
+    assert cm.shape == (32, 3)
+
+
+def test_colormap_roundtrip(rng):
+    mask = rng.integers(0, 20, (32, 32)).astype(np.uint8)
+    colored = colorize_mask(mask, VOC_COLORMAP)
+    back = mask_from_colors(colored, VOC_COLORMAP)
+    np.testing.assert_array_equal(mask, back)
+
+
+def test_rasterize_matches_cv2(rng):
+    for _ in range(5):
+        pts = rng.integers(5, 59, (6, 2)).astype(np.int64)
+        ours = np.zeros((64, 64), dtype=np.uint8)
+        _fill_polygon_numpy(ours, pts.astype(np.float64), 1)
+        ref = np.zeros((64, 64), dtype=np.uint8)
+        cv2.fillPoly(ref, [pts.astype(np.int32)], 1, 0)
+        inter = np.logical_and(ours == 1, ref == 1).sum()
+        union = np.logical_or(ours == 1, ref == 1).sum()
+        assert inter / max(union, 1) > 0.93  # scanline vs cv2 edge pixels
+
+
+def test_coco_dataset(synthetic_coco):
+    ds = CocoDataset(osp.join(synthetic_coco, "val.json"), img_size=(64, 64),
+                     augments=False)
+    assert ds.classes == ["background", "box", "tri"]
+    img, seg = ds[0]
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+    assert seg.shape == (64, 64) and seg.dtype == np.uint8
+    assert set(np.unique(seg)).issubset({0, 1, 2})
+
+
+def test_coco_dataset_rect(synthetic_coco):
+    ds = CocoDataset(osp.join(synthetic_coco, "val.json"), img_size=(64, 32),
+                     augments=False, rect=True)
+    img, seg = ds[0]
+    assert img.shape == (32, 64, 3)
+    assert seg.shape == (32, 64)
+
+
+def test_coco_instance_single_class(synthetic_coco):
+    ds = CocoInstance(osp.join(synthetic_coco, "train.json"),
+                      img_size=(64, 64))
+    img, seg = ds[0]
+    fg = np.unique(seg)
+    assert len(fg) <= 2  # background + exactly one instance class
+
+
+def test_loader_padding_and_valid(synthetic_coco):
+    ds = CocoDataset(osp.join(synthetic_coco, "val.json"), img_size=(48, 48),
+                     augments=False)
+    loader = DataLoader(ds, batch_size=5, shuffle=False, num_workers=2)
+    batches = list(loader)
+    assert batches[0].images.shape == (5, 48, 48, 3)
+    assert batches[0].valid == 5
+    assert batches[-1].valid == len(ds) - 5 * (len(batches) - 1)
+    assert batches[-1].images.shape[0] == 5  # padded to full batch
+
+
+def test_loader_sharding(synthetic_coco):
+    ds = CocoDataset(osp.join(synthetic_coco, "val.json"), img_size=(32, 32),
+                     augments=False)
+    l0 = DataLoader(ds, batch_size=2, rank=0, world_size=2)
+    l1 = DataLoader(ds, batch_size=2, rank=1, world_size=2)
+    i0 = l0._local_indices()
+    i1 = l1._local_indices()
+    assert len(i0) == len(i1)
+    assert set(i0).union(i1) == set(range(len(ds)))
+
+
+def test_post_fetch_normalization(synthetic_coco):
+    ds = CocoDataset(osp.join(synthetic_coco, "val.json"), img_size=(32, 32),
+                     augments=False)
+    loader = DataLoader(ds, batch_size=2, num_workers=1)
+    fetcher = Fetcher(loader, PostFetch())
+    images, segs, valid = next(iter(fetcher))
+    assert images.dtype == jnp.float32
+    assert segs.dtype == jnp.int32
+    raw = next(iter(loader))
+    expected = (raw.images.astype(np.float32) - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(np.asarray(images), expected, rtol=1e-5,
+                               atol=1e-5)
