@@ -1,0 +1,41 @@
+#!/usr/bin/env python3
+"""Export CLI (rebuild of reference export2caffe.py): checkpoint ->
+conv-BN-fused StableHLO artifact.
+
+Fixes the reference's model/artifact-name mismatch (it builds UNet but names
+the artifact 'DeepLabV3Plus', export2caffe.py:13-18 — SURVEY.md §2.2) by
+taking the model from `--model` and naming the artifact accordingly."""
+
+import argparse
+
+from pytorch_segmentation_tpu.engine.checkpoint import load_model_bundle
+from pytorch_segmentation_tpu.export import export_stablehlo, fuse_conv_bn
+from pytorch_segmentation_tpu.models import build_model
+
+
+def export(weights, model_name, num_classes, img_size, out=None):
+    model = build_model(model_name, num_classes=num_classes)
+    bundle = load_model_bundle(model, weights, (img_size[1], img_size[0]))
+    params, batch_stats = fuse_conv_bn(bundle.params, bundle.batch_stats)
+    out = out or f"{model_name}.stablehlo"
+    blob, _ = export_stablehlo(model, params, batch_stats,
+                               (img_size[1], img_size[0]), path=out)
+    print(f"wrote {out} ({len(blob)} bytes)")
+    return out
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("weights", type=str)
+    parser.add_argument("--model", type=str, default="unet",
+                        choices=["unet", "deeplabv3plus", "hrnet"])
+    parser.add_argument("-s", "--img_size", type=int, nargs=2,
+                        default=[320, 320])
+    parser.add_argument("-nc", "--num-classes", type=int, default=2)
+    parser.add_argument("-o", "--out", type=str, default="")
+    opt = parser.parse_args()
+
+    from pytorch_segmentation_tpu.utils.runtime import setup_runtime
+    setup_runtime()
+    export(opt.weights, opt.model, opt.num_classes, opt.img_size,
+           opt.out or None)

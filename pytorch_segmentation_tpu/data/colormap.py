@@ -43,8 +43,15 @@ def colorize_mask(mask: np.ndarray, colormap: np.ndarray = VOC_COLORMAP) -> np.n
 def mask_from_colors(color_img: np.ndarray, colormap: np.ndarray) -> np.ndarray:
     """BGR color label image [H, W, 3] -> class-id mask [H, W] uint8
     (reference SegImgDataset.get_data, utils/datasets.py:249-257).
-    Unmatched colors map to 0, matching the reference's zeros-init behavior."""
+    Unmatched colors map to 0, matching the reference's zeros-init behavior.
+    Uses the native C++ kernel when available (csrc/pseg_native.cpp)."""
     color_img = np.asarray(color_img, dtype=np.uint8)
+    try:
+        from .._native import lib as _native
+    except Exception:
+        _native = None
+    if _native is not None:
+        return _native.map_colors(color_img, np.asarray(colormap, np.uint8))
     mask = np.zeros(color_img.shape[:2], dtype=np.uint8)
     for ci, c in enumerate(colormap):
         mask[(color_img == c).all(axis=2)] = ci

@@ -22,12 +22,14 @@ __all__ = ["DeepLabV3Plus"]
 
 class DeepLabV3Plus(nn.Module):
     num_classes: int
+    # ResNet-50 depths by default; override for lighter variants
+    backbone_layers: tuple = (3, 4, 6, 3)
     dtype: jnp.dtype = jnp.bfloat16
     axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        features = ResNet(block="bottleneck", layers=(3, 4, 6, 3),
+        features = ResNet(block="bottleneck", layers=self.backbone_layers,
                           replace_stride_with_dilation=(False, False, True),
                           dtype=self.dtype, axis_name=self.axis_name,
                           name="backbone")(x, train=train)

@@ -1,17 +1,36 @@
 """Test config: force the JAX CPU backend with 8 virtual devices so mesh /
 sharding / collective behaviour is exercised without TPU hardware
-(SURVEY.md §4 test strategy)."""
+(SURVEY.md §4 test strategy).
+
+Note: this environment's sitecustomize force-registers a TPU ('axon')
+backend and overrides the JAX_PLATFORMS env var, so the env-var approach is
+not enough — the config must be updated in-process before first backend use.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass  # older jax reads XLA_FLAGS instead
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu_mesh():
+    assert jax.devices()[0].platform == "cpu"
+    assert len(jax.devices()) == 8, jax.devices()
 
 
 @pytest.fixture(scope="session")

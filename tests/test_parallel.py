@@ -1,0 +1,106 @@
+"""Data parallelism: sharded-vs-single-device equivalence of the train step
+and eval metrics over the 8-device virtual CPU mesh (SURVEY.md §4:
+'identical-loss test of sharded vs single-device step')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pytorch_segmentation_tpu.engine.steps import (create_train_state,
+                                                   make_eval_step,
+                                                   make_train_step)
+from pytorch_segmentation_tpu.models import UNet
+from pytorch_segmentation_tpu.parallel import (data_sharding, make_mesh,
+                                               replicated_sharding)
+
+
+def _setup(mesh):
+    model = UNet(num_classes=3, dtype=jnp.float32)
+    tx = optax.sgd(0.01, momentum=0.9)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 3)), tx)
+    return jax.device_put(state, replicated_sharding(mesh))
+
+
+def _batch(key, b=8):
+    imgs = jax.random.normal(key, (b, 32, 32, 3))
+    segs = (jax.random.uniform(key, (b, 32, 32)) * 3).astype(jnp.int32)
+    return imgs, segs
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("data",)
+
+
+def test_sharded_step_matches_single_device():
+    devs = jax.devices()
+    mesh8 = Mesh(np.asarray(devs), ("data",))
+    mesh1 = Mesh(np.asarray(devs[:1]), ("data",))
+
+    imgs, segs = _batch(jax.random.PRNGKey(42))
+    losses, params = [], []
+    for mesh in (mesh8, mesh1):
+        state = _setup(mesh)
+        step = make_train_step(accumulate=1, donate=False)
+        bi = jax.device_put(imgs, data_sharding(mesh))
+        bs = jax.device_put(segs, data_sharding(mesh))
+        state, loss = step(state, bi, bs)
+        losses.append(float(loss))
+        params.append(jax.tree.map(np.asarray, state.params))
+    # XLA computes sharded BN batch statistics with per-shard partials, so
+    # grads differ from single-device by ~1e-3 relative (measured, amplified
+    # through the BN-variance backward). A real sharding bug (missing mean
+    # over shards) would show as an 8x gradient factor => param diffs of
+    # O(lr * grad * 7) ~ 1e0, far above these tolerances.
+    assert abs(losses[0] - losses[1]) < 1e-3, losses
+    for a, b in zip(jax.tree.leaves(params[0]), jax.tree.leaves(params[1])):
+        np.testing.assert_allclose(a, b, rtol=0.05, atol=5e-3)
+
+
+def test_sharded_eval_metrics_match():
+    devs = jax.devices()
+    mesh8 = Mesh(np.asarray(devs), ("data",))
+    mesh1 = Mesh(np.asarray(devs[:1]), ("data",))
+    imgs, segs = _batch(jax.random.PRNGKey(7))
+    results = []
+    for mesh in (mesh8, mesh1):
+        state = _setup(mesh)
+        eval_step = make_eval_step(num_classes=3)
+        bi = jax.device_put(imgs, data_sharding(mesh))
+        bs = jax.device_put(segs, data_sharding(mesh))
+        loss, tp, fn, fp, pred = eval_step(state, bi, bs, 6)  # 2 padded
+        results.append((float(loss), np.asarray(tp), np.asarray(fn),
+                        np.asarray(fp)))
+    assert abs(results[0][0] - results[1][0]) < 1e-5
+    for a, b in zip(results[0][1:], results[1][1:]):
+        np.testing.assert_array_equal(a, b)
+    # padded samples excluded: total counted pixels = 6 * 32 * 32
+    tp, fn, fp = results[0][1:]
+    assert (tp + fn).sum() == 6 * 32 * 32
+
+
+def test_grad_accumulation_equivalence():
+    """accumulate=2 over a batch == accumulate=1 with mean semantics
+    (same grads up to BN-stat differences on microbatches)."""
+    mesh = make_mesh()
+    imgs, segs = _batch(jax.random.PRNGKey(3))
+    bi = jax.device_put(imgs, data_sharding(mesh))
+    bs = jax.device_put(segs, data_sharding(mesh))
+
+    state_a = _setup(mesh)
+    step_a = make_train_step(accumulate=1, donate=False)
+    state_a, loss_a = step_a(state_a, bi, bs)
+
+    state_b = _setup(mesh)
+    step_b = make_train_step(accumulate=2, donate=False)
+    state_b, loss_b = step_b(state_b, bi, bs)
+
+    # same data overall; losses close (not identical: BN normalizes per
+    # microbatch under accumulation, a genuine semantic difference shared
+    # with the reference's every-k-batches accumulation)
+    assert abs(float(loss_a) - float(loss_b)) < 0.5
+    assert np.isfinite(float(loss_b))

@@ -40,7 +40,7 @@ def test_eval_miou_beats_random(trained):
     trainer, _, _, root = trained
     val = CocoDataset(osp.join(root, "val.json"), img_size=(64, 64),
                       augments=False)
-    fetcher = Fetcher(DataLoader(val, batch_size=4, num_workers=1),
+    fetcher = Fetcher(DataLoader(val, batch_size=8, num_workers=1),
                       PostFetch())
     miou = test(trainer.model, fetcher, show_first_batch=False, log=False)
     assert miou > 0.15, miou  # 3-class random ~ 0.1 on this data
@@ -52,7 +52,7 @@ def test_checkpoint_roundtrip(trained):
     assert ckpt["epoch"] == trainer.epoch
     val = CocoDataset(osp.join(root, "val.json"), img_size=(64, 64),
                       augments=False)
-    fetcher = Fetcher(DataLoader(val, batch_size=4, num_workers=1),
+    fetcher = Fetcher(DataLoader(val, batch_size=8, num_workers=1),
                       PostFetch())
     m1 = test(trainer.model, fetcher, show_first_batch=False, log=False)
 
