@@ -33,14 +33,20 @@ def main():
     img = 513 if on_tpu else 129
     num_classes = 21
 
-    model = DeepLabV3Plus(num_classes=num_classes, dtype=jnp.bfloat16)
+    # TPU-first training config: stride-4 logits + fused Pallas upsample+CE
+    # (identical math to the reference's model-internal x4 upsample + CE)
+    model = DeepLabV3Plus(num_classes=num_classes, dtype=jnp.bfloat16,
+                          full_res_output=not on_tpu)
     tx = optax.sgd(1e-3, momentum=0.9)
     state = create_train_state(model, jax.random.PRNGKey(0),
                                jnp.zeros((1, 64, 64, 3), jnp.float32), tx)
-    step = make_train_step(accumulate=1)
+    from pytorch_segmentation_tpu.ops.loss import make_loss_fn
+    step = make_train_step(loss_fn=make_loss_fn(align_corners=True,
+                                                use_pallas=on_tpu),
+                           accumulate=1)
 
     value = None
-    for bs in ([32, 16, 8] if on_tpu else [4]):
+    for bs in ([64, 32, 16, 8] if on_tpu else [4]):
         try:
             images = jax.random.normal(jax.random.PRNGKey(1),
                                        (bs, img, img, 3), jnp.float32)
@@ -48,12 +54,16 @@ def main():
             s = state
             for _ in range(3):  # warmup + compile
                 s, loss = step(s, images, segs)
-            jax.block_until_ready(loss)
+            # NOTE: this runtime's block_until_ready can return before
+            # remote execution finishes; a host read of the chained loss is
+            # the only reliable barrier. Each step's state feeds the next,
+            # so reading the final loss forces the whole timed chain.
+            float(loss)
             n_steps = 10
             t0 = time.perf_counter()
             for _ in range(n_steps):
                 s, loss = step(s, images, segs)
-            jax.block_until_ready(loss)
+            float(loss)
             dt = time.perf_counter() - t0
             value = bs * n_steps / dt
             break

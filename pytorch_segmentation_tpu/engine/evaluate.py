@@ -15,7 +15,7 @@ from tqdm import tqdm
 
 from ..ops.metrics import compute_metrics
 from ..parallel.mesh import data_sharding, make_mesh
-from .steps import TrainState, make_eval_step
+from .steps import TrainState, make_eval_step, make_predict_step
 
 __all__ = ["test"]
 
@@ -29,10 +29,16 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
     """
     classes = fetcher.loader.dataset.classes
     num_classes = len(classes)
-    eval_step = make_eval_step(num_classes)
+    # evaluate on low-res logits and resize once in the eval step (identical
+    # predictions: the deferred resize is exactly the model's trailing one)
+    module = model.module
+    align = getattr(module, "up_align_corners", True)
+    if getattr(module, "full_res_output", None) is True:
+        module = module.clone(full_res_output=False)
+    eval_step = make_eval_step(num_classes, align_corners=align)
     state = TrainState(step=0, params=model.params,
                        batch_stats=model.batch_stats, opt_state=None,
-                       tx=None, apply_fn=model.apply_fn)
+                       tx=None, apply_fn=module.apply)
     mesh = mesh if mesh is not None else make_mesh()
     sharding = data_sharding(mesh)
 
@@ -46,15 +52,20 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
     for images, segs, valid in pbar:
         images = jax.device_put(images, sharding)
         segs = jax.device_put(segs, sharding)
-        loss, tp_i, fn_i, fp_i, pred = eval_step(state, images, segs, valid)
+        loss, tp_i, fn_i, fp_i = eval_step(state, images, segs, valid)
         n_batches += 1
         val_loss += float(loss)
         tp += np.asarray(tp_i)
         fn += np.asarray(fn_i)
         fp += np.asarray(fp_i)
         if n_batches == 1 and show_first_batch:
+            # predictions only needed for the first-batch visual dump
+            # (reference test.py:32-33); computed separately on <=8 samples
+            predict = make_predict_step(align_corners=align)
+            pred = predict(state, images[:8],
+                           (int(segs.shape[1]), int(segs.shape[2])))
             from ..utils.visualize import show_batch
-            show_batch(np.asarray(images), np.asarray(pred))
+            show_batch(np.asarray(images[:8]), np.asarray(pred))
         T, P, R, miou, F1 = (np.asarray(m) for m in
                              compute_metrics(tp, fn, fp))
         pbar.set_description(

@@ -114,24 +114,40 @@ def make_train_step(loss_fn: Callable = compute_loss, accumulate: int = 1,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(num_classes: int):
-    """Returns jitted (state, images, segs, valid) ->
-    (loss_sum, tp, fn, fp, pred) with padded samples masked out.
+def make_eval_step(num_classes: int, align_corners: bool = True,
+                   use_pallas: bool = True):
+    """Returns jitted (state, images, segs, valid) -> (loss, tp, fn, fp)
+    with padded samples masked out of the confusion counts.
 
     `valid` is the count of real samples in the batch; padded tail samples
-    (duplicates) are excluded from both loss and the confusion counts.
+    (duplicates of real ones) are excluded from the confusion counts. On TPU
+    with low-res logits, the upsample+argmax+confusion and the upsample+CE
+    are fused Pallas kernels that never materialize full-res logits
+    (ops/pallas/); the padded duplicates then contribute to the displayed
+    loss (a progress indicator) but never to the metrics.
     """
 
     def step(state: TrainState, images, segs, valid):
         logits = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             images, train=False)
+        th, tw = segs.shape[1], segs.shape[2]
+        hh, ww = logits.shape[1], logits.shape[2]
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if use_pallas and on_tpu and (hh, ww) != (th, tw):
+            from ..ops.pallas.eval_confusion import fused_eval_confusion
+            from ..ops.pallas.softmax_ce import fused_upsample_ce
+            loss = fused_upsample_ce(logits, segs,
+                                     align_corners=align_corners)
+            tp, fn, fp = fused_eval_confusion(logits, segs, valid,
+                                              align_corners=align_corners)
+            return loss, tp, fn, fp
+
         b = images.shape[0]
         sample_mask = (jnp.arange(b) < valid)
         # loss over valid samples only (per-sample CE, then masked mean)
-        th, tw = segs.shape[1], segs.shape[2]
         up = resize_bilinear(logits.astype(jnp.float32), (th, tw),
-                             align_corners=True)
+                             align_corners=align_corners)
         lse = jax.nn.logsumexp(up, axis=-1)
         true_logit = jnp.take_along_axis(
             up, segs[..., None].astype(jnp.int32), axis=-1)[..., 0]
@@ -151,6 +167,20 @@ def make_eval_step(num_classes: int):
         tp = jnp.diagonal(cm)
         fn = jnp.sum(cm, axis=1) - tp
         fp = jnp.sum(cm, axis=0) - tp
-        return loss, tp, fn, fp, pred
+        return loss, tp, fn, fp
 
     return jax.jit(step)
+
+
+def make_predict_step(align_corners: bool = True):
+    """(state, images, out_hw) -> argmax mask at out_hw (for show_batch)."""
+
+    def predict(state: TrainState, images, out_hw):
+        logits = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, train=False)
+        up = resize_bilinear(logits.astype(jnp.float32), out_hw,
+                             align_corners=align_corners)
+        return jnp.argmax(up, axis=-1).astype(jnp.int32)
+
+    return jax.jit(predict, static_argnums=(2,))

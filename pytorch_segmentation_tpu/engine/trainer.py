@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import optax
 from tqdm import tqdm
 
-from ..ops.loss import compute_loss
+from ..ops.loss import compute_loss, make_loss_fn
 from ..parallel.mesh import data_sharding, make_mesh, replicated_sharding
 from .checkpoint import load_checkpoint, restore_into, save_checkpoint
 from .steps import create_train_state, make_train_step
@@ -51,7 +51,9 @@ class Trainer:
                  adam: bool = False, lr: float = 1e-3, weights: str = "",
                  resume: bool = False, mixed_precision: bool = False,
                  momentum: float = 0.9, weight_decay: float = 0.0,
-                 mesh=None, seed: int = 0, log: bool = True):
+                 mesh=None, seed: int = 0, log: bool = True,
+                 log_dir: str = "runs", profile: bool = False,
+                 defer_upsample: bool = True):
         self.module = model
         self.fetcher = fetcher
         self.workdir = workdir
@@ -59,6 +61,9 @@ class Trainer:
         self.epoch = 0
         self.metrics = 0.0  # best val mIoU so far (reference train.py:76-79)
         self.log = log
+        self.log_dir = log_dir
+        self.profile = profile  # jax.profiler trace of first-epoch steps
+        self._lr = lr
 
         if adam:
             tx = optax.adam(lr)
@@ -72,12 +77,26 @@ class Trainer:
         self._data_sharding = data_sharding(self.mesh)
         self._repl_sharding = replicated_sharding(self.mesh)
 
-        # init from the dataset's static shape
+        # TPU-first: train on low-res logits and fold the model's trailing
+        # bilinear upsample into the loss (fused Pallas upsample+CE on TPU).
+        # Mathematically identical — the upsample is linear and trailing —
+        # but full-res logits/grads never hit HBM. Disabled automatically
+        # for custom loss functions (unknown upsample semantics).
+        self._train_module = self.module
+        align = getattr(self.module, "up_align_corners", True)
+        if (defer_upsample and loss_fn is compute_loss
+                and getattr(self.module, "full_res_output", None) is True):
+            self._train_module = self.module.clone(full_res_output=False)
+            loss_fn = make_loss_fn(align_corners=align)
+
+        # init from the dataset's static shape (params are identical for
+        # the deferred-upsample clone: the upsample has no parameters)
         ds = fetcher.loader.dataset
         w, h = ds.img_size
         sample = jnp.zeros((1, h, w, 3), jnp.float32)
         rng = jax.random.PRNGKey(seed)
-        self.state = create_train_state(self.module, rng, sample, self.tx)
+        self.state = create_train_state(self._train_module, rng, sample,
+                                        self.tx)
         self.state = jax.device_put(self.state, self._repl_sharding)
 
         if weights:
@@ -112,23 +131,49 @@ class Trainer:
         n = 0
         t0 = time.time()
         images_seen = 0
+        profiling = False
         pbar = tqdm(self.fetcher, total=len(self.fetcher),
                     disable=not self.log or jax.process_index() != 0)
         for images, segs, valid in pbar:
+            if self.profile and self.epoch == 0 and n == 2:
+                jax.profiler.start_trace(osp.join(self.log_dir, "profile"))
+                profiling = True
             images = jax.device_put(images, self._data_sharding)
             segs = jax.device_put(segs, self._data_sharding)
             self.state, loss = self._train_step(self.state, images, segs)
             n += 1
             images_seen += int(valid)
             running_loss += float(loss)  # host sync once per step
+            if profiling and n == 7:
+                jax.profiler.stop_trace()
+                profiling = False
             pbar.set_description(
                 f"epoch {self.epoch} loss {running_loss / n:8g}")
+        if profiling:
+            jax.profiler.stop_trace()
         self.epoch += 1
         dt = time.time() - t0
+        mean_loss = running_loss / max(n, 1)
         if self.log and n and jax.process_index() == 0:
             print(f"epoch {self.epoch - 1}: {images_seen / dt:.1f} img/s, "
-                  f"loss {running_loss / n:.4f}")
-        return running_loss / max(n, 1)
+                  f"loss {mean_loss:.4f}")
+        self.log_record(epoch=self.epoch - 1, loss=mean_loss,
+                        images_per_sec=images_seen / max(dt, 1e-9),
+                        seconds=dt, lr=self._lr, steps=n)
+        return mean_loss
+
+    def log_record(self, **record):
+        """Append a JSONL record to <log_dir>/log.jsonl (the structured-log
+        equivalent of the reference Trainer's TensorBoard runs/ dir —
+        SURVEY.md §5 observability)."""
+        if jax.process_index() != 0:
+            return
+        import json
+        import os
+        os.makedirs(self.log_dir, exist_ok=True)
+        record.setdefault("time", time.time())
+        with open(osp.join(self.log_dir, "log.jsonl"), "a") as f:
+            f.write(json.dumps(record) + "\n")
 
     def save(self, best: bool = False):
         """Write last.ckpt (and best.ckpt when best) — reference

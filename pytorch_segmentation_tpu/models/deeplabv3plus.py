@@ -26,12 +26,20 @@ class DeepLabV3Plus(nn.Module):
     backbone_layers: tuple = (3, 4, 6, 3)
     dtype: jnp.dtype = jnp.bfloat16
     axis_name: str | None = None
+    # full_res_output=False returns stride-4 logits, deferring the final
+    # bilinear x4 (deeplabv3plus.py:39-43) into the loss — identical math,
+    # no full-res logits/grads in HBM.
+    full_res_output: bool = True
+    up_align_corners: bool = True
+    output_stride: int = 4
+    remat: bool = False  # rematerialize backbone blocks (bigger batches)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         features = ResNet(block="bottleneck", layers=self.backbone_layers,
                           replace_stride_with_dilation=(False, False, True),
                           dtype=self.dtype, axis_name=self.axis_name,
+                          remat=self.remat,
                           name="backbone")(x, train=train)
         low = features[1]  # 256ch @ stride 4
         low = ConvNormAct(128, kernel_size=1, dtype=self.dtype,
@@ -44,6 +52,7 @@ class DeepLabV3Plus(nn.Module):
         y = nn.Conv(self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
                     dtype=self.dtype, param_dtype=jnp.float32,
                     kernel_init=conv_kernel_init, name="cls_conv")(y)
-        y = resize_bilinear(y, (4 * y.shape[1], 4 * y.shape[2]),
-                            align_corners=True)
+        if self.full_res_output:
+            y = resize_bilinear(y, (4 * y.shape[1], 4 * y.shape[2]),
+                                align_corners=True)
         return y

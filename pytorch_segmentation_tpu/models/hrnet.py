@@ -90,6 +90,11 @@ class HRNet(nn.Module):
     base_channels: int = 32
     dtype: jnp.dtype = jnp.bfloat16
     axis_name: str | None = None
+    # full_res_output=False returns stride-4 logits, deferring the final
+    # bilinear x4 (hrnet.py:401-404, align_corners=False) into the loss.
+    full_res_output: bool = True
+    up_align_corners: bool = False
+    output_stride: int = 4
 
     def _channels(self, num_branches):
         return [self.base_channels * (2 ** i) for i in range(num_branches)]
@@ -143,6 +148,7 @@ class HRNet(nn.Module):
         y = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
                     param_dtype=jnp.float32, kernel_init=conv_kernel_init,
                     name="final_layer")(ys[0])
-        y = resize_bilinear(y, (y.shape[1] * 4, y.shape[2] * 4),
-                            align_corners=False)
+        if self.full_res_output:
+            y = resize_bilinear(y, (y.shape[1] * 4, y.shape[2] * 4),
+                                align_corners=False)
         return y

@@ -27,6 +27,13 @@ class UNet(nn.Module):
     num_classes: int
     dtype: jnp.dtype = jnp.bfloat16
     axis_name: str | None = None
+    # full_res_output=False returns logits at stride 2, deferring the final
+    # bilinear x2 into the loss (mathematically identical — bilinear resize
+    # is linear and trailing; saves materializing full-res logits + grads).
+    full_res_output: bool = True
+    # coordinate convention of the deferred upsample (unet.py:52-55)
+    up_align_corners: bool = True
+    output_stride: int = 2  # stride of logits when full_res_output=False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -51,5 +58,6 @@ class UNet(nn.Module):
         x = nn.Conv(self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
                     dtype=self.dtype, param_dtype=jnp.float32,
                     kernel_init=conv_kernel_init, name="cls_conv")(x)
-        x = upsample2x(x, align_corners=True)
+        if self.full_res_output:
+            x = upsample2x(x, align_corners=True)
         return x

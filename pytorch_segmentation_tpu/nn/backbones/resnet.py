@@ -74,17 +74,24 @@ class Bottleneck(nn.Module):
 
 
 class ResNet(nn.Module):
-    """Feature-list ResNet. `block` is 'basic' or 'bottleneck'."""
+    """Feature-list ResNet. `block` is 'basic' or 'bottleneck'.
+
+    remat=True rematerializes each residual block's activations in the
+    backward pass (jax.checkpoint) — trades ~30% more FLOPs for a large HBM
+    saving, unlocking bigger per-chip batches at high resolution."""
 
     block: str
     layers: Sequence[int]
     replace_stride_with_dilation: Sequence[bool] = (False, False, False)
     dtype: jnp.dtype = jnp.bfloat16
     axis_name: str | None = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         block_cls = BasicBlock if self.block == "basic" else Bottleneck
+        if self.remat:
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
         expansion = 1 if self.block == "basic" else 4
 
         # stem: 7x7/2 conv + BN + ReLU, then 3x3/2 maxpool (pad 1, -inf)
@@ -103,6 +110,8 @@ class ResNet(nn.Module):
             for block_i in range(n_blocks):
                 downsample = block_i == 0 and (
                     stride != 1 or x.shape[-1] != width * expansion)
+                # train passed positionally: nn.remat statics must be
+                # positional (static_argnums=(2,))
                 x = block_cls(width,
                               stride=stride if block_i == 0 else 1,
                               dilation=dilation,
@@ -110,7 +119,7 @@ class ResNet(nn.Module):
                               dtype=self.dtype,
                               axis_name=self.axis_name,
                               name=f"layer{stage_i + 1}_block{block_i}")(
-                                  x, train=train)
+                                  x, train)
             features.append(x)
         return features
 

@@ -47,17 +47,34 @@ def softmax_cross_entropy(logits: jax.Array, labels: jax.Array,
 
 
 def compute_loss(logits: jax.Array, targets: jax.Array,
-                 ignore_index: int | None = None) -> jax.Array:
+                 ignore_index: int | None = None,
+                 align_corners: bool = True) -> jax.Array:
     """Reference-parity loss (utils/utils.py:17-24).
 
     logits: [B, h, w, C] at model output resolution.
     targets: [B, H, W] integer class ids at label resolution.
-    Upsamples logits to (H, W) with align_corners=True, then mean CE.
+    Upsamples logits to (H, W) (align_corners=True by default, matching the
+    reference; models that defer an align_corners=False upsample — HRNet —
+    pass False), then mean CE.
     """
     th, tw = targets.shape[1], targets.shape[2]
     logits = resize_bilinear(logits.astype(jnp.float32), (th, tw),
-                             align_corners=True)
+                             align_corners=align_corners)
     return softmax_cross_entropy(logits, targets, ignore_index=ignore_index)
+
+
+def make_loss_fn(align_corners: bool = True, use_pallas: bool = True):
+    """Loss for the train step. On TPU, when logits are lower-resolution
+    than labels (models running with full_res_output=False), uses the fused
+    Pallas upsample+CE kernel (ops/pallas/softmax_ce.py) that never
+    materializes full-res logits; otherwise the plain XLA path."""
+    def loss_fn(logits, targets):
+        if use_pallas:
+            from .pallas.softmax_ce import fused_upsample_ce
+            return fused_upsample_ce(logits, targets,
+                                     align_corners=align_corners)
+        return compute_loss(logits, targets, align_corners=align_corners)
+    return loss_fn
 
 
 def focal_bce_loss(logits: jax.Array, targets_onehot: jax.Array,

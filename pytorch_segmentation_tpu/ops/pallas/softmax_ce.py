@@ -1,0 +1,249 @@
+"""Pallas TPU kernel: fused bilinear-upsample + softmax cross-entropy.
+
+The reference loss (utils/utils.py:17-24) bilinearly upsamples logits to the
+label resolution (align_corners=True) and takes mean CE. At DeepLabV3+'s
+output stride the naive path materializes full-res logits in HBM —
+[B, 513, 513, 21] f32 is ~22 MB per image, written + read again by
+logsumexp/gather (and the same again for grads in the backward). This kernel
+streams row-tiles and classes instead:
+
+  per (batch b, row-tile t):
+    for class c (static unroll):            # logits held class-major [C,h,w]
+      up_c = Mh[t] @ logits[b,c] @ Mw^T     # two 2-D MXU contractions
+      online-logsumexp update; accumulate true-logit
+    partial += sum(lse - true_logit)
+
+and the custom VJP recomputes per-class tiles into VMEM scratch and pushes
+the softmax residual back through the transposed interpolation matrices:
+
+    dlogits[b,c] += Mh[t]^T @ (softmax_c(up) - onehot_c) @ Mw
+
+Design notes for Mosaic: everything is strictly 2-D matmuls + elementwise —
+no reshapes or transposes that touch the lane dimension (Mosaic's
+infer-vector-layout rejects those); class-major layout makes the class loop
+a cheap leading-dim index; scalar tile-partials accumulate into an (8,128)
+VMEM tile per batch element ((1,1) output blocks violate the 8x128 tiling
+constraint).
+
+Interpolation matrices come from ops/resize._interp_weights, so coordinate
+semantics are bit-identical to the XLA path (tested in
+tests/test_pallas_ce.py, interpret mode).
+
+Use `fused_upsample_ce` (falls back to the plain XLA path off-TPU or when
+logits are already at label resolution).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..resize import _interp_weights
+
+__all__ = ["fused_upsample_ce", "upsample_ce_reference"]
+
+_NEG_BIG = -1e30
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def upsample_ce_reference(logits, labels, align_corners=True):
+    """Plain-XLA reference semantics (used as fallback and in tests)."""
+    from ..loss import compute_loss
+    return compute_loss(logits, labels, align_corners=align_corners)
+
+
+def _upsample_class(logits_c, mh, mw):
+    """[h, w] -> [tile, W]: two 2-D MXU contractions."""
+    a = jax.lax.dot_general(mh, logits_c, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(a, mw, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _scalar_tile(value):
+    """Place a scalar into lane (0,0) of a (1,8,128) accumulator tile."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 1)
+    return jnp.where((lane == 0) & (sub == 0), value, 0.0)
+
+
+def _fwd_kernel(logits_ref, labels_ref, mh_ref, mw_ref, out_ref, *,
+                tile: int, h_out: int, num_classes: int):
+    """grid = (B, n_tiles); logits_ref [1, C, h, w] class-major."""
+    mh = mh_ref[...]                    # [tile, h]
+    mw = mw_ref[...]                    # [W, w]
+    labels = labels_ref[0]              # [tile, W]
+    w_out = labels.shape[1]
+
+    m = jnp.full((tile, w_out), _NEG_BIG, jnp.float32)   # running max
+    s = jnp.zeros((tile, w_out), jnp.float32)            # running sum-exp
+    true_logit = jnp.zeros((tile, w_out), jnp.float32)
+    for c in range(num_classes):                          # static unroll
+        up_c = _upsample_class(logits_ref[0, c], mh, mw)
+        m_new = jnp.maximum(m, up_c)
+        s = s * jnp.exp(m - m_new) + jnp.exp(up_c - m_new)
+        m = m_new
+        true_logit += jnp.where(labels == c, up_c, 0.0)
+    lse = m + jnp.log(s)
+
+    ti = pl.program_id(1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, w_out), 0)
+    valid = (row_ids + ti * tile) < h_out
+    per_pixel = jnp.where(valid, lse - true_logit, 0.0)
+
+    @pl.when(ti == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += _scalar_tile(jnp.sum(per_pixel))
+
+
+def _bwd_kernel(logits_ref, labels_ref, mh_ref, mw_ref, dlogits_ref,
+                up_scratch, *, tile: int, h_out: int, num_classes: int,
+                inv_n: float):
+    """dlogits_ref [1, C, h, w]; up_scratch [C, tile, W] VMEM."""
+    mh = mh_ref[...]
+    mw = mw_ref[...]
+    labels = labels_ref[0]
+    w_out = labels.shape[1]
+
+    m = jnp.full((tile, w_out), _NEG_BIG, jnp.float32)
+    s = jnp.zeros((tile, w_out), jnp.float32)
+    for c in range(num_classes):
+        up_c = _upsample_class(logits_ref[0, c], mh, mw)
+        up_scratch[c] = up_c
+        m_new = jnp.maximum(m, up_c)
+        s = s * jnp.exp(m - m_new) + jnp.exp(up_c - m_new)
+        m = m_new
+    lse = m + jnp.log(s)
+
+    ti = pl.program_id(1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, w_out), 0)
+    valid = (row_ids + ti * tile) < h_out
+
+    @pl.when(ti == 0)
+    def _():
+        dlogits_ref[...] = jnp.zeros_like(dlogits_ref)
+
+    for c in range(num_classes):
+        p_c = jnp.exp(up_scratch[c] - lse)
+        onehot_c = (labels == c).astype(jnp.float32)
+        resid = jnp.where(valid, (p_c - onehot_c) * inv_n, 0.0)  # [tile, W]
+        # d = mh^T @ (resid @ mw): resid [tile, W] x mw [W, w] -> [tile, w]
+        d1 = jax.lax.dot_general(resid, mw, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        d = jax.lax.dot_general(mh, d1, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [h, w]
+        dlogits_ref[0, c] += d
+
+
+def _pad_rows(mat, tile):
+    n = mat.shape[0]
+    pad = _round_up(n, tile) - n
+    if pad:
+        mat = np.concatenate([mat, np.zeros((pad, mat.shape[1]),
+                                            mat.dtype)], 0)
+    return mat
+
+
+def _prep(hh, ww, labels, out_hw, align_corners, tile):
+    """Shared with eval_confusion: interpolation matrices (Mh row-padded to
+    the tile multiple) + row-padded labels. (hh, ww) = logits spatial dims."""
+    h_out, w_out = out_hw
+    mh = _pad_rows(_interp_weights(hh, h_out, align_corners), tile)
+    mw = _interp_weights(ww, w_out, align_corners)
+    pad_rows = mh.shape[0] - h_out
+    labels_p = labels.astype(jnp.int32)
+    if pad_rows:
+        labels_p = jnp.pad(labels_p, ((0, 0), (0, pad_rows), (0, 0)),
+                           constant_values=0)
+    return jnp.asarray(mh), jnp.asarray(mw), labels_p
+
+
+def _common_in_specs(hh, ww, cc, tile, w_out):
+    return [
+        # class-major logits: leading-dim class indexing is layout-free
+        pl.BlockSpec((1, cc, hh, ww), lambda bi, ti: (bi, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, w_out), lambda bi, ti: (bi, ti, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, hh), lambda bi, ti: (ti, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _fused_ce(logits, labels, out_hw, align_corners, tile):
+    s, _ = _fused_ce_fwd(logits, labels, out_hw, align_corners, tile)
+    return s
+
+
+def _fused_ce_fwd(logits, labels, out_hw, align_corners, tile):
+    logits32 = logits.astype(jnp.float32)
+    b, hh, ww, cc = logits32.shape
+    mh, mw, labels_p = _prep(hh, ww, labels, out_hw, align_corners, tile)
+    h_out, w_out = out_hw
+    logits_cm = jnp.transpose(logits32, (0, 3, 1, 2))  # [B, C, h, w]
+    n_tiles = mh.shape[0] // tile
+    partials = pl.pallas_call(
+        functools.partial(_fwd_kernel, tile=tile, h_out=h_out,
+                          num_classes=cc),
+        grid=(b, n_tiles),
+        in_specs=_common_in_specs(hh, ww, cc, tile, w_out),
+        out_specs=pl.BlockSpec((1, 8, 128), lambda bi, ti: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
+    )(logits_cm, labels_p, mh, mw)
+    n = b * h_out * w_out
+    return jnp.sum(partials) / n, (logits_cm, labels_p, mh, mw)
+
+
+def _fused_ce_bwd(out_hw, align_corners, tile, res, g):
+    logits_cm, labels_p, mh, mw = res
+    b, cc, hh, ww = logits_cm.shape
+    h_out, w_out = out_hw
+    n_tiles = mh.shape[0] // tile
+    inv_n = 1.0 / (b * h_out * w_out)
+    dlogits_cm = pl.pallas_call(
+        functools.partial(_bwd_kernel, tile=tile, h_out=h_out,
+                          num_classes=cc, inv_n=inv_n),
+        grid=(b, n_tiles),
+        in_specs=_common_in_specs(hh, ww, cc, tile, w_out),
+        out_specs=pl.BlockSpec((1, cc, hh, ww), lambda bi, ti: (bi, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, cc, hh, ww), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((cc, tile, w_out), jnp.float32)],
+    )(logits_cm, labels_p, mh, mw)
+    dlogits = jnp.transpose(dlogits_cm, (0, 2, 3, 1)) * g
+    return dlogits, None
+
+
+_fused_ce.defvjp(_fused_ce_fwd, _fused_ce_bwd)
+
+
+def fused_upsample_ce(logits, labels, align_corners: bool = True,
+                      tile: int = 64, interpret: bool = False):
+    """Drop-in for ops.loss.compute_loss on TPU when logits are at a lower
+    resolution than labels. Falls back to the XLA path when fusion does not
+    apply (same resolution, or not on TPU and not interpreting)."""
+    h_out, w_out = labels.shape[1], labels.shape[2]
+    hh, ww = logits.shape[1], logits.shape[2]
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if (hh, ww) == (h_out, w_out) or not (on_tpu or interpret):
+        return upsample_ce_reference(logits, labels, align_corners)
+    logits = logits.astype(jnp.float32)
+    if interpret:
+        # exercised in tests via pltpu.force_tpu_interpret_mode()
+        with pltpu.force_tpu_interpret_mode():
+            return _fused_ce(logits, labels, (h_out, w_out), align_corners,
+                             tile)
+    return _fused_ce(logits, labels, (h_out, w_out), align_corners, tile)

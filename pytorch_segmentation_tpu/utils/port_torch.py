@@ -1,0 +1,147 @@
+"""Pretrained-backbone weight porting: torchvision state_dict -> our trees.
+
+The reference gets ImageNet-pretrained encoders from pytorch_modules
+(`mobilenet_v2(pretrained=True)`, unet.py:16; `resnet50(pretrained=True)`,
+deeplabv3plus.py:17). This environment has no network access, so
+`pretrained=True` cannot download; instead, users supply a torchvision
+state_dict file (`.pth`, as produced by torchvision's model zoo) and this
+module maps it onto the backbone param/batch-stat subtrees
+(SURVEY.md §7 hard part (c)).
+
+Layout conversions: torch conv OIHW -> JAX HWIO; depthwise (C,1,kh,kw) ->
+(kh,kw,1,C); BN weight/bias/running_mean/running_var ->
+scale/bias/mean/var (all f32).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["convert_mobilenetv2", "convert_resnet", "load_pretrained_backbone"]
+
+# standard MobileNetV2 stage layout: (expand_ratio, repeats)
+_MBV2_STAGES = [(1, 1), (6, 2), (6, 3), (6, 4), (6, 3), (6, 3), (6, 1)]
+
+
+def _conv(w) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 1, 0))
+                                ).astype(np.float32)
+
+
+def _bn(sd, prefix):
+    return (
+        {"scale": np.asarray(sd[prefix + ".weight"], np.float32),
+         "bias": np.asarray(sd[prefix + ".bias"], np.float32)},
+        {"mean": np.asarray(sd[prefix + ".running_mean"], np.float32),
+         "var": np.asarray(sd[prefix + ".running_var"], np.float32)},
+    )
+
+
+def _cna(sd, conv_key, bn_prefix):
+    """(params, stats) for one ConvNormAct."""
+    bn_p, bn_s = _bn(sd, bn_prefix)
+    return ({"conv": {"kernel": _conv(sd[conv_key])}, "bn": bn_p},
+            {"bn": bn_s})
+
+
+def convert_mobilenetv2(sd: dict):
+    """torchvision mobilenet_v2 state_dict -> (params, batch_stats) subtrees
+    matching nn/backbones/mobilenetv2.MobileNetV2."""
+    params, stats = {}, {}
+    params["stem"], stats["stem"] = _cna(sd, "features.0.0.weight",
+                                         "features.0.1")
+    feat = 1
+    for stage_i, (t, n) in enumerate(_MBV2_STAGES):
+        for block_i in range(n):
+            name = f"stage{stage_i}_block{block_i}"
+            base = f"features.{feat}.conv"
+            p, s = {}, {}
+            if t == 1:
+                p["depthwise"], s["depthwise"] = _cna(
+                    sd, base + ".0.0.weight", base + ".0.1")
+                p["project"], s["project"] = _cna(
+                    sd, base + ".1.weight", base + ".2")
+            else:
+                p["expand"], s["expand"] = _cna(
+                    sd, base + ".0.0.weight", base + ".0.1")
+                p["depthwise"], s["depthwise"] = _cna(
+                    sd, base + ".1.0.weight", base + ".1.1")
+                p["project"], s["project"] = _cna(
+                    sd, base + ".2.weight", base + ".3")
+            params[name], stats[name] = p, s
+            feat += 1
+    params["head"], stats["head"] = _cna(sd, "features.18.0.weight",
+                                         "features.18.1")
+    return params, stats
+
+
+def convert_resnet(sd: dict, layers=(3, 4, 6, 3)):
+    """torchvision resnet (bottleneck) state_dict -> (params, batch_stats)
+    subtrees matching nn/backbones/resnet.ResNet."""
+    params, stats = {}, {}
+    params["stem"], stats["stem"] = _cna(sd, "conv1.weight", "bn1")
+    for li, n_blocks in enumerate(layers):
+        for b in range(n_blocks):
+            name = f"layer{li + 1}_block{b}"
+            base = f"layer{li + 1}.{b}"
+            p, s = {}, {}
+            for ci in (1, 2, 3):
+                key = f"conv{ci}"
+                if base + f".conv{ci}.weight" not in sd:
+                    continue  # basic blocks have conv1/conv2 only
+                p[key], s[key] = _cna(sd, base + f".conv{ci}.weight",
+                                      base + f".bn{ci}")
+            if base + ".downsample.0.weight" in sd:
+                p["downsample"], s["downsample"] = _cna(
+                    sd, base + ".downsample.0.weight", base + ".downsample.1")
+            params[name], stats[name] = p, s
+    return params, stats
+
+
+def load_pretrained_backbone(model_params, model_stats, path_or_sd,
+                             arch: str, backbone_key: str = "backbone"):
+    """Merge converted torchvision weights into a model's trees (in place on
+    copies; returns new (params, batch_stats)). Shapes are validated against
+    the existing tree."""
+    import copy
+
+    if isinstance(path_or_sd, (str, bytes)):
+        import torch
+        sd = torch.load(path_or_sd, map_location="cpu", weights_only=True)
+        sd = {k: v.numpy() for k, v in sd.items()}
+    else:
+        sd = {k: np.asarray(v) for k, v in path_or_sd.items()}
+
+    if arch == "mobilenetv2":
+        bp, bs = convert_mobilenetv2(sd)
+    elif arch in ("resnet50", "resnet"):
+        bp, bs = convert_resnet(sd)
+    elif arch == "resnet34":
+        raise NotImplementedError("resnet34 basic-block port: use convert_resnet")
+    else:
+        raise ValueError(f"unknown arch {arch!r}")
+
+    params = copy.deepcopy(jax_to_py(model_params))
+    stats = copy.deepcopy(jax_to_py(model_stats))
+    _merge_checked(params[backbone_key], bp, f"params.{backbone_key}")
+    _merge_checked(stats[backbone_key], bs, f"stats.{backbone_key}")
+    return params, stats
+
+
+def jax_to_py(tree):
+    import jax
+    return jax.tree.map(np.asarray, dict(tree))
+
+
+def _merge_checked(dst: dict, src: dict, path: str):
+    for k, v in src.items():
+        if k not in dst:
+            raise KeyError(f"{path}.{k} not in model tree "
+                           f"(has {sorted(dst.keys())})")
+        if isinstance(v, dict):
+            _merge_checked(dst[k], v, f"{path}.{k}")
+        else:
+            if tuple(dst[k].shape) != tuple(v.shape):
+                raise ValueError(
+                    f"{path}.{k}: shape {v.shape} vs model {dst[k].shape}")
+            dst[k] = v.astype(dst[k].dtype)

@@ -1,0 +1,63 @@
+"""Fused Pallas upsample+CE kernel vs the XLA reference path (interpret mode
+on CPU), and deferred-upsample model equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_segmentation_tpu.ops.loss import compute_loss
+from pytorch_segmentation_tpu.ops.pallas.softmax_ce import _fused_ce
+from pytorch_segmentation_tpu.models import DeepLabV3Plus, HRNet, UNet
+
+from jax.experimental.pallas import tpu as pltpu
+
+
+@pytest.mark.parametrize("align", [True, False])
+def test_fused_ce_forward_matches_reference(align, rng):
+    logits = jnp.asarray(rng.standard_normal((2, 16, 16, 5)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 5, (2, 64, 64)).astype(np.int32))
+    ref = float(compute_loss(logits, labels, align_corners=align))
+    with pltpu.force_tpu_interpret_mode():
+        fused = float(_fused_ce(logits, labels, (64, 64), align, 16))
+    assert abs(fused - ref) < 1e-4, (fused, ref)
+
+
+def test_fused_ce_ragged_tile(rng):
+    """h_out not divisible by tile: padded rows must not contaminate."""
+    logits = jnp.asarray(rng.standard_normal((1, 11, 13, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 3, (1, 50, 52)).astype(np.int32))
+    ref = float(compute_loss(logits, labels, align_corners=True))
+    with pltpu.force_tpu_interpret_mode():
+        fused = float(_fused_ce(logits, labels, (50, 52), True, 16))
+    assert abs(fused - ref) < 1e-4, (fused, ref)
+
+
+def test_fused_ce_gradient_matches(rng):
+    logits = jnp.asarray(rng.standard_normal((2, 8, 8, 4)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 4, (2, 32, 32)).astype(np.int32))
+    ref_grad = jax.grad(
+        lambda l: compute_loss(l, labels, align_corners=True))(logits)
+    with pltpu.force_tpu_interpret_mode():
+        fused_grad = jax.grad(
+            lambda l: _fused_ce(l, labels, (32, 32), True, 16))(logits)
+    np.testing.assert_allclose(np.asarray(fused_grad), np.asarray(ref_grad),
+                               rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("model_cls", [UNet, DeepLabV3Plus, HRNet])
+def test_deferred_upsample_equivalence(model_cls, rng):
+    """resize(low_res_logits) == full_res_logits — the deferred upsample is
+    exactly the model's trailing one."""
+    from pytorch_segmentation_tpu.ops.resize import resize_bilinear
+    full = model_cls(num_classes=3, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))
+    variables = full.init(jax.random.PRNGKey(0), x, train=False)
+    y_full = full.apply(variables, x, train=False)
+    low = full.clone(full_res_output=False)
+    y_low = low.apply(variables, x, train=False)
+    assert y_low.shape[1] == 32 // full.output_stride
+    y_up = resize_bilinear(y_low, (32, 32),
+                           align_corners=full.up_align_corners)
+    np.testing.assert_allclose(np.asarray(y_up), np.asarray(y_full),
+                               rtol=1e-5, atol=1e-5)

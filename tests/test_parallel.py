@@ -72,7 +72,7 @@ def test_sharded_eval_metrics_match():
         eval_step = make_eval_step(num_classes=3)
         bi = jax.device_put(imgs, data_sharding(mesh))
         bs = jax.device_put(segs, data_sharding(mesh))
-        loss, tp, fn, fp, pred = eval_step(state, bi, bs, 6)  # 2 padded
+        loss, tp, fn, fp = eval_step(state, bi, bs, 6)  # 2 padded
         results.append((float(loss), np.asarray(tp), np.asarray(fn),
                         np.asarray(fp)))
     assert abs(results[0][0] - results[1][0]) < 1e-5

@@ -1,0 +1,124 @@
+"""Weight-porting: synthetic torchvision-layout state_dicts map exactly onto
+our backbone trees (every converted tensor lands with matching shape, and the
+model forward runs with the merged weights)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_segmentation_tpu.models import DeepLabV3Plus, UNet
+from pytorch_segmentation_tpu.utils.port_torch import load_pretrained_backbone
+
+_MBV2_CFG = [  # (t, c, n, s) standard MobileNetV2
+    (1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+    (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1)]
+
+
+def _synthetic_mbv2_sd(rng):
+    """Random state_dict with torchvision mobilenet_v2 keys/shapes (OIHW).
+    Values kept small so a 50-layer forward stays finite."""
+    sd = {}
+
+    def conv(key, o, i, k):
+        sd[key] = (rng.standard_normal((o, i, k, k)) * 0.05).astype(np.float32)
+
+    def bn(prefix, c):
+        sd[prefix + ".weight"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+        sd[prefix + ".bias"] = (rng.standard_normal(c) * 0.05).astype(np.float32)
+        sd[prefix + ".running_mean"] = (rng.standard_normal(c) * 0.05
+                                        ).astype(np.float32)
+        sd[prefix + ".running_var"] = rng.uniform(0.8, 1.2, c).astype(np.float32)
+
+    conv("features.0.0.weight", 32, 3, 3)
+    bn("features.0.1", 32)
+    in_c, feat = 32, 1
+    for t, c, n, s in _MBV2_CFG:
+        for b in range(n):
+            base = f"features.{feat}.conv"
+            hidden = in_c * t
+            if t == 1:
+                sd[base + ".0.0.weight"] = (rng.standard_normal(
+                    (hidden, 1, 3, 3)) * 0.05).astype(np.float32)
+                bn(base + ".0.1", hidden)
+                conv(base + ".1.weight", c, hidden, 1)
+                bn(base + ".2", c)
+            else:
+                conv(base + ".0.0.weight", hidden, in_c, 1)
+                bn(base + ".0.1", hidden)
+                sd[base + ".1.0.weight"] = (rng.standard_normal(
+                    (hidden, 1, 3, 3)) * 0.05).astype(np.float32)
+                bn(base + ".1.1", hidden)
+                conv(base + ".2.weight", c, hidden, 1)
+                bn(base + ".3", c)
+            in_c = c
+            feat += 1
+    conv("features.18.0.weight", 1280, 320, 1)
+    bn("features.18.1", 1280)
+    return sd
+
+
+def _synthetic_resnet50_sd(rng):
+    sd = {}
+
+    def conv(key, o, i, k):
+        sd[key] = (rng.standard_normal((o, i, k, k)) * 0.05).astype(np.float32)
+
+    def bn(prefix, c):
+        sd[prefix + ".weight"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+        sd[prefix + ".bias"] = (rng.standard_normal(c) * 0.05).astype(np.float32)
+        sd[prefix + ".running_mean"] = (rng.standard_normal(c) * 0.05
+                                        ).astype(np.float32)
+        sd[prefix + ".running_var"] = rng.uniform(0.8, 1.2, c).astype(np.float32)
+
+    conv("conv1.weight", 64, 3, 7)
+    bn("bn1", 64)
+    in_c = 64
+    for li, (n_blocks, width) in enumerate(
+            zip((3, 4, 6, 3), (64, 128, 256, 512))):
+        for b in range(n_blocks):
+            base = f"layer{li + 1}.{b}"
+            conv(base + ".conv1.weight", width, in_c, 1)
+            bn(base + ".bn1", width)
+            conv(base + ".conv2.weight", width, width, 3)
+            bn(base + ".bn2", width)
+            conv(base + ".conv3.weight", width * 4, width, 1)
+            bn(base + ".bn3", width * 4)
+            if b == 0:
+                conv(base + ".downsample.0.weight", width * 4, in_c, 1)
+                bn(base + ".downsample.1", width * 4)
+            in_c = width * 4
+    return sd
+
+
+@pytest.mark.parametrize("arch,model_cls", [
+    ("mobilenetv2", UNet), ("resnet50", DeepLabV3Plus)])
+def test_port_roundtrip(arch, model_cls, rng):
+    model = model_cls(num_classes=2, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    sd = (_synthetic_mbv2_sd(rng) if arch == "mobilenetv2"
+          else _synthetic_resnet50_sd(rng))
+    params, stats = load_pretrained_backbone(
+        variables["params"], variables["batch_stats"], sd, arch)
+    # a known tensor landed (stem conv transposed OIHW->HWIO)
+    ref = sd["features.0.0.weight" if arch == "mobilenetv2"
+             else "conv1.weight"]
+    got = params["backbone"]["stem"]["conv"]["kernel"]
+    np.testing.assert_allclose(got, np.transpose(ref, (2, 3, 1, 0)))
+    # forward runs with merged weights
+    y = model.apply({"params": params, "batch_stats": stats},
+                    jnp.zeros((1, 64, 64, 3)), train=False)
+    assert y.shape == (1, 64, 64, 2)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_port_shape_mismatch_rejected(rng):
+    model = UNet(num_classes=2, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    sd = _synthetic_mbv2_sd(rng)
+    sd["features.0.0.weight"] = np.zeros((31, 3, 3, 3), np.float32)
+    with pytest.raises(ValueError, match="shape"):
+        load_pretrained_backbone(variables["params"],
+                                 variables["batch_stats"], sd, "mobilenetv2")

@@ -1,0 +1,96 @@
+"""Aux tools: find_color_map, voc2dataset, SegImgDataset layout, synthetic
+generator, show_batch."""
+
+import json
+import os
+import os.path as osp
+import sys
+
+import cv2
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+from pytorch_segmentation_tpu.data import SegImgDataset, VOC_COLORMAP
+from pytorch_segmentation_tpu.data.colormap import colorize_mask
+
+
+def _make_voc_layout(root, n=3):
+    os.makedirs(osp.join(root, "images"), exist_ok=True)
+    os.makedirs(osp.join(root, "labels"), exist_ok=True)
+    names = []
+    for i in range(n):
+        img = np.random.default_rng(i).integers(
+            0, 255, (40, 40, 3)).astype(np.uint8)
+        mask = np.zeros((40, 40), np.uint8)
+        mask[10:30, 10:30] = 1 + (i % 2)
+        cv2.imwrite(osp.join(root, "images", f"im{i}.jpg"), img)
+        cv2.imwrite(osp.join(root, "labels", f"im{i}.png"),
+                    colorize_mask(mask, VOC_COLORMAP))
+        names.append(f"im{i}.jpg")
+    with open(osp.join(root, "train.txt"), "w") as f:
+        f.write("\n".join(names))
+    return names
+
+
+def test_find_color_map(tmp_path):
+    import find_color_map
+    root = str(tmp_path)
+    _make_voc_layout(root)
+    classes = find_color_map.run(root)
+    assert osp.exists(osp.join(root, "classes.names"))
+    with open(osp.join(root, "classes.names")) as f:
+        lines = [l for l in f.read().split("\n") if l]
+    # background + 2 fg colors
+    assert len(lines) == 3 == len(classes)
+    assert all(len(l.split(",")) == 3 for l in lines)
+
+
+def test_segimg_dataset(tmp_path):
+    root = str(tmp_path)
+    _make_voc_layout(root)
+    with open(osp.join(root, "classes.names"), "w") as f:
+        f.write("\n".join("%d, %d, %d" % tuple(c) for c in VOC_COLORMAP[:3]))
+    ds = SegImgDataset(osp.join(root, "train.txt"), img_size=(32, 32),
+                       augments=False)
+    assert len(ds) == 3
+    img, seg = ds[0]
+    assert img.shape == (32, 32, 3)
+    assert set(np.unique(seg)).issubset({0, 1, 2})
+
+
+def test_voc2dataset(tmp_path):
+    import voc2dataset
+    src = tmp_path / "VOCdevkit"
+    (src / "VOC2012" / "ImageSets" / "Segmentation").mkdir(parents=True)
+    (src / "VOC2012" / "JPEGImages").mkdir(parents=True)
+    (src / "VOC2012" / "SegmentationClass").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for name in ("a", "b"):
+        cv2.imwrite(str(src / "VOC2012" / "JPEGImages" / f"{name}.jpg"),
+                    rng.integers(0, 255, (20, 20, 3)).astype(np.uint8))
+        mask = np.zeros((20, 20), np.uint8)
+        mask[5:15, 5:15] = 1
+        cv2.imwrite(str(src / "VOC2012" / "SegmentationClass" / f"{name}.png"),
+                    colorize_mask(mask, VOC_COLORMAP))
+    (src / "VOC2012" / "ImageSets" / "Segmentation" / "train.txt").write_text("a\n")
+    (src / "VOC2012" / "ImageSets" / "Segmentation" / "val.txt").write_text("b\n")
+    out = str(tmp_path / "out")
+    voc2dataset.voc2dataset(str(src), out)
+    assert osp.exists(osp.join(out, "train.txt"))
+    assert osp.exists(osp.join(out, "classes.names"))
+    assert osp.exists(osp.join(out, "images", "a.jpg"))
+    assert osp.exists(osp.join(out, "labels", "a.png"))
+    with open(osp.join(out, "train.txt")) as f:
+        assert f.read().strip() == "a.jpg"
+
+
+def test_show_batch(tmp_path):
+    from pytorch_segmentation_tpu.utils.visualize import show_batch
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((4, 32, 32, 3)).astype(np.float32)
+    preds = rng.integers(0, 3, (4, 32, 32))
+    path = str(tmp_path / "batch.png")
+    canvas = show_batch(imgs, preds, path=path)
+    assert canvas.shape == (4 * 32, 64, 3)
+    assert osp.exists(path)

@@ -14,7 +14,9 @@ import os.path as osp
 
 import jax.numpy as jnp
 
-from pytorch_segmentation_tpu.data import CocoInstance, DataLoader, Fetcher, PostFetch
+from pytorch_segmentation_tpu.data import (CocoDataset, CocoInstance,
+                                           DataLoader, Fetcher, PostFetch,
+                                           SegImgDataset)
 from pytorch_segmentation_tpu.data.augment import make_augment_fn
 from pytorch_segmentation_tpu.engine import Trainer, test
 from pytorch_segmentation_tpu.models import build_model
@@ -22,18 +24,30 @@ from pytorch_segmentation_tpu.parallel import initialize_distributed, make_mesh
 import jax
 
 
+DATASETS = {
+    # reference train.py:25 uses CocoInstance; 'coco' gives dense semantic
+    # masks; 'segimg' consumes the voc2dataset.py layout (train.txt/val.txt
+    # + images/ + labels/ + classes.names) the reference never wired up
+    "cocoinstance": (CocoInstance, "train.json", "val.json"),
+    "coco": (CocoDataset, "train.json", "val.json"),
+    "segimg": (SegImgDataset, "train.txt", "val.txt"),
+}
+
+
 def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
           adam, resume, weights, num_workers, multi_scale, rect,
-          mixed_precision, notest, nosave, seed=0):
-    train_coco = osp.join(data_dir, "train.json")
-    val_coco = osp.join(data_dir, "val.json")
+          mixed_precision, notest, nosave, seed=0, profile=False,
+          dataset="cocoinstance", remat=False):
+    ds_cls, train_file, val_file = DATASETS[dataset]
+    train_coco = osp.join(data_dir, train_file)
+    val_coco = osp.join(data_dir, val_file)
 
     mesh = make_mesh()
     rank = jax.process_index()
     world = jax.process_count()
 
-    train_data = CocoInstance(train_coco, img_size=img_size,
-                              multi_scale=multi_scale, rect=rect)
+    train_data = ds_cls(train_coco, img_size=img_size,
+                        multi_scale=multi_scale, rect=rect)
     train_loader = DataLoader(train_data, batch_size=batch_size, shuffle=True,
                               drop_last=True, num_workers=num_workers,
                               seed=seed, rank=rank, world_size=world)
@@ -44,25 +58,34 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
         seed=seed))
 
     if not notest:
-        val_data = CocoInstance(val_coco, img_size=img_size, augments=False,
-                                rect=rect)
+        val_data = ds_cls(val_coco, img_size=img_size, augments=False,
+                          rect=rect)
         val_loader = DataLoader(val_data, batch_size=batch_size,
                                 shuffle=False, num_workers=num_workers,
                                 rank=rank, world_size=world)
         val_fetcher = Fetcher(val_loader, PostFetch())
 
+    model_kw = {}
+    if remat and model_name == "deeplabv3plus":
+        model_kw["remat"] = True
     model = build_model(model_name, num_classes=len(train_data.classes),
-                        dtype=jnp.bfloat16 if mixed_precision else jnp.float32)
+                        dtype=jnp.bfloat16 if mixed_precision else jnp.float32,
+                        **model_kw)
 
     trainer = Trainer(model, train_fetcher, workdir="weights",
                       accumulate=accumulate, adam=adam, lr=lr,
                       weights=weights, resume=resume,
-                      mixed_precision=mixed_precision, mesh=mesh, seed=seed)
+                      mixed_precision=mixed_precision, mesh=mesh, seed=seed,
+                      profile=profile,
+                      # multi-scale resizes inputs after normalization; keep
+                      # the reference's two-resize composition exactly there
+                      defer_upsample=not multi_scale)
     while trainer.epoch < epochs:
         trainer.step()
         best = False
         if not notest:
             metrics = test(trainer.model, val_fetcher, mesh=mesh)
+            trainer.log_record(epoch=trainer.epoch - 1, val_miou=metrics)
             if metrics > trainer.metrics:
                 best = True
                 print("save best, miou: %g" % metrics)
@@ -77,6 +100,8 @@ if __name__ == "__main__":
     parser.add_argument("data", type=str, default="data/voc")
     parser.add_argument("--model", type=str, default="unet",
                         choices=["unet", "deeplabv3plus", "hrnet"])
+    parser.add_argument("--dataset", type=str, default="cocoinstance",
+                        choices=sorted(DATASETS))
     parser.add_argument("--epochs", type=int, default=100)
     parser.add_argument("-s", "--img_size", type=int, nargs=2,
                         default=[320, 320])
@@ -94,10 +119,18 @@ if __name__ == "__main__":
     parser.add_argument("--notest", action="store_true")
     parser.add_argument("--nosave", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--profile", action="store_true",
+                        help="jax.profiler trace of first-epoch steps "
+                             "-> runs/profile")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize backbone activations "
+                             "(less HBM, bigger batches)")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="enable jax_debug_nans (sanitizer)")
     opt = parser.parse_args()
 
     from pytorch_segmentation_tpu.utils.runtime import setup_runtime
-    setup_runtime()
+    setup_runtime(debug_nans=opt.debug_nans)
     initialize_distributed()
     print(opt)
     train(data_dir=opt.data, model_name=opt.model, epochs=opt.epochs,
@@ -106,4 +139,5 @@ if __name__ == "__main__":
           resume=opt.resume, weights=opt.weights,
           num_workers=opt.num_workers, multi_scale=opt.multi_scale,
           rect=opt.rect, mixed_precision=opt.mix_precision,
-          notest=opt.notest, nosave=opt.nosave, seed=opt.seed)
+          notest=opt.notest, nosave=opt.nosave, seed=opt.seed,
+          profile=opt.profile, dataset=opt.dataset, remat=opt.remat)
