@@ -46,7 +46,8 @@ def main():
                            accumulate=1)
 
     value = None
-    for bs in ([64, 32, 16, 8] if on_tpu else [4]):
+    # bs32 measured fastest (239 img/s vs 234 at bs64) — compute-bound
+    for bs in ([32, 16, 8] if on_tpu else [4]):
         try:
             images = jax.random.normal(jax.random.PRNGKey(1),
                                        (bs, img, img, 3), jnp.float32)

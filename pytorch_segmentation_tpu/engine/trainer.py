@@ -53,7 +53,8 @@ class Trainer:
                  momentum: float = 0.9, weight_decay: float = 0.0,
                  mesh=None, seed: int = 0, log: bool = True,
                  log_dir: str = "runs", profile: bool = False,
-                 defer_upsample: bool = True):
+                 defer_upsample: bool = True, lr_schedule: str = "constant",
+                 warmup_steps: int = 0, total_steps: int | None = None):
         self.module = model
         self.fetcher = fetcher
         self.workdir = workdir
@@ -65,10 +66,22 @@ class Trainer:
         self.profile = profile  # jax.profiler trace of first-epoch steps
         self._lr = lr
 
-        if adam:
-            tx = optax.adam(lr)
+        # LR schedule (the reference Trainer's schedule lives in the
+        # unavailable pytorch_modules package; constant matches its CLI
+        # contract, warmup+cosine offered as the production default)
+        if lr_schedule == "cosine":
+            decay_steps = max((total_steps or 10000) - warmup_steps, 1)
+            schedule = optax.warmup_cosine_decay_schedule(
+                0.0, lr, max(warmup_steps, 1), warmup_steps + decay_steps,
+                end_value=lr * 0.01)
+        elif warmup_steps:
+            schedule = optax.linear_schedule(0.0, lr, warmup_steps)
         else:
-            tx = optax.sgd(lr, momentum=momentum, nesterov=False)
+            schedule = lr
+        if adam:
+            tx = optax.adam(schedule)
+        else:
+            tx = optax.sgd(schedule, momentum=momentum, nesterov=False)
         if weight_decay:
             tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
         self.tx = tx

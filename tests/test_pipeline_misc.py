@@ -1,0 +1,58 @@
+"""Misc pipeline: multi-scale size enumeration, Fetcher error propagation,
+LR schedules, runtime setup."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_segmentation_tpu.data.loader import Batch, DataLoader, Fetcher
+from pytorch_segmentation_tpu.data.resize_host import multi_scale_sizes
+
+
+def test_multi_scale_sizes_match_reference_formula():
+    """Reference: h = int(h*scale/32)*32, scale ~ U(0.7, 1.5)
+    (utils/datasets.py:206-212). Every enumerated size must be reachable
+    and snapped to /32."""
+    sizes = multi_scale_sizes((320, 320))
+    assert all(h % 32 == 0 and w % 32 == 0 for h, w in sizes)
+    assert (320, 320) in sizes
+    assert min(s[0] for s in sizes) == int(320 * 0.7 / 32) * 32  # 224
+    assert max(s[0] for s in sizes) == int(320 * 1.5 / 32) * 32  # 480
+    # scales drive both axes together
+    assert all(h == w for h, w in sizes)
+
+
+class _BoomDataset:
+    classes = ["a"]
+
+    def __len__(self):
+        return 4
+
+    def __getitem__(self, i):
+        if i >= 2:
+            raise RuntimeError("boom")
+        return (np.zeros((8, 8, 3), np.uint8), np.zeros((8, 8), np.uint8))
+
+
+def test_fetcher_propagates_worker_errors():
+    loader = DataLoader(_BoomDataset(), batch_size=2, num_workers=1)
+    fetcher = Fetcher(loader)
+    with pytest.raises(RuntimeError, match="boom"):
+        for _ in fetcher:
+            pass
+
+
+def test_lr_schedules_construct(synthetic_coco):
+    import os.path as osp
+
+    from pytorch_segmentation_tpu.data import CocoDataset, Fetcher, PostFetch
+    from pytorch_segmentation_tpu.engine import Trainer
+    from pytorch_segmentation_tpu.models import UNet
+
+    ds = CocoDataset(osp.join(synthetic_coco, "val.json"), img_size=(32, 32),
+                     augments=False)
+    loader = DataLoader(ds, batch_size=8, num_workers=1)
+    t = Trainer(UNet(num_classes=3, dtype=jnp.float32),
+                Fetcher(loader, PostFetch()), lr=1e-2, lr_schedule="cosine",
+                warmup_steps=5, total_steps=100, log=False)
+    assert t.state is not None

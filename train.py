@@ -37,7 +37,8 @@ DATASETS = {
 def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
           adam, resume, weights, num_workers, multi_scale, rect,
           mixed_precision, notest, nosave, seed=0, profile=False,
-          dataset="cocoinstance", remat=False):
+          dataset="cocoinstance", remat=False, lr_schedule="constant",
+          warmup_steps=0):
     ds_cls, train_file, val_file = DATASETS[dataset]
     train_coco = osp.join(data_dir, train_file)
     val_coco = osp.join(data_dir, val_file)
@@ -79,7 +80,10 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
                       profile=profile,
                       # multi-scale resizes inputs after normalization; keep
                       # the reference's two-resize composition exactly there
-                      defer_upsample=not multi_scale)
+                      defer_upsample=not multi_scale,
+                      lr_schedule=lr_schedule, warmup_steps=warmup_steps,
+                      total_steps=epochs * len(train_loader)
+                      // max(1, accumulate))
     while trainer.epoch < epochs:
         trainer.step()
         best = False
@@ -125,6 +129,9 @@ if __name__ == "__main__":
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize backbone activations "
                              "(less HBM, bigger batches)")
+    parser.add_argument("--lr-schedule", type=str, default="constant",
+                        choices=["constant", "cosine"])
+    parser.add_argument("--warmup-steps", type=int, default=0)
     parser.add_argument("--debug-nans", action="store_true",
                         help="enable jax_debug_nans (sanitizer)")
     opt = parser.parse_args()
@@ -140,4 +147,5 @@ if __name__ == "__main__":
           num_workers=opt.num_workers, multi_scale=opt.multi_scale,
           rect=opt.rect, mixed_precision=opt.mix_precision,
           notest=opt.notest, nosave=opt.nosave, seed=opt.seed,
-          profile=opt.profile, dataset=opt.dataset, remat=opt.remat)
+          profile=opt.profile, dataset=opt.dataset, remat=opt.remat,
+          lr_schedule=opt.lr_schedule, warmup_steps=opt.warmup_steps)
