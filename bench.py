@@ -12,6 +12,7 @@ vs_baseline is measured against that 16 img/s estimate.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -29,6 +30,8 @@ def main():
     from pytorch_segmentation_tpu.utils.runtime import setup_runtime
 
     setup_runtime()
+    from pytorch_segmentation_tpu.nn.blocks import set_bn_stat_subsample
+    set_bn_stat_subsample(int(os.environ.get("PSEG_BN_SUBSAMPLE", "1")))
     on_tpu = jax.devices()[0].platform == "tpu"
     img = 513 if on_tpu else 129
     num_classes = 21

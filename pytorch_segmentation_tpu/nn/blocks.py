@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["ConvNormAct", "SeparableConvNormAct", "conv_kernel_init", "BN_MOMENTUM"]
+__all__ = ["ConvNormAct", "SeparableConvNormAct", "BatchNorm2d",
+           "conv_kernel_init", "BN_MOMENTUM"]
 
 BN_MOMENTUM = 0.1  # torch convention; flax momentum = 1 - BN_MOMENTUM
 
@@ -39,6 +40,80 @@ conv_kernel_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 def _pad(kernel_size: int, dilation: int) -> int:
     return dilation * (kernel_size - 1) // 2
+
+
+# Global default for BN statistic subsampling (see BatchNorm2d). Set via
+# set_bn_stat_subsample() BEFORE building/tracing models; 1 = exact stats.
+_DEFAULT_BN_SUBSAMPLE = 1
+
+
+def set_bn_stat_subsample(s: int):
+    global _DEFAULT_BN_SUBSAMPLE
+    _DEFAULT_BN_SUBSAMPLE = max(1, int(s))
+
+
+def get_bn_stat_subsample() -> int:
+    return _DEFAULT_BN_SUBSAMPLE
+
+
+class BatchNorm2d(nn.Module):
+    """BatchNorm over (B, H, W) with torch semantics (momentum 0.1, eps
+    1e-5, biased batch variance), param/stat names compatible with
+    flax.linen.BatchNorm ('scale'/'bias' params, 'mean'/'var' stats).
+
+    TPU note: profiling shows BN statistic reductions — not convolutions —
+    dominate the train step (convert+reduce fusions ≈ 42% of step time at
+    513², SURVEY perf work). `stat_subsample=s` computes batch statistics
+    from every s-th pixel (still ~2M samples/channel at 513² bs32), cutting
+    the reduction bandwidth s²x. s=1 is exact and the default; normalization
+    itself always uses the full tensor.
+    """
+
+    momentum: float = BN_MOMENTUM  # torch convention
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.bfloat16
+    axis_name: str | None = None
+    stat_subsample: int | None = None  # None -> module-level default
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+
+        if use_running_average:
+            mean = ra_mean.value
+            var = ra_var.value
+        else:
+            s = (self.stat_subsample if self.stat_subsample is not None
+                 else _DEFAULT_BN_SUBSAMPLE)
+            # never subsample tiny maps (late stages are cheap anyway)
+            if min(x.shape[1], x.shape[2]) < 32 * s:
+                s = 1
+            xs = x[:, ::s, ::s, :] if s > 1 else x
+            xf = xs.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(0, 1, 2))
+            ex2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+            if self.axis_name is not None:
+                # cross-replica stats under shard_map (under plain pjit the
+                # jnp.mean above is already global — leave axis_name unset)
+                mean = jax.lax.pmean(mean, self.axis_name)
+                ex2 = jax.lax.pmean(ex2, self.axis_name)
+            # fast (one-pass) variance, like flax's use_fast_variance
+            var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                                 + self.momentum * mean)
+                ra_var.value = ((1 - self.momentum) * ra_var.value
+                                + self.momentum * var)
+
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (x.astype(jnp.float32) - mean) * inv + bias
+        return y.astype(self.dtype)
 
 
 class ConvNormAct(nn.Module):
@@ -70,15 +145,11 @@ class ConvNormAct(nn.Module):
             kernel_init=conv_kernel_init,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=1.0 - BN_MOMENTUM,
-            epsilon=1e-5,
+        x = BatchNorm2d(
             dtype=self.dtype,
-            param_dtype=jnp.float32,
             axis_name=self.axis_name if train else None,
             name="bn",
-        )(x)
+        )(x, use_running_average=not train)
         if self.activate is not None:
             x = self.activate(x)
         return x

@@ -38,7 +38,7 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
           adam, resume, weights, num_workers, multi_scale, rect,
           mixed_precision, notest, nosave, seed=0, profile=False,
           dataset="cocoinstance", remat=False, lr_schedule="constant",
-          warmup_steps=0):
+          warmup_steps=0, fast_augment=False):
     ds_cls, train_file, val_file = DATASETS[dataset]
     train_coco = osp.join(data_dir, train_file)
     val_coco = osp.join(data_dir, val_file)
@@ -53,7 +53,9 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
                               drop_last=True, num_workers=num_workers,
                               seed=seed, rank=rank, world_size=world)
     h, w = img_size[1], img_size[0]
-    augment_fn = make_augment_fn()
+    from pytorch_segmentation_tpu.data.augment import AugmentConfig
+    augment_fn = make_augment_fn(
+        AugmentConfig(fast_geometric=True) if fast_augment else None)
     train_fetcher = Fetcher(train_loader, PostFetch(
         augment_fn=augment_fn, multi_scale=multi_scale, base_hw=(h, w),
         seed=seed))
@@ -132,12 +134,22 @@ if __name__ == "__main__":
     parser.add_argument("--lr-schedule", type=str, default="constant",
                         choices=["constant", "cosine"])
     parser.add_argument("--warmup-steps", type=int, default=0)
+    parser.add_argument("--bn-subsample", type=int, default=1,
+                        help="compute BN statistics from every s-th pixel "
+                             "(1 = exact; 2 cuts BN reduce bandwidth 4x)")
+    parser.add_argument("--fast-augment", action="store_true",
+                        help="MXU-only geometric augmentation (90-deg "
+                             "rotation snap, no shear/perspective/elastic) "
+                             "— ~10x faster on TPU, see PERF.md")
     parser.add_argument("--debug-nans", action="store_true",
                         help="enable jax_debug_nans (sanitizer)")
     opt = parser.parse_args()
 
     from pytorch_segmentation_tpu.utils.runtime import setup_runtime
     setup_runtime(debug_nans=opt.debug_nans)
+    if opt.bn_subsample > 1:
+        from pytorch_segmentation_tpu.nn.blocks import set_bn_stat_subsample
+        set_bn_stat_subsample(opt.bn_subsample)
     initialize_distributed()
     print(opt)
     train(data_dir=opt.data, model_name=opt.model, epochs=opt.epochs,
@@ -148,4 +160,5 @@ if __name__ == "__main__":
           rect=opt.rect, mixed_precision=opt.mix_precision,
           notest=opt.notest, nosave=opt.nosave, seed=opt.seed,
           profile=opt.profile, dataset=opt.dataset, remat=opt.remat,
-          lr_schedule=opt.lr_schedule, warmup_steps=opt.warmup_steps)
+          lr_schedule=opt.lr_schedule, warmup_steps=opt.warmup_steps,
+          fast_augment=opt.fast_augment)
