@@ -134,7 +134,8 @@ def make_eval_step(num_classes: int, align_corners: bool = True,
         th, tw = segs.shape[1], segs.shape[2]
         hh, ww = logits.shape[1], logits.shape[2]
         on_tpu = jax.devices()[0].platform == "tpu"
-        if use_pallas and on_tpu and (hh, ww) != (th, tw):
+        if (use_pallas and on_tpu and (hh, ww) != (th, tw)
+                and num_classes <= 64):
             from ..ops.pallas.eval_confusion import fused_eval_confusion
             from ..ops.pallas.softmax_ce import fused_upsample_ce
             loss = fused_upsample_ce(logits, segs,

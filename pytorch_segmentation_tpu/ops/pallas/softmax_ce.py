@@ -238,7 +238,10 @@ def fused_upsample_ce(logits, labels, align_corners: bool = True,
     h_out, w_out = labels.shape[1], labels.shape[2]
     hh, ww = logits.shape[1], logits.shape[2]
     on_tpu = jax.devices()[0].platform == "tpu"
-    if (hh, ww) == (h_out, w_out) or not (on_tpu or interpret):
+    # the kernels unroll the class loop: cap it (VOC=21, colormap domain=32)
+    too_many_classes = logits.shape[-1] > 64
+    if ((hh, ww) == (h_out, w_out) or too_many_classes
+            or not (on_tpu or interpret)):
         return upsample_ce_reference(logits, labels, align_corners)
     logits = logits.astype(jnp.float32)
     if interpret:

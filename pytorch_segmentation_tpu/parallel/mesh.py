@@ -35,16 +35,28 @@ def initialize_distributed():
         jax.distributed.initialize()
 
 
-def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
-    """1-D data-parallel mesh over all devices (extend with more axes for
-    tp/sp when models require it)."""
+def make_mesh(devices=None, axis_name: str = "data",
+              spatial: int = 1) -> Mesh:
+    """Device mesh. spatial=1: 1-D data-parallel mesh (the default — the
+    reference's only strategy, SURVEY.md §2.3). spatial>1: 2-D
+    (data, space) mesh; batches are then sharded (batch, H) and XLA's SPMD
+    partitioner inserts conv halo exchanges automatically — the spatial
+    sharding extension for very large images (SURVEY.md §5)."""
     if devices is None:
         devices = jax.devices()
-    return Mesh(np.asarray(devices), (axis_name,))
+    devices = np.asarray(devices)
+    if spatial > 1:
+        assert devices.size % spatial == 0, (devices.size, spatial)
+        return Mesh(devices.reshape(devices.size // spatial, spatial),
+                    (axis_name, "space"))
+    return Mesh(devices, (axis_name,))
 
 
 def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
-    """Batch-dim sharding: leading axis split across the data axis."""
+    """Batch sharding: leading (batch) axis over 'data'; on a 2-D mesh the
+    image H axis additionally shards over 'space'."""
+    if "space" in mesh.axis_names:
+        return NamedSharding(mesh, P(axis_name, "space"))
     return NamedSharding(mesh, P(axis_name))
 
 

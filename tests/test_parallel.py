@@ -104,3 +104,22 @@ def test_grad_accumulation_equivalence():
     # with the reference's every-k-batches accumulation)
     assert abs(float(loss_a) - float(loss_b)) < 0.5
     assert np.isfinite(float(loss_b))
+
+
+def test_spatial_sharding_2d_mesh():
+    """(data, space) 2-D mesh: batch sharded on batch+H axes; XLA inserts
+    conv halo exchanges. Loss matches the 1-D mesh within BN-reassociation
+    noise (SURVEY.md §5 spatial-sharding extension)."""
+    devs = jax.devices()
+    mesh2d = make_mesh(devs, spatial=2)
+    assert mesh2d.axis_names == ("data", "space")
+    imgs, segs = _batch(jax.random.PRNGKey(9))
+    losses = []
+    for mesh in (mesh2d, Mesh(np.asarray(devs[:1]), ("data",))):
+        state = _setup(mesh)
+        step = make_train_step(accumulate=1, donate=False)
+        bi = jax.device_put(imgs, data_sharding(mesh))
+        bs = jax.device_put(segs, data_sharding(mesh))
+        state, loss = step(state, bi, bs)
+        losses.append(float(loss))
+    assert abs(losses[0] - losses[1]) < 1e-3, losses
