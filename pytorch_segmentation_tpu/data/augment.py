@@ -51,6 +51,12 @@ class AugmentConfig:
     # piecewise are disabled in this mode. ~10x faster; distribution differs
     # from imgaug only in rotation granularity + the dropped warps.
     fast_geometric: bool = False
+    # interpolation order of the general image warp: 0 = nearest (ONE
+    # packed u32 gather for image+mask — 5x fewer gathers; within the
+    # reference's own distribution, imgaug Affine samples order from [0, 1]
+    # per image, utils/datasets.py:47-50), 1 = bilinear (4-tap, smoother,
+    # ~5x slower on TPU). Masks always warp nearest.
+    image_warp_order: int = 0
     # geometric (reference utils/datasets.py:29-57)
     p_fliplr: float = 0.5
     p_flipud: float = 0.2
@@ -241,6 +247,34 @@ def _sample_nearest(seg, sy, sx):
     yi = jnp.clip(jnp.round(sy), 0, h - 1).astype(jnp.int32)
     out = seg[yi, xi]
     return jnp.where(in_range, out, 0)
+
+
+def _sample_nearest_packed(img, seg, sy, sx, mode, cval):
+    """Nearest warp of image+mask with ONE gather: the 3 uint8 channels and
+    the uint8 mask pack into a single uint32 per pixel. TPUs have no vector
+    gather, so gather count dominates augmentation cost (PERF.md)."""
+    h, w = seg.shape
+    packed = (img[..., 0].astype(jnp.uint32)
+              | (img[..., 1].astype(jnp.uint32) << 8)
+              | (img[..., 2].astype(jnp.uint32) << 16)
+              | (seg.astype(jnp.uint32) << 24))
+    img_in = (sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1)
+    seg_in = (sx >= -0.5) & (sx <= w - 0.5) & (sy >= -0.5) & (sy <= h - 0.5)
+    # image boundary mode (mask always 0 outside, checked separately)
+    bx = _boundary(sx, w, mode)
+    by = _boundary(sy, h, mode)
+    xi = jnp.clip(jnp.round(bx), 0, w - 1).astype(jnp.int32)
+    yi = jnp.clip(jnp.round(by), 0, h - 1).astype(jnp.int32)
+    g = packed[yi, xi]
+    out_img = jnp.stack([
+        (g & 0xFF).astype(jnp.float32),
+        ((g >> 8) & 0xFF).astype(jnp.float32),
+        ((g >> 16) & 0xFF).astype(jnp.float32),
+    ], axis=-1)
+    constant = (mode == 0) & ~img_in
+    out_img = jnp.where(constant[..., None], cval, out_img)
+    out_seg = jnp.where(seg_in, (g >> 24).astype(jnp.int32), 0)
+    return out_img, out_seg
 
 
 # ---------------------------------------------------------------------------
@@ -576,8 +610,12 @@ def make_augment_fn(config: AugmentConfig | None = None):
             # pad_mode=ia.ALL / mode=ia.ALL: random boundary handling
             mode = jax.random.randint(k_mode, (), 0, 4)
             cval = jax.random.uniform(k_cval, (), maxval=255.0)
-            img = _sample_bilinear(img, sy, sx, mode, cval)
-            seg = _sample_nearest(seg, sy, sx)
+            if cfg.image_warp_order == 0:
+                img, seg = _sample_nearest_packed(img_u8, seg_u8, sy, sx,
+                                                  mode, cval)
+            else:
+                img = _sample_bilinear(img, sy, sx, mode, cval)
+                seg = _sample_nearest(seg, sy, sx)
 
         img = _photometric(k_photo, img, cfg)
         return img, seg
