@@ -56,3 +56,39 @@ def test_lr_schedules_construct(synthetic_coco):
                 Fetcher(loader, PostFetch()), lr=1e-2, lr_schedule="cosine",
                 warmup_steps=5, total_steps=100, log=False)
     assert t.state is not None
+
+
+def test_loader_epoch_reshuffle(synthetic_coco):
+    import os.path as osp
+
+    from pytorch_segmentation_tpu.data import CocoDataset
+
+    ds = CocoDataset(osp.join(synthetic_coco, "train.json"),
+                     img_size=(32, 32), augments=False)
+    loader = DataLoader(ds, batch_size=4, shuffle=True, seed=5)
+    o1 = list(loader._local_indices())
+    loader.epoch += 1
+    o2 = list(loader._local_indices())
+    assert sorted(o1) == sorted(o2)
+    assert o1 != o2  # different epoch -> different order
+    loader.epoch -= 1
+    assert list(loader._local_indices()) == o1  # same epoch reproducible
+
+
+def test_checkpoint_shape_mismatch_rejected(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_segmentation_tpu.engine.checkpoint import (load_checkpoint,
+                                                            restore_into,
+                                                            save_checkpoint)
+    params = {"conv": {"kernel": jnp.zeros((3, 3, 4, 8))}}
+    path = str(tmp_path / "x.ckpt")
+    save_checkpoint(path, params, {}, epoch=3, best_miou=0.5)
+    ckpt = load_checkpoint(path)
+    assert ckpt["epoch"] == 3 and abs(ckpt["best_miou"] - 0.5) < 1e-9
+    ok = restore_into(params, ckpt["model"])
+    assert jax.tree.leaves(ok)[0].shape == (3, 3, 4, 8)
+    bad_template = {"conv": {"kernel": jnp.zeros((3, 3, 4, 16))}}
+    with pytest.raises(ValueError, match="shape"):
+        restore_into(bad_template, ckpt["model"])
