@@ -19,7 +19,7 @@ from pytorch_segmentation_tpu.models import build_model
 
 
 def run(img_dir, output_dir, img_size, num_classes, weights, model_name,
-        legacy_preproc=False, batch_size=8):
+        legacy_preproc=False, batch_size=8, show=False):
     shutil.rmtree(output_dir, ignore_errors=True)
     os.makedirs(output_dir, exist_ok=True)
     model = build_model(model_name, num_classes=num_classes)
@@ -32,10 +32,22 @@ def run(img_dir, output_dir, img_size, num_classes, weights, model_name,
         imgs = [cv2.imread(osp.join(img_dir, n)) for n in chunk]
         segmaps = inference(bundle, imgs, img_size,
                             legacy_preproc=legacy_preproc)
-        for name, segmap in zip(chunk, segmaps):
+        for name, img, segmap in zip(chunk, imgs, segmaps):
             seg = colorize_mask(segmap, VOC_COLORMAP)
             cv2.imwrite(osp.join(output_dir, osp.splitext(name)[0] + ".png"),
                         seg)
+            if show:
+                # the reference parses --show but never acts on it
+                # (inference.py:17,48 — `show` is dead); here it displays a
+                # half-blend of image and colorized mask per result.
+                overlay = cv2.addWeighted(img, 0.5, seg, 0.5, 0.0)
+                try:
+                    cv2.imshow("pseg", overlay)
+                    cv2.waitKey(0)
+                except cv2.error:  # headless build / no display
+                    print(f"--show: no display available; wrote "
+                          f"{osp.join(output_dir, name)}")
+                    show = False
 
 
 if __name__ == "__main__":
@@ -59,4 +71,5 @@ if __name__ == "__main__":
     from pytorch_segmentation_tpu.utils.runtime import setup_runtime
     setup_runtime()
     run(opt.img_dir, opt.output_dir, opt.img_size, opt.num_classes,
-        opt.weights, opt.model, opt.legacy_preproc, opt.batch_size)
+        opt.weights, opt.model, opt.legacy_preproc, opt.batch_size,
+        show=opt.show)

@@ -3,30 +3,45 @@ TRAIN_AUGS policy (reference utils/datasets.py:19-125).
 
 The reference runs ~17 imgaug augmenters per sample on CPU worker processes —
 the training hot loop's bottleneck (SURVEY.md §3.1). Here the whole policy is
-ONE jitted, vmapped function over the uint8 batch:
+ONE jitted function over the uint8 batch:
 
-  * All geometric ops (fliplr/flipud, CropAndPad, Affine
+  * All geometric ops (Fliplr/Flipud, CropAndPad, Affine
     scale/translate/rotate/shear, PerspectiveTransform, ElasticTransformation,
     PiecewiseAffine) compose into a single per-sample homography + dense
-    displacement field, applied with ONE bilinear gather for the image and
-    ONE nearest gather for the mask — image and mask are warped with
-    identical parameters (the reference's to_deterministic() contract,
-    utils/datasets.py:186-189), and masks always use nearest + 0 fill.
-  * Photometric ops (blur family, sharpen, emboss, edge-blend, noise,
-    dropout/coarse-dropout, invert, add, hue/saturation, multiply,
-    contrast, grayscale, superpixel-mosaic) are vectorized elementwise/conv
-    ops gated per sample, with SomeOf(0..5) subset selection done via
-    per-sample top-k masking.
+    displacement field, applied with ONE packed-uint32 gather pass for
+    image+mask — image and mask are warped with identical parameters (the
+    reference's to_deterministic() contract, utils/datasets.py:186-189), and
+    masks always use nearest + 0 fill. The homography factors compose in a
+    per-sample random order (the reference Sequential's random_order=True,
+    utils/datasets.py:123-125), and the warp interpolation order is sampled
+    from {nearest, bilinear} per image (Affine order=[0,1],
+    utils/datasets.py:47-50).
+  * The SomeOf(0..5) pool has all 16 reference members
+    (utils/datasets.py:59-124): 13 photometric ops applied post-warp in a
+    per-batch random order (SomeOf random_order=True), plus
+    elastic/piecewise/perspective, whose selection gates feed the fused
+    warp — so the 0..5 budget covers them exactly as in the reference.
 
 Per-sample randomness comes from folding the sample index into the batch key
 — no Python-side RNG in the hot path.
 
-Documented approximations vs imgaug (same spirit, cheaper on TPU):
-  - MedianBlur is approximated by a second Gaussian blur (true rank filters
-    are hostile to vector units); Superpixels by block-mosaic averaging
-    (SLIC clustering is sequential); BlendAlphaSimplexNoise masks use
-    bilinearly-upsampled uniform noise instead of simplex noise.
-  - ops apply in fixed order (imgaug shuffles order per sample).
+Remaining approximations vs imgaug (hardware/compiler-forced; same spirit):
+  - MedianBlur -> Gaussian of matched width (true rank filters are hostile
+    to vector units); Superpixels -> fixed-grid block mosaic (SLIC
+    clustering is sequential; n_segments must be static under jit).
+  - Simplex/frequency "blobby" blend masks -> bilinearly-upsampled uniform
+    noise (static shapes; same band-limited character).
+  - Photometric pool ops always apply AFTER the fused geometric warp
+    regardless of the SomeOf slot's sampled position among the top-level
+    Sequential members (pointwise ops commute with warps exactly; the
+    spatially-correlated ones commute up to the warp's geometry), and the
+    pool-internal order is sampled per BATCH, not per sample (per-sample
+    op sequencing of vectorized ops would multiply compute 13x under vmap).
+  - Elastic/piecewise displacement composes in warp source space (one
+    fused resampling pass instead of imgaug's one pass per augmenter).
+  - CoarseDropout cell size fixed at ~1/24 of the image (reference
+    size_percent=(0.02, 0.05) — dynamic cell grids are not expressible
+    with static shapes).
 """
 
 from __future__ import annotations
@@ -40,6 +55,14 @@ from ..ops.resize import resize_bilinear
 
 __all__ = ["AugmentConfig", "make_augment_fn"]
 
+# SomeOf pool layout (reference utils/datasets.py:59-124, in order):
+# 0 superpixels, 1 blur-OneOf, 2 sharpen, 3 emboss, 4 edge-blend,
+# 5 additive noise, 6 dropout-OneOf, 7 invert, 8 add, 9 hue/sat,
+# 10 multiply-OneOf, 11 contrast, 12 grayscale,
+# 13 elastic, 14 piecewise-affine, 15 perspective
+_N_POOL = 16
+_N_PHOTO = 13
+
 
 @dataclasses.dataclass(frozen=True)
 class AugmentConfig:
@@ -51,12 +74,12 @@ class AugmentConfig:
     # piecewise are disabled in this mode. ~10x faster; distribution differs
     # from imgaug only in rotation granularity + the dropped warps.
     fast_geometric: bool = False
-    # interpolation order of the general image warp: 0 = nearest (ONE
-    # packed u32 gather for image+mask — 5x fewer gathers; within the
-    # reference's own distribution, imgaug Affine samples order from [0, 1]
-    # per image, utils/datasets.py:47-50), 1 = bilinear (4-tap, smoother,
-    # ~5x slower on TPU). Masks always warp nearest.
-    image_warp_order: int = 0
+    # interpolation order of the general image warp. None (default) samples
+    # from {0: nearest, 1: bilinear} per image — the reference's Affine
+    # order=[0, 1] (utils/datasets.py:47-50). 0 or 1 force one order; 0 is
+    # the fastest (a single packed gather instead of four). Masks always
+    # warp nearest.
+    image_warp_order: int | None = None
     # geometric (reference utils/datasets.py:29-57)
     p_fliplr: float = 0.5
     p_flipud: float = 0.2
@@ -85,22 +108,40 @@ class AugmentConfig:
 
 
 # ---------------------------------------------------------------------------
+# SomeOf(0..5) selection over the 16-member pool
+# ---------------------------------------------------------------------------
+
+def _someof_gates(key, cfg: AugmentConfig):
+    """[_N_POOL] bool — k ~ U{0..someof_max} members chosen uniformly
+    (reference iaa.SomeOf((0, 5), [...16 members...]))."""
+    k1, k2 = jax.random.split(key)
+    k_count = jax.random.randint(k1, (), 0, cfg.someof_max + 1)
+    scores = jax.random.uniform(k2, (_N_POOL,))
+    desc = -jnp.sort(-scores)
+    thresh = desc[jnp.clip(k_count - 1, 0, _N_POOL - 1)]
+    return jnp.where(k_count > 0, scores >= thresh, False)
+
+
+# ---------------------------------------------------------------------------
 # geometric machinery
 # ---------------------------------------------------------------------------
 
-def _affine_matrix(key, cfg: AugmentConfig, h: int, w: int):
-    """Per-sample forward 3x3 homography (dst <- src pixel coords)."""
+def _component_matrices(key, cfg: AugmentConfig, h: int, w: int, persp_gate):
+    """Stack [5, 3, 3] of per-sample forward homographies for the top-level
+    Sequential members: fliplr, flipud, crop-and-pad, affine, perspective
+    (perspective lives in the SomeOf pool; its gate arrives precomputed)."""
     ks = jax.random.split(key, 16)
     eye = jnp.eye(3)
 
-    # flips about the image center
+    # flips about the image center (two separate Sequential members)
     flip_lr = jax.random.bernoulli(ks[0], cfg.p_fliplr)
     flip_ud = jax.random.bernoulli(ks[1], cfg.p_flipud)
     fx = jnp.where(flip_lr, -1.0, 1.0)
     fy = jnp.where(flip_ud, -1.0, 1.0)
-    flip = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
-    flip = flip.at[0, 0].set(fx).at[0, 2].set(jnp.where(flip_lr, w - 1.0, 0.0))
-    flip = flip.at[1, 1].set(fy).at[1, 2].set(jnp.where(flip_ud, h - 1.0, 0.0))
+    m_fliplr = jnp.eye(3).at[0, 0].set(fx).at[0, 2].set(
+        jnp.where(flip_lr, w - 1.0, 0.0))
+    m_flipud = jnp.eye(3).at[1, 1].set(fy).at[1, 2].set(
+        jnp.where(flip_ud, h - 1.0, 0.0))
 
     # CropAndPad: per-side percent in crop_pad_percent, keep_size=True
     do_cap = jax.random.bernoulli(ks[2], cfg.p_crop_pad)
@@ -110,8 +151,7 @@ def _affine_matrix(key, cfg: AugmentConfig, h: int, w: int):
     t, b = sides[2] * h, sides[3] * h
     sx = w / jnp.maximum(w - l - r, 1.0)
     sy = h / jnp.maximum(h - t - b, 1.0)
-    cap = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
-    cap = cap.at[0, 0].set(sx).at[0, 2].set(-l * sx)
+    cap = jnp.eye(3).at[0, 0].set(sx).at[0, 2].set(-l * sx)
     cap = cap.at[1, 1].set(sy).at[1, 2].set(-t * sy)
     cap = jnp.where(do_cap, cap, eye)
 
@@ -131,7 +171,7 @@ def _affine_matrix(key, cfg: AugmentConfig, h: int, w: int):
         ks[10], (), minval=cfg.shear_range[0], maxval=cfg.shear_range[1]))
     cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
     cos, sin = jnp.cos(theta), jnp.sin(theta)
-    rot = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    rot = jnp.eye(3)
     rot = rot.at[0, 0].set(cos * sxa).at[0, 1].set(
         -sin * sya + cos * sxa * jnp.tan(shear))
     rot = rot.at[1, 0].set(sin * sxa).at[1, 1].set(
@@ -143,17 +183,26 @@ def _affine_matrix(key, cfg: AugmentConfig, h: int, w: int):
     aff = jnp.where(do_aff, aff, eye)
 
     # PerspectiveTransform: jitter the 4 corners, fit a homography
-    do_persp = jax.random.bernoulli(ks[11], cfg.p_sometimes * 0.3)
-    pscale = jax.random.uniform(ks[12], (), minval=cfg.perspective_scale[0],
+    pscale = jax.random.uniform(ks[11], (), minval=cfg.perspective_scale[0],
                                 maxval=cfg.perspective_scale[1])
-    jitter = jax.random.normal(ks[13], (4, 2)) * pscale * jnp.array([w, h])
+    jitter = jax.random.normal(ks[12], (4, 2)) * pscale * jnp.array([w, h])
     src = jnp.array([[0.0, 0.0], [w - 1.0, 0.0], [w - 1.0, h - 1.0],
                      [0.0, h - 1.0]])
-    dst = src + jitter
-    persp = _fit_homography(src, dst)
-    persp = jnp.where(do_persp, persp, eye)
+    persp = _fit_homography(src, src + jitter)
+    persp = jnp.where(persp_gate, persp, eye)
 
-    return persp @ aff @ cap @ flip
+    return jnp.stack([m_fliplr, m_flipud, cap, aff, persp])
+
+
+def _compose_permuted(key, mats):
+    """Compose the [5, 3, 3] member homographies in a per-sample random
+    order (reference Sequential(random_order=True)). Member applied first
+    multiplies rightmost."""
+    perm = jax.random.permutation(key, mats.shape[0])
+    m = jnp.eye(3)
+    for pos in range(mats.shape[0]):
+        m = mats[perm[pos]] @ m
+    return m
 
 
 def _fit_homography(src, dst):
@@ -170,23 +219,23 @@ def _fit_homography(src, dst):
     return jnp.concatenate([sol, jnp.ones(1)]).reshape(3, 3)
 
 
-def _displacement_field(key, cfg: AugmentConfig, h: int, w: int):
-    """Elastic + piecewise-affine as an additive sampling-coordinate field."""
-    ks = jax.random.split(key, 6)
+def _displacement_field(key, cfg: AugmentConfig, h: int, w: int,
+                        elastic_gate, piecewise_gate):
+    """Elastic + piecewise-affine as an additive sampling-coordinate field.
+    Gates come from the SomeOf pool selection (budgeted members 13/14)."""
+    ks = jax.random.split(key, 4)
     # ElasticTransformation(alpha 0.5-3.5, sigma .25): near-per-pixel jitter
-    do_el = jax.random.bernoulli(ks[0], cfg.p_sometimes * 0.3)
-    alpha = jax.random.uniform(ks[1], (), minval=cfg.elastic_alpha[0],
+    alpha = jax.random.uniform(ks[0], (), minval=cfg.elastic_alpha[0],
                                maxval=cfg.elastic_alpha[1])
-    el = jax.random.uniform(ks[2], (h, w, 2), minval=-1.0, maxval=1.0) * alpha
-    el = jnp.where(do_el, el, 0.0)
+    el = jax.random.uniform(ks[1], (h, w, 2), minval=-1.0, maxval=1.0) * alpha
+    el = jnp.where(elastic_gate, el, 0.0)
     # PiecewiseAffine(scale 0.01-0.05): coarse 5x5 grid displacement,
     # bilinearly upsampled
-    do_pw = jax.random.bernoulli(ks[3], cfg.p_sometimes * 0.3)
-    pscale = jax.random.uniform(ks[4], (), minval=cfg.piecewise_scale[0],
+    pscale = jax.random.uniform(ks[2], (), minval=cfg.piecewise_scale[0],
                                 maxval=cfg.piecewise_scale[1])
-    grid = jax.random.normal(ks[5], (5, 5, 2)) * pscale * jnp.array([w, h])
+    grid = jax.random.normal(ks[3], (5, 5, 2)) * pscale * jnp.array([w, h])
     pw = resize_bilinear(grid, (h, w), align_corners=True)
-    pw = jnp.where(do_pw, pw, 0.0)
+    pw = jnp.where(piecewise_gate, pw, 0.0)
     return el + pw
 
 
@@ -215,70 +264,107 @@ def _boundary(coord, n, mode):
     return jnp.clip(c, 0.0, n - 1.0)
 
 
-def _sample_bilinear(img, sy, sx, mode, cval):
-    """img [H, W, C] f32; returns warped [H, W, C]."""
-    h, w = img.shape[0], img.shape[1]
-    in_range = (sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1)
-    sx = _boundary(sx, w, mode)
-    sy = _boundary(sy, h, mode)
-    x0 = jnp.floor(sx)
-    y0 = jnp.floor(sy)
-    x1 = jnp.minimum(x0 + 1, w - 1.0)
-    y1 = jnp.minimum(y0 + 1, h - 1.0)
-    wx = (sx - x0)[..., None]
-    wy = (sy - y0)[..., None]
-    x0i, x1i = x0.astype(jnp.int32), x1.astype(jnp.int32)
-    y0i, y1i = y0.astype(jnp.int32), y1.astype(jnp.int32)
-    v00 = img[y0i, x0i]
-    v01 = img[y0i, x1i]
-    v10 = img[y1i, x0i]
-    v11 = img[y1i, x1i]
-    out = (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx
-           + v10 * wy * (1 - wx) + v11 * wy * wx)
-    constant = (mode == 0) & ~in_range
-    return jnp.where(constant[..., None], cval, out)
+def _pack_u32(img_u8, seg_u8):
+    """3 uint8 channels + uint8 mask -> one uint32 word per pixel. TPUs have
+    no vector gather, so gather count dominates warp cost (PERF.md)."""
+    return (img_u8[..., 0].astype(jnp.uint32)
+            | (img_u8[..., 1].astype(jnp.uint32) << 8)
+            | (img_u8[..., 2].astype(jnp.uint32) << 16)
+            | (seg_u8.astype(jnp.uint32) << 24))
 
 
-def _sample_nearest(seg, sy, sx):
-    """seg [H, W] int; nearest warp with 0 fill outside (mask semantics)."""
-    h, w = seg.shape
-    in_range = (sx >= -0.5) & (sx <= w - 0.5) & (sy >= -0.5) & (sy <= h - 0.5)
-    xi = jnp.clip(jnp.round(sx), 0, w - 1).astype(jnp.int32)
-    yi = jnp.clip(jnp.round(sy), 0, h - 1).astype(jnp.int32)
-    out = seg[yi, xi]
-    return jnp.where(in_range, out, 0)
+def _unpack_rgb(g):
+    return jnp.stack([(g & 0xFF).astype(jnp.float32),
+                      ((g >> 8) & 0xFF).astype(jnp.float32),
+                      ((g >> 16) & 0xFF).astype(jnp.float32)], axis=-1)
 
 
-def _sample_nearest_packed(img, seg, sy, sx, mode, cval):
-    """Nearest warp of image+mask with ONE gather: the 3 uint8 channels and
-    the uint8 mask pack into a single uint32 per pixel. TPUs have no vector
-    gather, so gather count dominates augmentation cost (PERF.md)."""
-    h, w = seg.shape
-    packed = (img[..., 0].astype(jnp.uint32)
-              | (img[..., 1].astype(jnp.uint32) << 8)
-              | (img[..., 2].astype(jnp.uint32) << 16)
-              | (seg.astype(jnp.uint32) << 24))
+def _sample_nearest_packed(img_u8, seg_u8, sy, sx, mode, cval):
+    """Nearest warp of image+mask with ONE gather of the packed word."""
+    h, w = seg_u8.shape
+    packed = _pack_u32(img_u8, seg_u8)
     img_in = (sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1)
     seg_in = (sx >= -0.5) & (sx <= w - 0.5) & (sy >= -0.5) & (sy <= h - 0.5)
-    # image boundary mode (mask always 0 outside, checked separately)
     bx = _boundary(sx, w, mode)
     by = _boundary(sy, h, mode)
     xi = jnp.clip(jnp.round(bx), 0, w - 1).astype(jnp.int32)
     yi = jnp.clip(jnp.round(by), 0, h - 1).astype(jnp.int32)
     g = packed[yi, xi]
-    out_img = jnp.stack([
-        (g & 0xFF).astype(jnp.float32),
-        ((g >> 8) & 0xFF).astype(jnp.float32),
-        ((g >> 16) & 0xFF).astype(jnp.float32),
-    ], axis=-1)
-    constant = (mode == 0) & ~img_in
-    out_img = jnp.where(constant[..., None], cval, out_img)
+    out_img = jnp.where((mode == 0) & ~img_in[..., None], cval,
+                        _unpack_rgb(g))
     out_seg = jnp.where(seg_in, (g >> 24).astype(jnp.int32), 0)
     return out_img, out_seg
 
 
+def _sample_packed(img_u8, seg_u8, sy, sx, mode, cval, use_bilinear):
+    """Warp image+mask from FOUR gathers of the packed uint32 word: the
+    bilinear image interpolates the 4 unpacked taps; the nearest image and
+    the mask select the nearest tap from the same 4 fetches (no 5th gather).
+    `use_bilinear` (traced bool) picks the image interpolation per sample —
+    the reference Affine's order=[0,1] (utils/datasets.py:47-50)."""
+    h, w = seg_u8.shape
+    packed = _pack_u32(img_u8, seg_u8)
+    img_in = (sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1)
+    seg_in = (sx >= -0.5) & (sx <= w - 0.5) & (sy >= -0.5) & (sy <= h - 0.5)
+    bx = _boundary(sx, w, mode)
+    by = _boundary(sy, h, mode)
+    x0 = jnp.floor(bx)
+    y0 = jnp.floor(by)
+    x1 = jnp.minimum(x0 + 1, w - 1.0)
+    y1 = jnp.minimum(y0 + 1, h - 1.0)
+    wx = (bx - x0)[..., None]
+    wy = (by - y0)[..., None]
+    x0i, x1i = x0.astype(jnp.int32), x1.astype(jnp.int32)
+    y0i, y1i = y0.astype(jnp.int32), y1.astype(jnp.int32)
+    g00 = packed[y0i, x0i]
+    g01 = packed[y0i, x1i]
+    g10 = packed[y1i, x0i]
+    g11 = packed[y1i, x1i]
+    bil = (_unpack_rgb(g00) * (1 - wy) * (1 - wx)
+           + _unpack_rgb(g01) * (1 - wy) * wx
+           + _unpack_rgb(g10) * wy * (1 - wx)
+           + _unpack_rgb(g11) * wy * wx)
+    # nearest tap = round(): always floor or floor+1 -> one of the 4 fetches
+    right = (bx - x0) >= 0.5
+    down = (by - y0) >= 0.5
+    g_near = jnp.where(down, jnp.where(right, g11, g10),
+                       jnp.where(right, g01, g00))
+    out_img = jnp.where(use_bilinear, bil, _unpack_rgb(g_near))
+    out_img = jnp.where((mode == 0) & ~img_in[..., None], cval, out_img)
+    out_seg = jnp.where(seg_in, (g_near >> 24).astype(jnp.int32), 0)
+    return out_img, out_seg
+
+
+def _geometric_one(key, img_u8, seg_u8, gates, cfg: AugmentConfig):
+    """Per-sample fused geometric warp; pool members 13/14/15 gate the
+    elastic/piecewise displacement and the perspective homography."""
+    h, w = seg_u8.shape
+    (k_mats, k_perm, k_disp, k_mode, k_cval, k_order,
+     k_g) = jax.random.split(key, 7)
+    kg = jax.random.split(k_g, 3)
+    # each budgeted warp member still carries its inner Sometimes(0.5)
+    elastic = gates[13] & jax.random.bernoulli(kg[0], cfg.p_sometimes)
+    piecewise = gates[14] & jax.random.bernoulli(kg[1], cfg.p_sometimes)
+    persp = gates[15] & jax.random.bernoulli(kg[2], cfg.p_sometimes)
+
+    mats = _component_matrices(k_mats, cfg, h, w, persp)
+    hmat = _compose_permuted(k_perm, mats)
+    disp = _displacement_field(k_disp, cfg, h, w, elastic, piecewise)
+    sy, sx = _warp_coords(hmat, disp, h, w)
+    # pad_mode=ia.ALL / mode=ia.ALL: random boundary handling
+    mode = jax.random.randint(k_mode, (), 0, 4)
+    cval = jax.random.uniform(k_cval, (), maxval=255.0)
+    if cfg.image_warp_order == 0:
+        return _sample_nearest_packed(img_u8, seg_u8, sy, sx, mode, cval)
+    if cfg.image_warp_order == 1:
+        use_bilinear = jnp.bool_(True)
+    else:
+        use_bilinear = jax.random.bernoulli(k_order, 0.5)
+    return _sample_packed(img_u8, seg_u8, sy, sx, mode, cval, use_bilinear)
+
+
 # ---------------------------------------------------------------------------
-# photometric ops (f32, 0..255 domain, [H, W, 3])
+# photometric pool ops (per-sample fns; f32, 0..255 domain, [H, W, 3])
 # ---------------------------------------------------------------------------
 
 def _sep_blur(img, kernel):
@@ -312,7 +398,7 @@ def _gaussian_kernel(sigma, size: int = 13):
     return k / jnp.sum(k)
 
 
-def _box_kernel(ksize, size: int = 7):
+def _box_kernel(ksize, size: int = 13):
     half = size // 2
     xs = jnp.arange(-half, half + 1, dtype=jnp.float32)
     active = (jnp.abs(xs) <= (ksize - 1) / 2.0).astype(jnp.float32)
@@ -361,141 +447,209 @@ def _hsv_to_rgb(hsv):
     return jnp.stack([r, g, b], axis=-1)
 
 
-def _photometric(key, img, cfg: AugmentConfig):
-    """Apply the SomeOf(0..5) photometric pool to one image [H, W, 3] f32."""
-    n_ops = 13
-    ks = jax.random.split(key, n_ops + 40)
-    h, w = img.shape[0], img.shape[1]
+def _smooth_noise(key, h, w, cells: int = 8):
+    """Band-limited [H, W, 1] noise in [0, 1] (blobby blend masks — stands
+    in for imgaug's simplex noise, which needs dynamic lattices)."""
+    small = jax.random.uniform(key, (h // cells + 1, w // cells + 1, 1))
+    return resize_bilinear(small, (h, w))
 
-    # SomeOf(0..5): pick k uniformly, then a random subset of size k
-    k_count = jax.random.randint(ks[0], (), 0, cfg.someof_max + 1)
-    scores = jax.random.uniform(ks[1], (n_ops,))
-    desc = -jnp.sort(-scores)
-    thresh = desc[jnp.clip(k_count - 1, 0, n_ops - 1)]
-    gates = jnp.where(k_count > 0, scores >= thresh, False)
 
-    def gate(i, new, old):
-        return jnp.where(gates[i], new, old)
-
-    r = ks[2:]
-    x = img
-
-    # 0: superpixel mosaic (Sometimes 0.5 inside the pool); fixed 8x cell
-    # grid — shapes must be static under jit, so n_segments can't vary
-    gh = max(h // 8, 1)
-    gw = max(w // 8, 1)
+def _op_superpixels(key, x, cfg):
+    """Sometimes(0.5, Superpixels(p_replace 0-1)): fixed 8x cell mosaic."""
+    h, w = x.shape[0], x.shape[1]
+    r = jax.random.split(key, 4)
+    gh, gw = max(h // 8, 1), max(w // 8, 1)
     mosaic = resize_bilinear(resize_bilinear(x, (gh, gw)), (h, w))
-    p_replace = jax.random.uniform(r[1], ())
-    rep_mask = jax.random.bernoulli(r[2], p_replace, (gh, gw, 1))
-    rep_mask = resize_bilinear(rep_mask.astype(jnp.float32), (h, w)) > 0.5
-    sp = jnp.where(rep_mask, mosaic, x)
-    inner = jax.random.bernoulli(r[3], cfg.p_sometimes)
-    x = gate(0, jnp.where(inner, sp, x), x)
+    p_replace = jax.random.uniform(r[0], ())
+    rep = jax.random.bernoulli(r[1], p_replace, (gh, gw, 1))
+    rep = resize_bilinear(rep.astype(jnp.float32), (h, w)) > 0.5
+    sp = jnp.where(rep, mosaic, x)
+    inner = jax.random.bernoulli(r[2], cfg.p_sometimes)
+    return jnp.where(inner, sp, x)
 
-    # 1: blur OneOf {gaussian, average, gaussian-as-median}
-    which = jax.random.randint(r[4], (), 0, 3)
-    sigma = jax.random.uniform(r[5], (), minval=cfg.blur_sigma[0],
-                               maxval=cfg.blur_sigma[1])
-    gk = _gaussian_kernel(sigma)
-    bk_size = jax.random.randint(r[6], (), 2, 8).astype(jnp.float32)
-    bk = _box_kernel(bk_size, size=7)
-    gb = _sep_blur(x, gk)
-    ab = _sep_blur(x, bk)
-    mk = _gaussian_kernel(jax.random.uniform(r[7], (), minval=0.8, maxval=2.5))
-    mb = _sep_blur(x, mk)
-    blurred = jnp.where(which == 0, gb, jnp.where(which == 1, ab, mb))
-    x = gate(1, blurred, x)
 
-    # 2: sharpen (alpha 0-1, lightness 0.75-1.5)
-    alpha = jax.random.uniform(r[8], ())
-    lightness = jax.random.uniform(r[9], (), minval=0.75, maxval=1.5)
+def _op_blur(key, x, cfg):
+    """OneOf {Gaussian(0-3), Average(k 2-7), Median(k 3-11)} — the kernel is
+    selected FIRST, then ONE separable blur runs (not three; the OneOf picks
+    the kernel, not the outputs). Median -> Gaussian of matched width."""
+    r = jax.random.split(key, 4)
+    which = jax.random.randint(r[0], (), 0, 3)
+    gk = _gaussian_kernel(jax.random.uniform(
+        r[1], (), minval=cfg.blur_sigma[0], maxval=cfg.blur_sigma[1]))
+    bk = _box_kernel(jax.random.randint(r[2], (), 2, 8).astype(jnp.float32))
+    mk = _gaussian_kernel(
+        0.25 * jax.random.randint(r[3], (), 1, 6).astype(jnp.float32) * 2 + 0.25)
+    kernel = jnp.where(which == 0, gk, jnp.where(which == 1, bk, mk))
+    return _sep_blur(x, kernel)
+
+
+def _op_sharpen(key, x, cfg):
+    r = jax.random.split(key, 2)
+    alpha = jax.random.uniform(r[0], ())
+    lightness = jax.random.uniform(r[1], (), minval=0.75, maxval=1.5)
     base = _conv3x3(x, jnp.full((3, 3), -1.0).at[1, 1].set(8.0 + lightness))
-    x = gate(2, (1 - alpha) * x + alpha * base, x)
+    return (1 - alpha) * x + alpha * base
 
-    # 3: emboss (alpha 0-1, strength 0-2)
-    strength = jax.random.uniform(r[10], (), maxval=2.0)
+
+def _op_emboss(key, x, cfg):
+    r = jax.random.split(key, 2)
+    strength = jax.random.uniform(r[0], (), maxval=2.0)
     ek = jnp.array([[-1.0 - strength, -strength, 0.0],
                     [-strength, 1.0, strength],
                     [0.0, strength, 1.0 + strength]])
-    alpha_e = jax.random.uniform(r[11], ())
-    x = gate(3, (1 - alpha_e) * x + alpha_e * _conv3x3(x, ek), x)
+    alpha = jax.random.uniform(r[1], ())
+    return (1 - alpha) * x + alpha * _conv3x3(x, ek)
 
-    # 4: edge-detect blended by a smooth noise mask
+
+def _op_edge_blend(key, x, cfg):
+    """BlendAlphaSimplexNoise(OneOf(EdgeDetect, DirectedEdgeDetect)) —
+    reference utils/datasets.py:82-88. The directed variant rectifies the
+    gradient along a random direction."""
+    h, w = x.shape[0], x.shape[1]
+    r = jax.random.split(key, 4)
     sobel_x = jnp.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
-    sobel_y = sobel_x.T
-    edges = jnp.sqrt(_conv3x3(x, sobel_x) ** 2 + _conv3x3(x, sobel_y) ** 2)
-    edges = jnp.clip(edges, 0, 255)
-    noise_small = jax.random.uniform(r[12], (h // 8 + 1, w // 8 + 1, 1))
-    nmask = resize_bilinear(noise_small, (h, w))
-    ea = jax.random.uniform(r[13], (), minval=0.5, maxval=1.0)
-    x = gate(4, x * (1 - nmask * ea) + edges * (nmask * ea), x)
+    gx = _conv3x3(x, sobel_x)
+    gy = _conv3x3(x, sobel_x.T)
+    mag = jnp.clip(jnp.sqrt(gx ** 2 + gy ** 2), 0, 255)
+    direction = jax.random.uniform(r[0], ()) * 2.0 * jnp.pi
+    directed = jnp.clip(jax.nn.relu(gx * jnp.cos(direction)
+                                    + gy * jnp.sin(direction)) * 2.0, 0, 255)
+    which = jax.random.bernoulli(r[1], 0.5)
+    edges = jnp.where(which, mag, directed)
+    nmask = _smooth_noise(r[2], h, w)
+    ea = jax.random.uniform(r[3], (), minval=0.5, maxval=1.0)
+    return x * (1 - nmask * ea) + edges * (nmask * ea)
 
-    # 5: additive gaussian noise (per_channel 0.5)
-    nscale = jax.random.uniform(r[14], (), minval=cfg.noise_scale[0],
+
+def _op_noise(key, x, cfg):
+    h, w = x.shape[0], x.shape[1]
+    r = jax.random.split(key, 3)
+    nscale = jax.random.uniform(r[0], (), minval=cfg.noise_scale[0],
                                 maxval=cfg.noise_scale[1])
-    per_ch = jax.random.bernoulli(r[15], 0.5)
-    n3 = jax.random.normal(r[16], (h, w, 3)) * nscale
-    n1 = jax.random.normal(r[17], (h, w, 1)) * nscale
-    x = gate(5, x + jnp.where(per_ch, n3, jnp.broadcast_to(n1, (h, w, 3))), x)
+    per_ch = jax.random.bernoulli(r[1], 0.5)
+    n = jax.random.normal(r[2], (h, w, 3)) * nscale
+    return x + jnp.where(per_ch, n, jnp.broadcast_to(n[..., :1], (h, w, 3)))
 
-    # 6: dropout OneOf {pixel, coarse}
-    dp = jax.random.uniform(r[18], (), minval=cfg.dropout_p[0],
+
+def _op_dropout(key, x, cfg):
+    """OneOf {Dropout(per_channel .5), CoarseDropout(per_channel .2)} — the
+    per-channel masks reuse the single-channel uniform fields (only one
+    branch is consumed per sample)."""
+    h, w = x.shape[0], x.shape[1]
+    r = jax.random.split(key, 6)
+    dp = jax.random.uniform(r[0], (), minval=cfg.dropout_p[0],
                             maxval=cfg.dropout_p[1])
-    keep = ~jax.random.bernoulli(r[19], dp, (h, w, 1))
-    cdp = jax.random.uniform(r[20], (), minval=cfg.coarse_dropout_p[0],
+    u = jax.random.uniform(r[1], (h, w, 3))
+    keep = jnp.where(jax.random.bernoulli(r[2], 0.5),
+                     u >= dp, jnp.broadcast_to(u[..., :1] >= dp, (h, w, 3)))
+    cdp = jax.random.uniform(r[3], (), minval=cfg.coarse_dropout_p[0],
                              maxval=cfg.coarse_dropout_p[1])
     ch, cw = max(h // 24, 1), max(w // 24, 1)
-    ckeep = ~jax.random.bernoulli(r[21], cdp, (ch, cw, 1))
-    ckeep = resize_bilinear(ckeep.astype(jnp.float32), (h, w)) > 0.5
-    which_d = jax.random.bernoulli(r[22], 0.5)
-    mask = jnp.where(which_d, keep, ckeep)
-    x = gate(6, x * mask, x)
+    uc = jax.random.uniform(r[4], (ch, cw, 3))
+    ucf = resize_bilinear(uc, (h, w))
+    ckeep = jnp.where(jax.random.bernoulli(r[5], 0.2),
+                      ucf >= cdp,
+                      jnp.broadcast_to(ucf[..., :1] >= cdp, (h, w, 3)))
+    which = jax.random.bernoulli(jax.random.fold_in(key, 9), 0.5)
+    return x * jnp.where(which, keep, ckeep)
 
-    # 7: invert (p=0.05 per channel)
-    inv = jax.random.bernoulli(r[23], cfg.invert_p, (1, 1, 3))
-    x = gate(7, jnp.where(inv, 255.0 - x, x), x)
 
-    # 8: add brightness ±10 (per_channel 0.5)
-    per_ch_a = jax.random.bernoulli(r[24], 0.5)
-    a3 = jax.random.uniform(r[25], (1, 1, 3), minval=cfg.add_range[0],
+def _op_invert(key, x, cfg):
+    inv = jax.random.bernoulli(key, cfg.invert_p, (1, 1, 3))
+    return jnp.where(inv, 255.0 - x, x)
+
+
+def _op_add(key, x, cfg):
+    r = jax.random.split(key, 3)
+    per_ch = jax.random.bernoulli(r[0], 0.5)
+    a3 = jax.random.uniform(r[1], (1, 1, 3), minval=cfg.add_range[0],
                             maxval=cfg.add_range[1])
-    a1 = jax.random.uniform(r[26], (1, 1, 1), minval=cfg.add_range[0],
+    a1 = jax.random.uniform(r[2], (1, 1, 1), minval=cfg.add_range[0],
                             maxval=cfg.add_range[1])
-    x = gate(8, x + jnp.where(per_ch_a, a3, a1), x)
+    return x + jnp.where(per_ch, a3, a1)
 
-    # 9: hue / saturation shift ±20 (cv2 uint8-HSV units)
+
+def _op_hue_sat(key, x, cfg):
+    r = jax.random.split(key, 2)
     hsv = _rgb_to_hsv(jnp.clip(x, 0, 255) / 255.0)
-    dh = jax.random.uniform(r[27], (), minval=cfg.hue_sat_range[0],
-                            maxval=cfg.hue_sat_range[1]) * 2.0  # H: 0..179 -> deg
-    dsat = jax.random.uniform(r[28], (), minval=cfg.hue_sat_range[0],
+    dh = jax.random.uniform(r[0], (), minval=cfg.hue_sat_range[0],
+                            maxval=cfg.hue_sat_range[1]) * 2.0  # 0..179 -> deg
+    dsat = jax.random.uniform(r[1], (), minval=cfg.hue_sat_range[0],
                               maxval=cfg.hue_sat_range[1]) / 255.0
     hsv = hsv.at[..., 0].add(dh)
     hsv = hsv.at[..., 1].set(jnp.clip(hsv[..., 1] + dsat, 0.0, 1.0))
-    x = gate(9, _hsv_to_rgb(hsv) * 255.0, x)
+    return _hsv_to_rgb(hsv) * 255.0
 
-    # 10: multiply OneOf {whole-image multiply, freq-noise multiply approx}
-    per_ch_m = jax.random.bernoulli(r[29], 0.5)
-    m3 = jax.random.uniform(r[30], (1, 1, 3), minval=cfg.multiply_range[0],
-                            maxval=cfg.multiply_range[1])
-    m1 = jax.random.uniform(r[31], (1, 1, 1), minval=cfg.multiply_range[0],
-                            maxval=cfg.multiply_range[1])
-    x = gate(10, x * jnp.where(per_ch_m, m3, m1), x)
 
-    # 11: linear contrast 0.5-2.0 (per_channel 0.5)
-    per_ch_c = jax.random.bernoulli(r[32], 0.5)
-    c3 = jax.random.uniform(r[33], (1, 1, 3), minval=cfg.contrast_range[0],
+def _op_multiply(key, x, cfg):
+    """OneOf {Multiply(per_channel .5), BlendAlphaFrequencyNoise(
+    fg=Multiply per-channel, bg=LinearContrast)} — reference
+    utils/datasets.py:105-110. The frequency mask mixes band-limited and
+    white noise by the sampled exponent."""
+    h, w = x.shape[0], x.shape[1]
+    r = jax.random.split(key, 9)
+    lo, hi = cfg.multiply_range
+    per_ch = jax.random.bernoulli(r[0], 0.5)
+    m3 = jax.random.uniform(r[1], (1, 1, 3), minval=lo, maxval=hi)
+    m1 = jax.random.uniform(r[2], (1, 1, 1), minval=lo, maxval=hi)
+    whole = x * jnp.where(per_ch, m3, m1)
+    # frequency-noise branch: exponent -4 (blobs) .. 0 (white)
+    e = jax.random.uniform(r[3], (), minval=-4.0, maxval=0.0)
+    t = 2.0 ** e
+    mask = ((1 - t) * _smooth_noise(r[4], h, w, cells=16)
+            + t * jax.random.uniform(r[5], (h, w, 1)))
+    fg = x * jax.random.uniform(r[6], (1, 1, 3), minval=lo, maxval=hi)
+    cb = jax.random.uniform(r[7], (), minval=cfg.contrast_range[0],
                             maxval=cfg.contrast_range[1])
-    c1 = jax.random.uniform(r[34], (1, 1, 1), minval=cfg.contrast_range[0],
-                            maxval=cfg.contrast_range[1])
-    cf = jnp.where(per_ch_c, c3, c1)
-    x = gate(11, 127.0 + cf * (x - 127.0), x)
+    bg = 127.0 + cb * (x - 127.0)
+    freq = mask * fg + (1 - mask) * bg
+    return jnp.where(jax.random.bernoulli(r[8], 0.5), whole, freq)
 
-    # 12: grayscale (alpha 0-1)
-    ga = jax.random.uniform(r[35], ())
+
+def _op_contrast(key, x, cfg):
+    r = jax.random.split(key, 3)
+    per_ch = jax.random.bernoulli(r[0], 0.5)
+    c3 = jax.random.uniform(r[1], (1, 1, 3), minval=cfg.contrast_range[0],
+                            maxval=cfg.contrast_range[1])
+    c1 = jax.random.uniform(r[2], (1, 1, 1), minval=cfg.contrast_range[0],
+                            maxval=cfg.contrast_range[1])
+    return 127.0 + jnp.where(per_ch, c3, c1) * (x - 127.0)
+
+
+def _op_grayscale(key, x, cfg):
+    ga = jax.random.uniform(key, ())
     gray = (0.299 * x[..., 0] + 0.587 * x[..., 1]
             + 0.114 * x[..., 2])[..., None]
-    x = gate(12, (1 - ga) * x + ga * gray, x)
+    return (1 - ga) * x + ga * gray
 
+
+_PHOTO_OPS = [_op_superpixels, _op_blur, _op_sharpen, _op_emboss,
+              _op_edge_blend, _op_noise, _op_dropout, _op_invert, _op_add,
+              _op_hue_sat, _op_multiply, _op_contrast, _op_grayscale]
+assert len(_PHOTO_OPS) == _N_PHOTO
+
+
+def _photometric_batch(key_order, keys, x, gates, cfg: AugmentConfig):
+    """Apply the 13 photometric pool members to the batch in a per-batch
+    random order (SomeOf random_order=True; per-sample sequencing of
+    vectorized ops would cost 13x under vmap — documented approximation).
+    Selection gates stay per-sample. lax.scan + switch keeps the compiled
+    program one op-body per member."""
+    branches = []
+    for i, op in enumerate(_PHOTO_OPS):
+        def branch(xb, i=i, op=op):
+            def one(k, img, g):
+                out = op(jax.random.fold_in(k, 100 + i), img, cfg)
+                return jnp.where(g, out, img)
+            return jax.vmap(one)(keys, xb, gates[:, i])
+        branches.append(branch)
+
+    perm = jax.random.permutation(key_order, _N_PHOTO)
+
+    def body(xb, idx):
+        return jax.lax.switch(idx, branches, xb), None
+
+    x, _ = jax.lax.scan(body, x, perm)
     return jnp.clip(x, 0.0, 255.0)
 
 
@@ -595,34 +749,26 @@ def make_augment_fn(config: AugmentConfig | None = None):
     (images f32 0..255, segs int32). One fused program per batch shape."""
     cfg = config or AugmentConfig()
 
-    def augment_one(key, img_u8, seg_u8):
-        h, w = img_u8.shape[0], img_u8.shape[1]
-        k_geo, k_disp, k_photo, k_mode, k_cval = jax.random.split(key, 5)
-        img = img_u8.astype(jnp.float32)
-        seg = seg_u8.astype(jnp.int32)
-
-        if cfg.fast_geometric:
-            img, seg = _fast_geometric_one(k_geo, img, seg, cfg)
-        else:
-            hmat = _affine_matrix(k_geo, cfg, h, w)
-            disp = _displacement_field(k_disp, cfg, h, w)
-            sy, sx = _warp_coords(hmat, disp, h, w)
-            # pad_mode=ia.ALL / mode=ia.ALL: random boundary handling
-            mode = jax.random.randint(k_mode, (), 0, 4)
-            cval = jax.random.uniform(k_cval, (), maxval=255.0)
-            if cfg.image_warp_order == 0:
-                img, seg = _sample_nearest_packed(img_u8, seg_u8, sy, sx,
-                                                  mode, cval)
-            else:
-                img = _sample_bilinear(img, sy, sx, mode, cval)
-                seg = _sample_nearest(seg, sy, sx)
-
-        img = _photometric(k_photo, img, cfg)
-        return img, seg
-
     def augment_batch(rng, images, segs):
         b = images.shape[0]
+        rng, k_order = jax.random.split(rng)
         keys = jax.random.split(rng, b)
-        return jax.vmap(augment_one)(keys, images, segs)
+        gates = jax.vmap(
+            lambda k: _someof_gates(jax.random.fold_in(k, 1), cfg))(keys)
+
+        if cfg.fast_geometric:
+            def geo(k, img_u8, seg_u8):
+                return _fast_geometric_one(
+                    jax.random.fold_in(k, 2), img_u8.astype(jnp.float32),
+                    seg_u8.astype(jnp.int32), cfg)
+            imgs, out_segs = jax.vmap(geo)(keys, images, segs)
+        else:
+            def geo(k, img_u8, seg_u8, g):
+                return _geometric_one(jax.random.fold_in(k, 2), img_u8,
+                                      seg_u8, g, cfg)
+            imgs, out_segs = jax.vmap(geo)(keys, images, segs, gates)
+
+        imgs = _photometric_batch(k_order, keys, imgs, gates, cfg)
+        return imgs, out_segs
 
     return augment_batch

@@ -6,11 +6,15 @@ SPMD partitioner emits the gradient all-reduce (and BN-stat reductions) over
 ICI — the TPU-native equivalent of DDP's NCCL ring-allreduce inside
 pytorch_modules.Trainer (SURVEY.md §2.3).
 
-Gradient accumulation (reference --accumulate, train.py:94) is a
-`jax.lax.scan` over microbatch slices inside one jitted step: grads are
-accumulated in f32 and a single optimizer update is applied — matching the
-reference's every-k-batches update semantics while keeping the whole thing
-one XLA program.
+Gradient accumulation (reference --accumulate, train.py:94) follows the
+reference's every-k-LOADER-BATCHES semantics exactly: each step() call runs
+forward/backward on one full loader batch (BN statistics over the full -bs,
+like the reference), adds the grads into a persistent f32 accumulator held
+in TrainState, and applies a single optimizer update every k-th call
+(lax.cond inside the same jitted program). Effective batch = bs * accumulate,
+update count = batches / accumulate — so LR schedules step per optimizer
+update, not per batch. The accumulator is transient (not checkpointed);
+resume restarts the current accumulation window, same as the reference.
 
 Eval masks padded samples (static-shape batches; see data/loader.py) before
 loss/metric accumulation, so padded duplicates never contaminate metrics.
@@ -32,12 +36,16 @@ __all__ = ["TrainState", "make_train_step", "make_eval_step", "create_train_stat
 
 
 class TrainState(struct.PyTreeNode):
-    step: jax.Array
+    step: jax.Array  # optimizer-update count (not batch count)
     params: Any
     batch_stats: Any
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     apply_fn: Callable = struct.field(pytree_node=False)
+    # cross-batch gradient accumulator (f32, params-shaped) and the batch
+    # counter driving the every-k update; None / 0 when accumulate == 1
+    grad_acc: Any = None
+    micro_step: Any = None
 
     def apply_gradients(self, grads):
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
@@ -46,7 +54,8 @@ class TrainState(struct.PyTreeNode):
                             opt_state=new_opt_state)
 
 
-def create_train_state(model, rng, sample_input, tx) -> TrainState:
+def create_train_state(model, rng, sample_input, tx,
+                       accumulate: int = 1) -> TrainState:
     # jitted init: one compiled program instead of thousands of eager
     # dispatches (matters on TPU startup and enormously on small hosts)
     init_fn = jax.jit(lambda rng, x: model.init({"params": rng}, x,
@@ -54,6 +63,10 @@ def create_train_state(model, rng, sample_input, tx) -> TrainState:
     variables = init_fn(rng, sample_input)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    grad_acc = None
+    if accumulate > 1:
+        grad_acc = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
@@ -61,19 +74,24 @@ def create_train_state(model, rng, sample_input, tx) -> TrainState:
         opt_state=tx.init(params),
         tx=tx,
         apply_fn=model.apply,
+        grad_acc=grad_acc,
+        micro_step=jnp.zeros((), jnp.int32),
     )
 
 
 def make_train_step(loss_fn: Callable = compute_loss, accumulate: int = 1,
                     donate: bool = True):
-    """Returns jitted (state, images, segs) -> (state, loss).
+    """Returns jitted (state, images, segs) -> (state, loss) over ONE loader
+    batch. With accumulate=k, grads from k consecutive calls are averaged in
+    state.grad_acc and the optimizer applies on every k-th call — the
+    reference's --accumulate contract (effective batch = bs*k, BN statistics
+    per bs batch; reference train.py:94 + pytorch_modules Trainer).
 
     images: [B, H, W, 3] normalized float; segs: [B, H, W] int32.
-    B must be divisible by `accumulate`; each microbatch is B/accumulate.
     """
     accumulate = max(1, int(accumulate))
 
-    def microbatch_loss(params, batch_stats, apply_fn, images, segs):
+    def batch_loss(params, batch_stats, apply_fn, images, segs):
         logits, mutated = apply_fn(
             {"params": params, "batch_stats": batch_stats},
             images, train=True, mutable=["batch_stats"])
@@ -81,35 +99,33 @@ def make_train_step(loss_fn: Callable = compute_loss, accumulate: int = 1,
         return loss, mutated["batch_stats"]
 
     def step(state: TrainState, images, segs):
-        grad_fn = jax.value_and_grad(microbatch_loss, has_aux=True)
+        grad_fn = jax.value_and_grad(batch_loss, has_aux=True)
+        (loss, new_bs), grads = grad_fn(state.params, state.batch_stats,
+                                        state.apply_fn, images, segs)
         if accumulate == 1:
-            (loss, new_bs), grads = grad_fn(state.params, state.batch_stats,
-                                            state.apply_fn, images, segs)
-        else:
-            b = images.shape[0]
-            mb = b // accumulate
-            images_m = images[:mb * accumulate].reshape(
-                (accumulate, mb) + images.shape[1:])
-            segs_m = segs[:mb * accumulate].reshape(
-                (accumulate, mb) + segs.shape[1:])
+            state = state.apply_gradients(grads)
+            return state.replace(batch_stats=new_bs), loss
 
-            def scan_body(carry, xs):
-                grads_acc, loss_acc, bs = carry
-                imgs_i, segs_i = xs
-                (loss_i, bs_new), grads_i = grad_fn(
-                    state.params, bs, state.apply_fn, imgs_i, segs_i)
-                grads_acc = jax.tree.map(jnp.add, grads_acc, grads_i)
-                return (grads_acc, loss_acc + loss_i, bs_new), None
+        if state.grad_acc is None:
+            raise ValueError(
+                "accumulate > 1 needs a grad accumulator: call "
+                "create_train_state(..., accumulate=k)")
+        grad_acc = jax.tree.map(
+            lambda a, g: a + g.astype(jnp.float32), state.grad_acc, grads)
+        micro = state.micro_step + 1
 
-            zero_grads = jax.tree.map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
-            (grads, loss_sum, new_bs), _ = jax.lax.scan(
-                scan_body, (zero_grads, jnp.zeros((), jnp.float32),
-                            state.batch_stats), (images_m, segs_m))
-            grads = jax.tree.map(lambda g: g / accumulate, grads)
-            loss = loss_sum / accumulate
-        state = state.apply_gradients(grads).replace(batch_stats=new_bs)
-        return state, loss
+        def apply_branch(st):
+            mean_grads = jax.tree.map(lambda g: g / accumulate, grad_acc)
+            st = st.apply_gradients(mean_grads)
+            return st.replace(
+                grad_acc=jax.tree.map(jnp.zeros_like, grad_acc))
+
+        def skip_branch(st):
+            return st.replace(grad_acc=grad_acc)
+
+        state = jax.lax.cond(micro % accumulate == 0,
+                             apply_branch, skip_branch, state)
+        return state.replace(batch_stats=new_bs, micro_step=micro), loss
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -120,11 +136,11 @@ def make_eval_step(num_classes: int, align_corners: bool = True,
     with padded samples masked out of the confusion counts.
 
     `valid` is the count of real samples in the batch; padded tail samples
-    (duplicates of real ones) are excluded from the confusion counts. On TPU
-    with low-res logits, the upsample+argmax+confusion and the upsample+CE
-    are fused Pallas kernels that never materialize full-res logits
-    (ops/pallas/); the padded duplicates then contribute to the displayed
-    loss (a progress indicator) but never to the metrics.
+    (duplicates of real ones) are excluded from the confusion counts AND the
+    loss on both paths. On TPU with low-res logits, the
+    upsample+argmax+confusion and the upsample+CE are fused Pallas kernels
+    that never materialize full-res logits (ops/pallas/); the loss uses the
+    kernel's per-sample partials for the masked mean.
     """
 
     def step(state: TrainState, images, segs, valid):
@@ -137,9 +153,12 @@ def make_eval_step(num_classes: int, align_corners: bool = True,
         if (use_pallas and on_tpu and (hh, ww) != (th, tw)
                 and num_classes <= 64):
             from ..ops.pallas.eval_confusion import fused_eval_confusion
-            from ..ops.pallas.softmax_ce import fused_upsample_ce
-            loss = fused_upsample_ce(logits, segs,
-                                     align_corners=align_corners)
+            from ..ops.pallas.softmax_ce import fused_upsample_ce_per_sample
+            per_sample = fused_upsample_ce_per_sample(
+                logits, segs, align_corners=align_corners)
+            mask = (jnp.arange(per_sample.shape[0]) < valid)
+            loss = jnp.sum(per_sample * mask) / jnp.maximum(
+                jnp.sum(mask), 1.0)
             tp, fn, fp = fused_eval_confusion(logits, segs, valid,
                                               align_corners=align_corners)
             return loss, tp, fn, fp

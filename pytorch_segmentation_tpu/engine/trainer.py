@@ -69,6 +69,8 @@ class Trainer:
         # LR schedule (the reference Trainer's schedule lives in the
         # unavailable pytorch_modules package; constant matches its CLI
         # contract, warmup+cosine offered as the production default)
+        # total_steps counts OPTIMIZER UPDATES (= loader batches / accumulate
+        # with the reference's every-k-batches accumulation semantics)
         if lr_schedule == "cosine":
             decay_steps = max((total_steps or 10000) - warmup_steps, 1)
             schedule = optax.warmup_cosine_decay_schedule(
@@ -78,6 +80,8 @@ class Trainer:
             schedule = optax.linear_schedule(0.0, lr, warmup_steps)
         else:
             schedule = lr
+        # schedule-aware lr reporting for log.jsonl (observability)
+        self._lr_at = schedule if callable(schedule) else (lambda s: lr)
         if adam:
             tx = optax.adam(schedule)
         else:
@@ -109,7 +113,7 @@ class Trainer:
         sample = jnp.zeros((1, h, w, 3), jnp.float32)
         rng = jax.random.PRNGKey(seed)
         self.state = create_train_state(self._train_module, rng, sample,
-                                        self.tx)
+                                        self.tx, accumulate=self.accumulate)
         self.state = jax.device_put(self.state, self._repl_sharding)
 
         if weights:
@@ -137,6 +141,31 @@ class Trainer:
     def model(self) -> ModelBundle:
         return ModelBundle(self.module, self.state.params,
                            self.state.batch_stats)
+
+    def warmup(self, sizes_hw, batch_size: int, label_hw=None):
+        """Precompile the train step for every input size in `sizes_hw`
+        (the bounded multi-scale set, data/resize_host.py) so the first
+        epoch has no mid-epoch compile stalls. Labels stay at the dataset's
+        base resolution (reference utils/datasets.py:206-212 resizes images
+        only). Runs each size once on zeros and discards the result — the
+        jit cache keeps the executable."""
+        if label_hw is None:
+            ds = self.fetcher.loader.dataset
+            w, h = ds.img_size
+            label_hw = (h, w)
+        for hh, ww in sizes_hw:
+            images = jax.device_put(
+                jnp.zeros((batch_size, hh, ww, 3), jnp.float32),
+                self._data_sharding)
+            segs = jax.device_put(
+                jnp.zeros((batch_size,) + tuple(label_hw), jnp.int32),
+                self._data_sharding)
+            # the step donates its state arg: hand it a throwaway copy
+            s = jax.tree.map(jnp.copy, self.state)
+            s, loss = self._train_step(s, images, segs)
+            float(loss)  # force compile+run before the next size
+            if self.log and jax.process_index() == 0:
+                print(f"warmup: compiled train step @ {hh}x{ww}")
 
     def step(self):
         """Run one training epoch (reference Trainer.step contract)."""
@@ -172,7 +201,11 @@ class Trainer:
                   f"loss {mean_loss:.4f}")
         self.log_record(epoch=self.epoch - 1, loss=mean_loss,
                         images_per_sec=images_seen / max(dt, 1e-9),
-                        seconds=dt, lr=self._lr, steps=n)
+                        seconds=dt,
+                        # actual scheduled lr at the current update count
+                        # (state.step), not the constant ctor value
+                        lr=float(self._lr_at(int(self.state.step))),
+                        steps=n)
         return mean_loss
 
     def log_record(self, **record):

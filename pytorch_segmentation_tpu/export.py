@@ -18,9 +18,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .nn.blocks import BatchNorm2d
+
 __all__ = ["fuse_conv_bn", "export_stablehlo"]
 
-_BN_EPS = 1e-5
+# single source of truth: the folding math must cancel exactly the eps the
+# BatchNorm2d module applies at inference (y = (x-mean)*scale/sqrt(var+eps))
+_BN_EPS = BatchNorm2d.epsilon
 
 
 def _is_conv_bn_block(d: dict) -> bool:

@@ -104,6 +104,11 @@ class ResNet(nn.Module):
         dilation = 1
         for stage_i, (width, n_blocks) in enumerate(zip(widths, self.layers)):
             stride = 1 if stage_i == 0 else 2
+            # torchvision _make_layer: when a stage trades stride for
+            # dilation, its FIRST block keeps the previous dilation and only
+            # blocks 1..n-1 use the increased one — required for activation
+            # parity with ported torchvision weights.
+            prev_dilation = dilation
             if stage_i > 0 and self.replace_stride_with_dilation[stage_i - 1]:
                 dilation *= stride
                 stride = 1
@@ -114,7 +119,8 @@ class ResNet(nn.Module):
                 # positional (static_argnums=(2,))
                 x = block_cls(width,
                               stride=stride if block_i == 0 else 1,
-                              dilation=dilation,
+                              dilation=prev_dilation if block_i == 0
+                              else dilation,
                               downsample=downsample,
                               dtype=self.dtype,
                               axis_name=self.axis_name,

@@ -187,8 +187,8 @@ def _fused_ce(logits, labels, out_hw, align_corners, tile):
     return s
 
 
-def _fused_ce_fwd(logits, labels, out_hw, align_corners, tile):
-    logits32 = logits.astype(jnp.float32)
+def _fwd_partials(logits32, labels, out_hw, align_corners, tile):
+    """Per-sample CE pixel SUMS [B] plus the residuals the VJP needs."""
     b, hh, ww, cc = logits32.shape
     mh, mw, labels_p = _prep(hh, ww, labels, out_hw, align_corners, tile)
     h_out, w_out = out_hw
@@ -203,8 +203,15 @@ def _fused_ce_fwd(logits, labels, out_hw, align_corners, tile):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
     )(logits_cm, labels_p, mh, mw)
-    n = b * h_out * w_out
-    return jnp.sum(partials) / n, (logits_cm, labels_p, mh, mw)
+    return jnp.sum(partials, axis=(1, 2)), (logits_cm, labels_p, mh, mw)
+
+
+def _fused_ce_fwd(logits, labels, out_hw, align_corners, tile):
+    logits32 = logits.astype(jnp.float32)
+    per_sample, res = _fwd_partials(logits32, labels, out_hw, align_corners,
+                                    tile)
+    n = logits32.shape[0] * out_hw[0] * out_hw[1]
+    return jnp.sum(per_sample) / n, res
 
 
 def _fused_ce_bwd(out_hw, align_corners, tile, res, g):
@@ -250,3 +257,32 @@ def fused_upsample_ce(logits, labels, align_corners: bool = True,
             return _fused_ce(logits, labels, (h_out, w_out), align_corners,
                              tile)
     return _fused_ce(logits, labels, (h_out, w_out), align_corners, tile)
+
+
+def fused_upsample_ce_per_sample(logits, labels, align_corners: bool = True,
+                                 tile: int = 64, interpret: bool = False):
+    """Per-sample mean-CE vector [B] (forward only, no VJP) — lets eval mask
+    padded duplicate samples out of the displayed loss while keeping the
+    fused upsample+CE kernel (ops/pallas path of engine/steps.make_eval_step).
+    Falls back to XLA when the fused kernel does not apply."""
+    h_out, w_out = labels.shape[1], labels.shape[2]
+    hh, ww = logits.shape[1], logits.shape[2]
+    on_tpu = jax.devices()[0].platform == "tpu"
+    logits = logits.astype(jnp.float32)
+    if ((hh, ww) == (h_out, w_out) or logits.shape[-1] > 64
+            or not (on_tpu or interpret)):
+        from ..resize import resize_bilinear
+        up = resize_bilinear(logits, (h_out, w_out),
+                             align_corners=align_corners)
+        lse = jax.nn.logsumexp(up, axis=-1)
+        true_logit = jnp.take_along_axis(
+            up, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        return jnp.mean(lse - true_logit, axis=(1, 2))
+    if interpret:
+        with pltpu.force_tpu_interpret_mode():
+            sums, _ = _fwd_partials(logits, labels, (h_out, w_out),
+                                    align_corners, tile)
+    else:
+        sums, _ = _fwd_partials(logits, labels, (h_out, w_out),
+                                align_corners, tile)
+    return sums / (h_out * w_out)

@@ -17,7 +17,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["convert_mobilenetv2", "convert_resnet", "load_pretrained_backbone"]
+__all__ = ["convert_mobilenetv2", "convert_resnet", "convert_named",
+           "load_pretrained_backbone"]
 
 # standard MobileNetV2 stage layout: (expand_ratio, repeats)
 _MBV2_STAGES = [(1, 1), (6, 2), (6, 3), (6, 4), (6, 3), (6, 3), (6, 1)]
@@ -98,6 +99,47 @@ def convert_resnet(sd: dict, layers=(3, 4, 6, 3)):
     return params, stats
 
 
+def convert_named(sd: dict):
+    """Generic torch state_dict -> (params, batch_stats) trees for models
+    whose torch module names mirror our flax module names (ConvNormAct
+    children named `conv`/`bn`; standalone convs keep kernel+bias under the
+    module name). Used by the full-model golden-parity tests and by any
+    torch checkpoint exported with our naming."""
+    params: dict = {}
+    stats: dict = {}
+
+    def ensure(tree, parts):
+        node = tree
+        for p in parts:
+            node = node.setdefault(p, {})
+        return node
+
+    for key, value in sd.items():
+        parts = key.split(".")
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        v = np.asarray(value, dtype=np.float32)
+        parent = parts[-2] if len(parts) >= 2 else ""
+        if parent == "bn":
+            if leaf in ("weight", "bias"):
+                node = ensure(params, parts[:-1])
+                node["scale" if leaf == "weight" else "bias"] = v
+            else:  # running_mean / running_var
+                node = ensure(stats, parts[:-1])
+                node["mean" if leaf == "running_mean" else "var"] = v
+        elif parent == "conv" and leaf == "weight":
+            ensure(params, parts[:-1])["kernel"] = _conv(v)
+        else:
+            # standalone conv (e.g. cls_conv.weight / .bias)
+            node = ensure(params, parts[:-1])
+            if leaf == "weight":
+                node["kernel"] = _conv(v)
+            else:
+                node["bias"] = v
+    return params, stats
+
+
 def load_pretrained_backbone(model_params, model_stats, path_or_sd,
                              arch: str, backbone_key: str = "backbone"):
     """Merge converted torchvision weights into a model's trees (in place on
@@ -117,7 +159,8 @@ def load_pretrained_backbone(model_params, model_stats, path_or_sd,
     elif arch in ("resnet50", "resnet"):
         bp, bs = convert_resnet(sd)
     elif arch == "resnet34":
-        raise NotImplementedError("resnet34 basic-block port: use convert_resnet")
+        # basic blocks: conv1/conv2 only (convert_resnet skips absent conv3)
+        bp, bs = convert_resnet(sd, layers=(3, 4, 6, 3))
     else:
         raise ValueError(f"unknown arch {arch!r}")
 

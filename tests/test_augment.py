@@ -75,6 +75,70 @@ def test_per_sample_randomness(rng):
     assert not np.allclose(out[0], out[1])
 
 
+def test_someof_budget_covers_warps(rng):
+    """elastic/piecewise/perspective live INSIDE the SomeOf(0..5) budget
+    (reference utils/datasets.py:116-121): with someof_max=0 they can never
+    fire, even with p_sometimes=1 — output must be the identity when all
+    top-level geometric ops are off."""
+    cfg = AugmentConfig(p_fliplr=0.0, p_flipud=0.0, p_crop_pad=0.0,
+                        p_affine=0.0, p_sometimes=1.0, someof_max=0)
+    fn = make_augment_fn(cfg)
+    imgs, segs = _batch(rng)
+    for seed in range(3):
+        out_i, out_s = fn(jax.random.PRNGKey(seed), imgs, segs)
+        np.testing.assert_allclose(np.asarray(out_i),
+                                   np.asarray(imgs, dtype=np.float32),
+                                   atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(out_s), np.asarray(segs))
+
+
+def test_someof_selects_at_most_max():
+    from pytorch_segmentation_tpu.data.augment import _someof_gates, _N_POOL
+    cfg = AugmentConfig()
+    counts = []
+    for seed in range(200):
+        g = np.asarray(_someof_gates(jax.random.PRNGKey(seed), cfg))
+        assert g.shape == (_N_POOL,)
+        counts.append(int(g.sum()))
+    assert max(counts) <= cfg.someof_max
+    assert min(counts) == 0  # k=0 occurs
+    # mean selected ~ E[k] = 2.5
+    assert 1.5 < np.mean(counts) < 3.5
+
+
+def test_warp_order_sampled_per_image(rng):
+    """With rotation forced on, nearest and bilinear warps of a smooth ramp
+    differ — per-image order sampling (reference Affine order=[0,1]) must
+    produce both behaviors across a batch of identical inputs."""
+    cfg = AugmentConfig(p_fliplr=0.0, p_flipud=0.0, p_crop_pad=0.0,
+                        p_affine=1.0, rotate_range=(30.0, 30.0),
+                        shear_range=(0.0, 0.0), scale_range=(1.0, 1.0),
+                        translate_range=(0.0, 0.0), p_sometimes=0.0,
+                        someof_max=0)
+    ramp = np.linspace(0, 255, 32 * 32).reshape(32, 32).astype(np.uint8)
+    imgs = np.tile(ramp[None, :, :, None], (8, 1, 1, 3))
+    segs = np.zeros((8, 32, 32), dtype=np.uint8)
+    out_i, _ = make_augment_fn(cfg)(jax.random.PRNGKey(0),
+                                    jnp.asarray(imgs), jnp.asarray(segs))
+    out = np.asarray(out_i)
+    # bilinear produces non-integer values on a ramp; nearest stays integral
+    frac = np.abs(out - np.round(out)).max(axis=(1, 2, 3))
+    assert (frac > 1e-3).any(), "no bilinear-warped sample in batch"
+    assert (frac < 1e-6).any(), "no nearest-warped sample in batch"
+
+
+def test_photometric_order_is_batch_random(rng):
+    """Two keys with identical per-sample streams but different order keys
+    give different compositions for the same image when several ops fire."""
+    cfg = AugmentConfig(p_fliplr=0.0, p_flipud=0.0, p_crop_pad=0.0,
+                        p_affine=0.0, someof_max=5)
+    fn = make_augment_fn(cfg)
+    imgs, segs = _batch(rng, b=2)
+    a = np.asarray(fn(jax.random.PRNGKey(0), imgs, segs)[0])
+    b = np.asarray(fn(jax.random.PRNGKey(1), imgs, segs)[0])
+    assert not np.allclose(a, b)
+
+
 def test_fast_geometric_mode(rng):
     from pytorch_segmentation_tpu.data.augment import AugmentConfig
     cfg = AugmentConfig(fast_geometric=True, someof_max=0, p_sometimes=0.0)

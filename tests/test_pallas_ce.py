@@ -33,6 +33,25 @@ def test_fused_ce_ragged_tile(rng):
     assert abs(fused - ref) < 1e-4, (fused, ref)
 
 
+def test_fused_ce_per_sample_matches_reference(rng):
+    """Per-sample mean-CE vector (eval masked-loss path) == per-sample XLA
+    CE; masked mean over a ragged final batch == the XLA fallback's loss."""
+    from pytorch_segmentation_tpu.ops.pallas.softmax_ce import (
+        fused_upsample_ce_per_sample)
+    logits = jnp.asarray(rng.standard_normal((4, 16, 16, 5)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 5, (4, 64, 64)).astype(np.int32))
+    per = np.asarray(fused_upsample_ce_per_sample(logits, labels,
+                                                  interpret=True))
+    for i in range(4):
+        ref = float(compute_loss(logits[i:i + 1], labels[i:i + 1]))
+        assert abs(per[i] - ref) < 1e-4, (i, per[i], ref)
+    # masked mean with valid=3 excludes the padded duplicate sample
+    masked = float(per[:3].mean())
+    ref3 = float(sum(float(compute_loss(logits[i:i + 1], labels[i:i + 1]))
+                     for i in range(3)) / 3)
+    assert abs(masked - ref3) < 1e-4
+
+
 def test_fused_ce_gradient_matches(rng):
     logits = jnp.asarray(rng.standard_normal((2, 8, 8, 4)).astype(np.float32))
     labels = jnp.asarray(rng.integers(0, 4, (2, 32, 32)).astype(np.int32))

@@ -16,11 +16,12 @@ from pytorch_segmentation_tpu.parallel import (data_sharding, make_mesh,
                                                replicated_sharding)
 
 
-def _setup(mesh):
+def _setup(mesh, accumulate=1):
     model = UNet(num_classes=3, dtype=jnp.float32)
     tx = optax.sgd(0.01, momentum=0.9)
     state = create_train_state(model, jax.random.PRNGKey(0),
-                               jnp.zeros((1, 32, 32, 3)), tx)
+                               jnp.zeros((1, 32, 32, 3)), tx,
+                               accumulate=accumulate)
     return jax.device_put(state, replicated_sharding(mesh))
 
 
@@ -84,8 +85,11 @@ def test_sharded_eval_metrics_match():
 
 
 def test_grad_accumulation_equivalence():
-    """accumulate=2 over a batch == accumulate=1 with mean semantics
-    (same grads up to BN-stat differences on microbatches)."""
+    """Reference every-k-batches semantics: with accumulate=2, the first
+    call only accumulates (params untouched, step==0); feeding the SAME
+    batch twice, the update applied on call 2 equals the accumulate=1
+    update exactly (train-mode BN uses batch stats, so the two passes
+    produce identical grads and their mean is the single-batch grad)."""
     mesh = make_mesh()
     imgs, segs = _batch(jax.random.PRNGKey(3))
     bi = jax.device_put(imgs, data_sharding(mesh))
@@ -95,15 +99,21 @@ def test_grad_accumulation_equivalence():
     step_a = make_train_step(accumulate=1, donate=False)
     state_a, loss_a = step_a(state_a, bi, bs)
 
-    state_b = _setup(mesh)
+    state_b = _setup(mesh, accumulate=2)
     step_b = make_train_step(accumulate=2, donate=False)
+    params0 = jax.tree.map(np.asarray, state_b.params)
     state_b, loss_b = step_b(state_b, bi, bs)
-
-    # same data overall; losses close (not identical: BN normalizes per
-    # microbatch under accumulation, a genuine semantic difference shared
-    # with the reference's every-k-batches accumulation)
-    assert abs(float(loss_a) - float(loss_b)) < 0.5
-    assert np.isfinite(float(loss_b))
+    # call 1: pure accumulation — no optimizer update
+    assert int(state_b.step) == 0
+    for a, b in zip(jax.tree.leaves(params0),
+                    jax.tree.leaves(jax.tree.map(np.asarray, state_b.params))):
+        np.testing.assert_array_equal(a, b)
+    state_b, loss_b = step_b(state_b, bi, bs)
+    assert int(state_b.step) == 1
+    assert abs(float(loss_a) - float(loss_b)) < 1e-5
+    for a, b in zip(jax.tree.leaves(jax.tree.map(np.asarray, state_a.params)),
+                    jax.tree.leaves(jax.tree.map(np.asarray, state_b.params))):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
 def test_spatial_sharding_2d_mesh():

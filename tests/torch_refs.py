@@ -1,0 +1,435 @@
+"""Torch reconstructions of the reference models for golden parity tests.
+
+The reference (/root/reference) depends on the unavailable `pytorch_modules`
+package for ConvNormAct and the MobileNetV2/ResNet backbones; these are
+rebuilt here from the documented contracts (SURVEY.md §2.9) so the full
+reference forward pass can be executed in torch and compared numerically
+against the flax models with ported weights:
+
+  - TConvNormAct  == pytorch_modules.nn.ConvNormAct (Conv2d bias=False +
+    BatchNorm2d(momentum 0.1) + activation; padding = dilation*(k-1)//2)
+  - TMobileNetV2 / TResNet use torchvision state_dict naming so they also
+    exercise utils/port_torch.convert_mobilenetv2 / convert_resnet (the
+    production import path for real torchvision zoo weights).
+  - TUNet / TDeepLabV3Plus / TASPP / THRNet reproduce the reference forward
+    math (models/unet.py:27-56, models/deeplabv3plus.py:27-43,
+    models/aspp.py:8-37, models/hrnet.py:27-406); decoder/stage module names
+    mirror the flax module names so utils/port_torch.convert_named maps the
+    weights 1:1.
+"""
+
+from __future__ import annotations
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+class TConvNormAct(nn.Module):
+    def __init__(self, cin, cout, k=3, stride=1, dilation=1, groups=1,
+                 activate="relu"):
+        super().__init__()
+        pad = dilation * (k - 1) // 2
+        self.conv = nn.Conv2d(cin, cout, k, stride=stride, padding=pad,
+                              dilation=dilation, groups=groups, bias=False)
+        self.bn = nn.BatchNorm2d(cout, momentum=0.1, eps=1e-5)
+        self.activate = activate
+
+    def forward(self, x):
+        x = self.bn(self.conv(x))
+        if self.activate == "relu":
+            return F.relu(x)
+        if self.activate == "relu6":
+            return F.relu6(x)
+        return x
+
+
+def randomize_bn_stats(model, seed=0):
+    """Give every BN non-trivial affine params + running stats so eval-mode
+    parity actually tests the BN math (fresh BNs are identity)."""
+    g = torch.Generator().manual_seed(seed)
+    for m in model.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            with torch.no_grad():
+                m.weight.copy_(0.5 + torch.rand(m.weight.shape, generator=g))
+                m.bias.copy_(0.1 * torch.randn(m.bias.shape, generator=g))
+                m.running_mean.copy_(
+                    0.1 * torch.randn(m.running_mean.shape, generator=g))
+                m.running_var.copy_(
+                    0.5 + torch.rand(m.running_var.shape, generator=g))
+
+
+# ---------------------------------------------------------------------------
+# MobileNetV2 (torchvision features.* naming; 5 taps @ strides 2/4/8/16/32)
+# ---------------------------------------------------------------------------
+
+class _InvertedResidual(nn.Module):
+    def __init__(self, cin, cout, stride, expand):
+        super().__init__()
+        hidden = cin * expand
+        self.use_res = stride == 1 and cin == cout
+        layers = []
+        if expand != 1:
+            layers.append(nn.Sequential(
+                nn.Conv2d(cin, hidden, 1, bias=False),
+                nn.BatchNorm2d(hidden), nn.ReLU6(inplace=True)))
+        layers.append(nn.Sequential(
+            nn.Conv2d(hidden, hidden, 3, stride=stride, padding=1,
+                      groups=hidden, bias=False),
+            nn.BatchNorm2d(hidden), nn.ReLU6(inplace=True)))
+        layers.append(nn.Conv2d(hidden, cout, 1, bias=False))
+        layers.append(nn.BatchNorm2d(cout))
+        self.conv = nn.Sequential(*layers)
+
+    def forward(self, x):
+        return x + self.conv(x) if self.use_res else self.conv(x)
+
+
+_MBV2_CFG = [(1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+             (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1)]
+
+
+class TMobileNetV2(nn.Module):
+    """Returns (x1, x2, x3, x4, x): 16/24/32/96/1280 ch (SURVEY.md §2.9)."""
+
+    def __init__(self):
+        super().__init__()
+        feats = [nn.Sequential(nn.Conv2d(3, 32, 3, stride=2, padding=1,
+                                         bias=False),
+                               nn.BatchNorm2d(32), nn.ReLU6(inplace=True))]
+        cin = 32
+        for t, c, n, s in _MBV2_CFG:
+            for i in range(n):
+                feats.append(_InvertedResidual(cin, c, s if i == 0 else 1, t))
+                cin = c
+        feats.append(nn.Sequential(nn.Conv2d(cin, 1280, 1, bias=False),
+                                   nn.BatchNorm2d(1280),
+                                   nn.ReLU6(inplace=True)))
+        self.features = nn.Sequential(*feats)
+        # tap positions: end of cfg stages 0/1/2/4 + head
+        self._taps = (1, 3, 6, 13, 18)
+
+    def forward(self, x):
+        taps = []
+        for i, layer in enumerate(self.features):
+            x = layer(x)
+            if i in self._taps:
+                taps.append(x)
+        return tuple(taps)
+
+
+# ---------------------------------------------------------------------------
+# ResNet (torchvision naming + v1.5 stride-on-3x3 + dilation semantics)
+# ---------------------------------------------------------------------------
+
+class _TorchBottleneck(nn.Module):
+    expansion = 4
+
+    def __init__(self, cin, width, stride=1, dilation=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, width, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.conv2 = nn.Conv2d(width, width, 3, stride=stride,
+                               padding=dilation, dilation=dilation,
+                               bias=False)
+        self.bn2 = nn.BatchNorm2d(width)
+        self.conv3 = nn.Conv2d(width, width * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(width * 4)
+        self.downsample = downsample
+
+    def forward(self, x):
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = F.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        res = x if self.downsample is None else self.downsample(x)
+        return F.relu(out + res)
+
+
+class _TorchBasicBlock(nn.Module):
+    expansion = 1
+
+    def __init__(self, cin, width, stride=1, dilation=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, width, 3, stride=stride,
+                               padding=dilation, dilation=dilation,
+                               bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.conv2 = nn.Conv2d(width, width, 3, padding=dilation,
+                               dilation=dilation, bias=False)
+        self.bn2 = nn.BatchNorm2d(width)
+        self.downsample = downsample
+
+    def forward(self, x):
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        res = x if self.downsample is None else self.downsample(x)
+        return F.relu(out + res)
+
+
+class TResNet(nn.Module):
+    """Feature-list ResNet matching torchvision naming/semantics: returns
+    [stem(after relu, pre-maxpool), layer1..layer4]. The first block of a
+    dilated stage keeps the PREVIOUS dilation (torchvision _make_layer)."""
+
+    def __init__(self, block, layers,
+                 replace_stride_with_dilation=(False, False, False)):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        self._dilation = 1
+        self._cin = 64
+        widths = (64, 128, 256, 512)
+        for i, (w, n) in enumerate(zip(widths, layers)):
+            stride = 1 if i == 0 else 2
+            dilate = i > 0 and replace_stride_with_dilation[i - 1]
+            setattr(self, f"layer{i + 1}",
+                    self._make_layer(block, w, n, stride, dilate))
+
+    def _make_layer(self, block, width, n, stride, dilate):
+        prev_dilation = self._dilation
+        if dilate:
+            self._dilation *= stride
+            stride = 1
+        downsample = None
+        if stride != 1 or self._cin != width * block.expansion:
+            downsample = nn.Sequential(
+                nn.Conv2d(self._cin, width * block.expansion, 1,
+                          stride=stride, bias=False),
+                nn.BatchNorm2d(width * block.expansion))
+        blocks = [block(self._cin, width, stride, prev_dilation, downsample)]
+        self._cin = width * block.expansion
+        for _ in range(1, n):
+            blocks.append(block(self._cin, width, 1, self._dilation))
+        return nn.Sequential(*blocks)
+
+    def forward(self, x):
+        x = F.relu(self.bn1(self.conv1(x)))
+        feats = [x]
+        x = self.maxpool(x)
+        for i in range(4):
+            x = getattr(self, f"layer{i + 1}")(x)
+            feats.append(x)
+        return feats
+
+
+# ---------------------------------------------------------------------------
+# reference models (decoder math from /root/reference/models/*.py)
+# ---------------------------------------------------------------------------
+
+def _up(x, scale, align=True):
+    return F.interpolate(x, scale_factor=scale, mode="bilinear",
+                         align_corners=align)
+
+
+class TUNet(nn.Module):
+    """models/unet.py:13-56: 3 up-convs with x2 ups + skip concat, 3x3 cls
+    conv at 88ch between the last two x2 upsamples."""
+
+    def __init__(self, num_classes):
+        super().__init__()
+        self.backbone = TMobileNetV2()
+        self.up_conv0 = TConvNormAct(1280, 256)
+        self.up_conv1 = TConvNormAct(352, 128)
+        self.up_conv2 = TConvNormAct(160, 64)
+        self.cls_conv = nn.Conv2d(88, num_classes, 3, padding=1)
+
+    def forward(self, x):
+        x1, x2, x3, x4, x = self.backbone(x)
+        x = _up(self.up_conv0(x), 2)
+        x = self.up_conv1(torch.cat([x, x4], 1))
+        x = _up(x, 2)
+        x = self.up_conv2(torch.cat([x, x3], 1))
+        x = _up(x, 2)
+        x = _up(torch.cat([x, x2], 1), 2)
+        return _up(self.cls_conv(x), 2)
+
+
+class TASPPPooling(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.gap_conv = TConvNormAct(cin, cout, 1)
+
+    def forward(self, x):
+        y = self.gap_conv(F.adaptive_avg_pool2d(x, 1))
+        return F.interpolate(y, size=x.shape[-2:], mode="bilinear",
+                             align_corners=False)
+
+
+class TASPP(nn.Module):
+    def __init__(self, cin, cout, rates):
+        super().__init__()
+        self.pool = TASPPPooling(cin, cout)
+        self.conv1x1 = TConvNormAct(cin, cout, 1)
+        for i, r in enumerate(rates):
+            setattr(self, f"atrous{i}", TConvNormAct(cin, cout, 3, dilation=r))
+        self.n_rates = len(rates)
+        self.project = TConvNormAct(cout * (2 + len(rates)), cout, 1)
+
+    def forward(self, x):
+        ys = [self.pool(x), self.conv1x1(x)]
+        ys += [getattr(self, f"atrous{i}")(x) for i in range(self.n_rates)]
+        return self.project(torch.cat(ys, 1))
+
+
+class TDeepLabV3Plus(nn.Module):
+    """models/deeplabv3plus.py:14-44."""
+
+    def __init__(self, num_classes, layers=(3, 4, 6, 3)):
+        super().__init__()
+        self.backbone = TResNet(_TorchBottleneck, layers,
+                                replace_stride_with_dilation=(False, False,
+                                                              True))
+        self.project = TConvNormAct(256, 128, 1)
+        self.aspp = TASPP(2048, 256, (6, 12, 18))
+        self.cls_conv = nn.Conv2d(384, num_classes, 3, padding=1)
+
+    def forward(self, x):
+        feats = self.backbone(x)
+        low = self.project(feats[1])
+        y = _up(self.aspp(feats[-1]), 4)
+        y = self.cls_conv(torch.cat([y, low], 1))
+        return _up(y, 4)
+
+
+class TBottleneckCNA(nn.Module):
+    """HRNet-style bottleneck expressed with ConvNormAct children (names
+    conv1/conv2/conv3/downsample match the flax tree)."""
+
+    def __init__(self, cin, width, stride=1, downsample=False):
+        super().__init__()
+        self.conv1 = TConvNormAct(cin, width, 1)
+        self.conv2 = TConvNormAct(width, width, 3, stride=stride)
+        self.conv3 = TConvNormAct(width, width * 4, 1, activate=None)
+        self.downsample = (TConvNormAct(cin, width * 4, 1, stride=stride,
+                                        activate=None) if downsample else None)
+
+    def forward(self, x):
+        y = self.conv3(self.conv2(self.conv1(x)))
+        res = x if self.downsample is None else self.downsample(x)
+        return F.relu(y + res)
+
+
+class TBasicBlockCNA(nn.Module):
+    def __init__(self, cin, width, stride=1, downsample=False):
+        super().__init__()
+        self.conv1 = TConvNormAct(cin, width, 3, stride=stride)
+        self.conv2 = TConvNormAct(width, width, 3, activate=None)
+        self.downsample = (TConvNormAct(cin, width, 1, stride=stride,
+                                        activate=None) if downsample else None)
+
+    def forward(self, x):
+        y = self.conv2(self.conv1(x))
+        res = x if self.downsample is None else self.downsample(x)
+        return F.relu(y + res)
+
+
+class THRModule(nn.Module):
+    """models/hrnet.py:106-252: per-branch BasicBlock x4 + all-to-all fuse
+    (j>i: 1x1 + bilinear x2^(j-i) align_corners=False; j<i: strided 3x3
+    chain, last activation-free)."""
+
+    def __init__(self, in_channels, channels, multi_scale_output=True):
+        super().__init__()
+        self.nb = len(channels)
+        self.channels = channels
+        self.multi_scale_output = multi_scale_output
+        for i, (cin, c) in enumerate(zip(in_channels, channels)):
+            for b in range(4):
+                setattr(self, f"branch{i}_block{b}",
+                        TBasicBlockCNA(cin if b == 0 else c, c,
+                                       downsample=(b == 0 and cin != c)))
+        num_out = self.nb if multi_scale_output else 1
+        for i in range(num_out):
+            for j in range(self.nb):
+                if j > i:
+                    setattr(self, f"fuse{i}_{j}",
+                            TConvNormAct(channels[j], channels[i], 1))
+                elif j < i:
+                    for k in range(i - j):
+                        last = k == i - j - 1
+                        setattr(self, f"fuse{i}_{j}_down{k}",
+                                TConvNormAct(
+                                    channels[j],
+                                    channels[i] if last else channels[j],
+                                    3, stride=2,
+                                    activate=None if last else "relu"))
+
+    def forward(self, xs):
+        ys = []
+        for i in range(self.nb):
+            y = xs[i]
+            for b in range(4):
+                y = getattr(self, f"branch{i}_block{b}")(y)
+            ys.append(y)
+        num_out = self.nb if self.multi_scale_output else 1
+        fused = []
+        for i in range(num_out):
+            acc = None
+            for j in range(self.nb):
+                if j == i:
+                    z = ys[j]
+                elif j > i:
+                    z = _up(getattr(self, f"fuse{i}_{j}")(ys[j]),
+                            2 ** (j - i), align=False)
+                else:
+                    z = ys[j]
+                    for k in range(i - j):
+                        z = getattr(self, f"fuse{i}_{j}_down{k}")(z)
+                acc = z if acc is None else acc + z
+            fused.append(F.relu(acc))
+        return fused
+
+
+class THRNet(nn.Module):
+    """models/hrnet.py:255-406 with num_branches_list=[2,3,4], width 32."""
+
+    def __init__(self, num_classes, num_branches_list=(2, 3, 4), base=32):
+        super().__init__()
+        self.stem_conv1 = TConvNormAct(3, 64, 3, stride=2, activate=None)
+        self.stem_conv2 = TConvNormAct(64, 64, 3, stride=2)
+        for b in range(4):
+            setattr(self, f"stem_bottleneck{b}",
+                    TBottleneckCNA(256 if b else 64, 64, downsample=(b == 0)))
+        self.num_branches_list = num_branches_list
+        prev = [256]
+        for s, nb in enumerate(num_branches_list):
+            cur = [base * (2 ** i) for i in range(nb)]
+            for i in range(nb):
+                if i < len(prev):
+                    if prev[i] != cur[i]:
+                        setattr(self, f"transition{s}_{i}",
+                                TConvNormAct(prev[i], cur[i], 3))
+                else:
+                    cin = prev[-1]
+                    for j in range(i + 1 - len(prev)):
+                        out = cur[i] if j == i - len(prev) else prev[-1]
+                        setattr(self, f"transition{s}_{i}_down{j}",
+                                TConvNormAct(cin, out, 3, stride=2))
+                        cin = out
+            last = s == len(num_branches_list) - 1
+            setattr(self, f"stage{s}",
+                    THRModule(cur, cur, multi_scale_output=not last))
+            prev = cur
+        self.final_layer = nn.Conv2d(prev[0], num_classes, 1)
+
+    def forward(self, x):
+        x = self.stem_conv2(self.stem_conv1(x))
+        for b in range(4):
+            x = getattr(self, f"stem_bottleneck{b}")(x)
+        ys = [x]
+        prev_n = 1
+        for s, nb in enumerate(self.num_branches_list):
+            xs = []
+            for i in range(nb):
+                if i < prev_n:
+                    t = getattr(self, f"transition{s}_{i}", None)
+                    xs.append(ys[i] if t is None else t(ys[i]))
+                else:
+                    z = ys[-1]
+                    for j in range(i + 1 - prev_n):
+                        z = getattr(self, f"transition{s}_{i}_down{j}")(z)
+                    xs.append(z)
+            ys = getattr(self, f"stage{s}")(xs)
+            prev_n = nb
+        return _up(self.final_layer(ys[0]), 4, align=False)

@@ -38,7 +38,7 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
           adam, resume, weights, num_workers, multi_scale, rect,
           mixed_precision, notest, nosave, seed=0, profile=False,
           dataset="cocoinstance", remat=False, lr_schedule="constant",
-          warmup_steps=0, fast_augment=False):
+          warmup_steps=0, fast_augment=False, precompile=False):
     ds_cls, train_file, val_file = DATASETS[dataset]
     train_coco = osp.join(data_dir, train_file)
     val_coco = osp.join(data_dir, val_file)
@@ -80,12 +80,23 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
                       weights=weights, resume=resume,
                       mixed_precision=mixed_precision, mesh=mesh, seed=seed,
                       profile=profile,
-                      # multi-scale resizes inputs after normalization; keep
-                      # the reference's two-resize composition exactly there
-                      defer_upsample=not multi_scale,
+                      # deferred upsample composes with multi-scale: the
+                      # reference resizes only the *images* post-normalize
+                      # (utils/datasets.py:206-212) — labels stay at base
+                      # resolution, so the loss pairing (low-res logits vs
+                      # label-res targets) is unchanged per logits size
+                      defer_upsample=True,
                       lr_schedule=lr_schedule, warmup_steps=warmup_steps,
+                      # optimizer updates: one per `accumulate` loader
+                      # batches (reference every-k-batches accumulation)
                       total_steps=epochs * len(train_loader)
                       // max(1, accumulate))
+    if precompile:
+        # warm-up precompilation of the bounded multi-scale size set (or the
+        # single base size) — no first-epoch compile stalls
+        from pytorch_segmentation_tpu.data.resize_host import multi_scale_sizes
+        sizes = (multi_scale_sizes((h, w)) if multi_scale else [(h, w)])
+        trainer.warmup(sizes, batch_size)
     while trainer.epoch < epochs:
         trainer.step()
         best = False
@@ -143,6 +154,9 @@ if __name__ == "__main__":
                              "— ~10x faster on TPU, see PERF.md")
     parser.add_argument("--debug-nans", action="store_true",
                         help="enable jax_debug_nans (sanitizer)")
+    parser.add_argument("--precompile", action="store_true",
+                        help="compile the train step for every multi-scale "
+                             "size up front (no first-epoch stalls)")
     opt = parser.parse_args()
 
     from pytorch_segmentation_tpu.utils.runtime import setup_runtime
@@ -161,4 +175,4 @@ if __name__ == "__main__":
           notest=opt.notest, nosave=opt.nosave, seed=opt.seed,
           profile=opt.profile, dataset=opt.dataset, remat=opt.remat,
           lr_schedule=opt.lr_schedule, warmup_steps=opt.warmup_steps,
-          fast_augment=opt.fast_augment)
+          fast_augment=opt.fast_augment, precompile=opt.precompile)
