@@ -30,8 +30,11 @@ def main():
     from pytorch_segmentation_tpu.utils.runtime import setup_runtime
 
     setup_runtime()
-    from pytorch_segmentation_tpu.nn.blocks import set_bn_stat_subsample
+    from pytorch_segmentation_tpu.nn.blocks import (set_bn_stat_subsample,
+                                                    set_force_fused_1x1)
     set_bn_stat_subsample(int(os.environ.get("PSEG_BN_SUBSAMPLE", "1")))
+    if os.environ.get("PSEG_FUSED_1X1"):  # 'off' => plain XLA A/B baseline
+        set_force_fused_1x1(os.environ["PSEG_FUSED_1X1"])
     on_tpu = jax.devices()[0].platform == "tpu"
     img = 513 if on_tpu else 129
     num_classes = 21

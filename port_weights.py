@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Port torchvision ImageNet backbone weights into a framework checkpoint.
+
+The reference gets pretrained encoders implicitly
+(`mobilenet_v2(pretrained=True)` at models/unet.py:16,
+`resnet50(pretrained=True)` at models/deeplabv3plus.py:17). This
+environment has no network access, so the equivalent here is explicit: feed
+a torchvision state_dict file (`.pth` from the zoo, or any state dict with
+torchvision naming) and get a `weights/`-style checkpoint whose backbone
+subtree is the ported weights and whose decoder stays at kaiming init —
+ready for `train.py --weights`.
+
+    python port_weights.py mobilenet_v2.pth --model unet -nc 21 \
+        -o weights/unet_imagenet.ckpt
+    python port_weights.py resnet50.pth --model deeplabv3plus -nc 21 \
+        -o weights/dlv3p_imagenet.ckpt
+
+The converters are numerically validated against torch-reconstructed
+reference models in tests/test_model_golden_parity.py (<1e-3 max-abs at
+320x320 through the full forward).
+"""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_segmentation_tpu.engine.checkpoint import save_checkpoint
+from pytorch_segmentation_tpu.models import build_model
+from pytorch_segmentation_tpu.utils.port_torch import (
+    jax_to_py, load_pretrained_backbone)
+
+_BACKBONE_ARCH = {
+    "unet": "mobilenetv2",
+    "deeplabv3plus": "resnet50",
+}
+
+
+def run(sd_path, model_name, num_classes, out_path, arch=None):
+    arch = arch or _BACKBONE_ARCH.get(model_name)
+    if arch is None:
+        raise SystemExit(f"--arch required for model {model_name!r} "
+                         "(hrnet has no torchvision backbone)")
+    model = build_model(model_name, num_classes=num_classes)
+    init_fn = jax.jit(lambda rng, x: model.init({"params": rng}, x,
+                                                train=False))
+    variables = init_fn(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 3), jnp.float32))
+    params = jax_to_py(variables["params"])
+    stats = jax_to_py(variables.get("batch_stats", {}))
+    params, stats = load_pretrained_backbone(params, stats, sd_path, arch)
+    save_checkpoint(out_path, params, stats)
+    print(f"wrote {out_path} ({model_name}, backbone={arch}, "
+          f"nc={num_classes})")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("state_dict", help="torchvision .pth file")
+    parser.add_argument("--model", type=str, default="deeplabv3plus",
+                        choices=["unet", "deeplabv3plus", "hrnet"])
+    parser.add_argument("-nc", "--num-classes", type=int, default=21)
+    parser.add_argument("-o", "--output", type=str,
+                        default="weights/pretrained.ckpt")
+    parser.add_argument("--arch", type=str, default=None,
+                        choices=["mobilenetv2", "resnet50", "resnet34"],
+                        help="backbone converter (defaults by model)")
+    opt = parser.parse_args()
+    run(opt.state_dict, opt.model, opt.num_classes, opt.output, opt.arch)

@@ -29,6 +29,11 @@ Remaining approximations vs imgaug (hardware/compiler-forced; same spirit):
   - MedianBlur -> Gaussian of matched width (true rank filters are hostile
     to vector units); Superpixels -> fixed-grid block mosaic (SLIC
     clustering is sequential; n_segments must be static under jit).
+  - Affine order=1 (bilinear) is realized by default as single-tap
+    stochastic bilinear (tap drawn with its bilinear weight; per-pixel
+    expectation exact) — TPU gathers cost per element, so the exact 4-tap
+    warp costs ~3x the rest of the pipeline combined; force it with
+    image_warp_order=1.
   - Simplex/frequency "blobby" blend masks -> bilinearly-upsampled uniform
     noise (static shapes; same band-limited character).
   - Photometric pool ops always apply AFTER the fused geometric warp
@@ -76,9 +81,14 @@ class AugmentConfig:
     fast_geometric: bool = False
     # interpolation order of the general image warp. None (default) samples
     # from {0: nearest, 1: bilinear} per image — the reference's Affine
-    # order=[0, 1] (utils/datasets.py:47-50). 0 or 1 force one order; 0 is
-    # the fastest (a single packed gather instead of four). Masks always
-    # warp nearest.
+    # order=[0, 1] (utils/datasets.py:47-50) — with order=1 realized as
+    # SINGLE-TAP STOCHASTIC bilinear: the sampling coordinate is dithered by
+    # U(-.5,.5) before rounding, so each tap is drawn with its bilinear
+    # weight and the per-pixel EXPECTATION equals exact bilinear, at
+    # one-gather cost (TPU gathers cost per element: the exact 4-tap warp
+    # measures ~3x the whole remaining pipeline). 1 forces the exact 4-tap
+    # bilinear warp; 0 forces pure nearest. Masks always warp nearest
+    # (sharing the image's tap, the to_deterministic contract).
     image_warp_order: int | None = None
     # geometric (reference utils/datasets.py:29-57)
     p_fliplr: float = 0.5
@@ -279,14 +289,21 @@ def _unpack_rgb(g):
                       ((g >> 16) & 0xFF).astype(jnp.float32)], axis=-1)
 
 
-def _sample_nearest_packed(img_u8, seg_u8, sy, sx, mode, cval):
-    """Nearest warp of image+mask with ONE gather of the packed word."""
+def _sample_nearest_packed(img_u8, seg_u8, sy, sx, mode, cval,
+                           dither_y=None, dither_x=None):
+    """Nearest warp of image+mask with ONE gather of the packed word.
+    `dither_*` (U(-.5,.5) fields or None) select the tap stochastically with
+    bilinear weights (expectation == exact bilinear) — applied after
+    boundary handling so range masks stay those of the true coordinates."""
     h, w = seg_u8.shape
     packed = _pack_u32(img_u8, seg_u8)
     img_in = (sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1)
     seg_in = (sx >= -0.5) & (sx <= w - 0.5) & (sy >= -0.5) & (sy <= h - 0.5)
     bx = _boundary(sx, w, mode)
     by = _boundary(sy, h, mode)
+    if dither_x is not None:
+        bx = bx + dither_x
+        by = by + dither_y
     xi = jnp.clip(jnp.round(bx), 0, w - 1).astype(jnp.int32)
     yi = jnp.clip(jnp.round(by), 0, h - 1).astype(jnp.int32)
     g = packed[yi, xi]
@@ -357,10 +374,17 @@ def _geometric_one(key, img_u8, seg_u8, gates, cfg: AugmentConfig):
     if cfg.image_warp_order == 0:
         return _sample_nearest_packed(img_u8, seg_u8, sy, sx, mode, cval)
     if cfg.image_warp_order == 1:
-        use_bilinear = jnp.bool_(True)
-    else:
-        use_bilinear = jax.random.bernoulli(k_order, 0.5)
-    return _sample_packed(img_u8, seg_u8, sy, sx, mode, cval, use_bilinear)
+        return _sample_packed(img_u8, seg_u8, sy, sx, mode, cval,
+                              jnp.bool_(True))
+    # default: per-image order from {nearest, stochastic bilinear} — the
+    # dither realizes bilinear weights as tap probabilities (unbiased)
+    ko1, ko2, ko3 = jax.random.split(k_order, 3)
+    use_bilinear = jax.random.bernoulli(ko1, 0.5)
+    scale = jnp.where(use_bilinear, 1.0, 0.0)
+    dy = scale * (jax.random.uniform(ko2, (h, w)) - 0.5)
+    dx = scale * (jax.random.uniform(ko3, (h, w)) - 0.5)
+    return _sample_nearest_packed(img_u8, seg_u8, sy, sx, mode, cval,
+                                  dither_y=dy, dither_x=dx)
 
 
 # ---------------------------------------------------------------------------

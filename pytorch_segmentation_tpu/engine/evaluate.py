@@ -14,7 +14,8 @@ import numpy as np
 from tqdm import tqdm
 
 from ..ops.metrics import compute_metrics
-from ..parallel.mesh import data_sharding, make_mesh
+from ..parallel.mesh import (data_sharding, make_mesh, put_global_batch,
+                             replicated_sharding)
 from .steps import TrainState, make_eval_step, make_predict_step
 
 __all__ = ["test"]
@@ -35,12 +36,17 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
     align = getattr(module, "up_align_corners", True)
     if getattr(module, "full_res_output", None) is True:
         module = module.clone(full_res_output=False)
-    eval_step = make_eval_step(num_classes, align_corners=align)
+    mesh = mesh if mesh is not None else make_mesh()
+    # eval outputs must be readable on every host: pin them replicated
+    eval_step = make_eval_step(num_classes, align_corners=align,
+                               out_shardings=replicated_sharding(mesh))
     state = TrainState(step=0, params=model.params,
                        batch_stats=model.batch_stats, opt_state=None,
                        tx=None, apply_fn=module.apply)
-    mesh = mesh if mesh is not None else make_mesh()
     sharding = data_sharding(mesh)
+    batch_sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(mesh.axis_names[0]))
+    multihost = jax.process_count() > 1
 
     tp = np.zeros(num_classes)
     fn = np.zeros(num_classes)
@@ -50,15 +56,18 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
     pbar = tqdm(fetcher, total=len(fetcher),
                 disable=not log or jax.process_index() != 0)
     for images, segs, valid in pbar:
-        images = jax.device_put(images, sharding)
-        segs = jax.device_put(segs, sharding)
-        loss, tp_i, fn_i, fp_i = eval_step(state, images, segs, valid)
+        # per-sample mask: multi-host padding is interleaved per process, so
+        # the mask shards alongside the batch (steps.sample_valid_mask)
+        local_mask = np.arange(images.shape[0]) < int(valid)
+        images, segs = put_global_batch(sharding, images, segs)
+        mask = put_global_batch(batch_sharding, local_mask)
+        loss, tp_i, fn_i, fp_i = eval_step(state, images, segs, mask)
         n_batches += 1
         val_loss += float(loss)
         tp += np.asarray(tp_i)
         fn += np.asarray(fn_i)
         fp += np.asarray(fp_i)
-        if n_batches == 1 and show_first_batch:
+        if n_batches == 1 and show_first_batch and not multihost:
             # predictions only needed for the first-batch visual dump
             # (reference test.py:32-33); computed separately on <=8 samples
             predict = make_predict_step(align_corners=align)

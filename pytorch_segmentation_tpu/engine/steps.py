@@ -130,17 +130,31 @@ def make_train_step(loss_fn: Callable = compute_loss, accumulate: int = 1,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(num_classes: int, align_corners: bool = True,
-                   use_pallas: bool = True):
-    """Returns jitted (state, images, segs, valid) -> (loss, tp, fn, fp)
-    with padded samples masked out of the confusion counts.
+def sample_valid_mask(valid, b: int):
+    """Per-sample bool mask from either a valid-count scalar or an explicit
+    [B] mask (multi-host eval padding is interleaved per process)."""
+    valid = jnp.asarray(valid)
+    if valid.ndim == 0:
+        return jnp.arange(b) < valid
+    return valid.astype(bool)
 
-    `valid` is the count of real samples in the batch; padded tail samples
-    (duplicates of real ones) are excluded from the confusion counts AND the
-    loss on both paths. On TPU with low-res logits, the
-    upsample+argmax+confusion and the upsample+CE are fused Pallas kernels
-    that never materialize full-res logits (ops/pallas/); the loss uses the
-    kernel's per-sample partials for the masked mean.
+
+def make_eval_step(num_classes: int, align_corners: bool = True,
+                   use_pallas: bool = True, out_shardings=None):
+    """Returns jitted (state, images, segs, valid) -> (loss, tp, fn, fp)
+    with padded samples masked out of the confusion counts. Pass
+    out_shardings=replicated for multi-host meshes so every process can
+    read the metric vectors (reference test.py:51-58 all_reduce semantics).
+
+    `valid` is either the count of real samples in the batch (int) or a
+    per-sample bool mask [B] (multi-host: every process pads its own final
+    batch, so the padding is interleaved in the global array and a count
+    cannot describe it). Padded tail samples (duplicates of real ones) are
+    excluded from the confusion counts AND the loss on both paths. On TPU
+    with low-res logits, the upsample+argmax+confusion and the upsample+CE
+    are fused Pallas kernels that never materialize full-res logits
+    (ops/pallas/); the loss uses the kernel's per-sample partials for the
+    masked mean.
     """
 
     def step(state: TrainState, images, segs, valid):
@@ -156,7 +170,7 @@ def make_eval_step(num_classes: int, align_corners: bool = True,
             from ..ops.pallas.softmax_ce import fused_upsample_ce_per_sample
             per_sample = fused_upsample_ce_per_sample(
                 logits, segs, align_corners=align_corners)
-            mask = (jnp.arange(per_sample.shape[0]) < valid)
+            mask = sample_valid_mask(valid, per_sample.shape[0])
             loss = jnp.sum(per_sample * mask) / jnp.maximum(
                 jnp.sum(mask), 1.0)
             tp, fn, fp = fused_eval_confusion(logits, segs, valid,
@@ -164,7 +178,7 @@ def make_eval_step(num_classes: int, align_corners: bool = True,
             return loss, tp, fn, fp
 
         b = images.shape[0]
-        sample_mask = (jnp.arange(b) < valid)
+        sample_mask = sample_valid_mask(valid, b)
         # loss over valid samples only (per-sample CE, then masked mean)
         up = resize_bilinear(logits.astype(jnp.float32), (th, tw),
                              align_corners=align_corners)
@@ -189,7 +203,7 @@ def make_eval_step(num_classes: int, align_corners: bool = True,
         fp = jnp.sum(cm, axis=0) - tp
         return loss, tp, fn, fp
 
-    return jax.jit(step)
+    return jax.jit(step, out_shardings=out_shardings)
 
 
 def make_predict_step(align_corners: bool = True):

@@ -20,11 +20,13 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from tqdm import tqdm
 
 from ..ops.loss import compute_loss, make_loss_fn
-from ..parallel.mesh import data_sharding, make_mesh, replicated_sharding
+from ..parallel.mesh import (data_sharding, make_mesh, put_global_batch,
+                             put_replicated_tree, replicated_sharding)
 from .checkpoint import load_checkpoint, restore_into, save_checkpoint
 from .steps import create_train_state, make_train_step
 
@@ -114,7 +116,6 @@ class Trainer:
         rng = jax.random.PRNGKey(seed)
         self.state = create_train_state(self._train_module, rng, sample,
                                         self.tx, accumulate=self.accumulate)
-        self.state = jax.device_put(self.state, self._repl_sharding)
 
         if weights:
             ckpt = load_checkpoint(weights)
@@ -133,6 +134,10 @@ class Trainer:
                                        ckpt["opt_state"]))
             self.epoch = int(ckpt["epoch"])
             self.metrics = float(ckpt["best_miou"])
+
+        # replicate over the mesh after any restore (multi-host: every
+        # process inits/loads the same state and contributes its replicas)
+        self.state = put_replicated_tree(self._repl_sharding, self.state)
 
         self._train_step = make_train_step(loss_fn=loss_fn,
                                            accumulate=self.accumulate)
@@ -154,12 +159,10 @@ class Trainer:
             w, h = ds.img_size
             label_hw = (h, w)
         for hh, ww in sizes_hw:
-            images = jax.device_put(
-                jnp.zeros((batch_size, hh, ww, 3), jnp.float32),
-                self._data_sharding)
-            segs = jax.device_put(
-                jnp.zeros((batch_size,) + tuple(label_hw), jnp.int32),
-                self._data_sharding)
+            images, segs = put_global_batch(
+                self._data_sharding,
+                np.zeros((batch_size, hh, ww, 3), np.float32),
+                np.zeros((batch_size,) + tuple(label_hw), np.int32))
             # the step donates its state arg: hand it a throwaway copy
             s = jax.tree.map(jnp.copy, self.state)
             s, loss = self._train_step(s, images, segs)
@@ -180,8 +183,10 @@ class Trainer:
             if self.profile and self.epoch == 0 and n == 2:
                 jax.profiler.start_trace(osp.join(self.log_dir, "profile"))
                 profiling = True
-            images = jax.device_put(images, self._data_sharding)
-            segs = jax.device_put(segs, self._data_sharding)
+            # single-host: device_put; multi-host: the loader yields this
+            # process's rank shard and the shards assemble into one global
+            # array (jax.make_array_from_process_local_data)
+            images, segs = put_global_batch(self._data_sharding, images, segs)
             self.state, loss = self._train_step(self.state, images, segs)
             n += 1
             images_seen += int(valid)

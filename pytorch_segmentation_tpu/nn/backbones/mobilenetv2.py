@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..blocks import ConvNormAct
+from ..blocks import ConvNormAct, ConvStatsFolded, fused_1x1_available
 
 __all__ = ["MobileNetV2", "MOBILENETV2_TAP_CHANNELS"]
 
@@ -48,17 +48,41 @@ class InvertedResidual(nn.Module):
         in_features = x.shape[-1]
         hidden = in_features * self.expand_ratio
         use_residual = self.stride == 1 and in_features == self.features
-        y = x
-        if self.expand_ratio != 1:
-            y = ConvNormAct(hidden, kernel_size=1, activate=relu6,
+        if fused_1x1_available() and self.expand_ratio != 1:
+            # block-fused path (see resnet.Bottleneck): expand's statistics
+            # ride its matmul epilogue; the depthwise output's BN+relu6
+            # fuses into project's prologue. Identical math + param tree.
+            cdt = self.dtype
+            ones = jnp.ones(in_features, jnp.float32)
+            zeros = jnp.zeros(in_features, jnp.float32)
+            # block inputs carry no activation (project has none), so the
+            # expand prologue is the identity
+            y1, sc1, sh1 = ConvStatsFolded(
+                hidden, 1, act_in="none", dtype=cdt,
+                axis_name=self.axis_name, name="expand")(x, ones, zeros,
+                                                         train=train)
+            y2, sc2, sh2 = ConvStatsFolded(
+                hidden, 3, stride=self.stride, groups=hidden,
+                act_in="relu6", dtype=cdt, axis_name=self.axis_name,
+                name="depthwise")(y1, sc1, sh1, train=train)
+            y3, sc3, sh3 = ConvStatsFolded(
+                self.features, 1, act_in="relu6", dtype=cdt,
+                axis_name=self.axis_name, name="project")(y2, sc2, sh2,
+                                                          train=train)
+            y = y3.astype(cdt) * sc3.astype(cdt) + sh3.astype(cdt)
+        else:
+            y = x
+            if self.expand_ratio != 1:
+                y = ConvNormAct(hidden, kernel_size=1, activate=relu6,
+                                dtype=self.dtype, axis_name=self.axis_name,
+                                name="expand")(y, train=train)
+            y = ConvNormAct(hidden, kernel_size=3, stride=self.stride,
+                            groups=hidden, activate=relu6, dtype=self.dtype,
+                            axis_name=self.axis_name,
+                            name="depthwise")(y, train=train)
+            y = ConvNormAct(self.features, kernel_size=1, activate=None,
                             dtype=self.dtype, axis_name=self.axis_name,
-                            name="expand")(y, train=train)
-        y = ConvNormAct(hidden, kernel_size=3, stride=self.stride,
-                        groups=hidden, activate=relu6, dtype=self.dtype,
-                        axis_name=self.axis_name, name="depthwise")(y, train=train)
-        y = ConvNormAct(self.features, kernel_size=1, activate=None,
-                        dtype=self.dtype, axis_name=self.axis_name,
-                        name="project")(y, train=train)
+                            name="project")(y, train=train)
         if use_residual:
             y = y + x
         return y

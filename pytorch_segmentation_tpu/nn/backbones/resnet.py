@@ -14,7 +14,7 @@ from collections.abc import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..blocks import ConvNormAct
+from ..blocks import ConvNormAct, ConvStatsFolded, fused_1x1_available
 
 __all__ = ["ResNet", "resnet34_cfg", "resnet50_cfg"]
 
@@ -46,6 +46,16 @@ class BasicBlock(nn.Module):
 
 
 class Bottleneck(nn.Module):
+    """1x1 -> 3x3(stride/dilation) -> 1x1x4 with residual add.
+
+    On a single TPU chip the two 1x1 convs run through the block-fused
+    Pallas path (ConvStatsFolded): BN statistics accumulate in each matmul's
+    epilogue and the previous BN-apply+ReLU fuses into the next matmul's
+    prologue, so the conv1/conv3 outputs cross HBM once instead of three
+    times (docs/fused_convbn_design.md; the train step is BN-bandwidth-bound,
+    PERF.md). Identical math and identical param tree — elsewhere the plain
+    ConvNormAct chain runs."""
+
     features: int  # bottleneck width; output = features * 4
     stride: int = 1
     dilation: int = 1
@@ -57,14 +67,36 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        y = ConvNormAct(self.features, 1, dtype=self.dtype,
-                        axis_name=self.axis_name, name="conv1")(x, train=train)
-        # stride on the 3x3 (torchvision v1.5+ convention)
-        y = ConvNormAct(self.features, 3, stride=self.stride,
-                        dilation=self.dilation, dtype=self.dtype,
-                        axis_name=self.axis_name, name="conv2")(y, train=train)
-        y = ConvNormAct(self.features * 4, 1, activate=None, dtype=self.dtype,
-                        axis_name=self.axis_name, name="conv3")(y, train=train)
+        if fused_1x1_available():
+            cdt = self.dtype
+            ones = jnp.ones(x.shape[-1], jnp.float32)
+            zeros = jnp.zeros(x.shape[-1], jnp.float32)
+            # x is post-relu (block inputs are relu outputs), so the
+            # prologue relu(x*1+0) is exact
+            y1, sc1, sh1 = ConvStatsFolded(
+                self.features, 1, dtype=cdt, axis_name=self.axis_name,
+                name="conv1")(x, ones, zeros, train=train)
+            y2, sc2, sh2 = ConvStatsFolded(
+                self.features, 3, stride=self.stride,
+                dilation=self.dilation, dtype=cdt,
+                axis_name=self.axis_name,
+                name="conv2")(y1, sc1, sh1, train=train)
+            y3, sc3, sh3 = ConvStatsFolded(
+                self.features * 4, 1, dtype=cdt, axis_name=self.axis_name,
+                name="conv3")(y2, sc2, sh2, train=train)
+            y = y3.astype(cdt) * sc3.astype(cdt) + sh3.astype(cdt)
+        else:
+            y = ConvNormAct(self.features, 1, dtype=self.dtype,
+                            axis_name=self.axis_name,
+                            name="conv1")(x, train=train)
+            # stride on the 3x3 (torchvision v1.5+ convention)
+            y = ConvNormAct(self.features, 3, stride=self.stride,
+                            dilation=self.dilation, dtype=self.dtype,
+                            axis_name=self.axis_name,
+                            name="conv2")(y, train=train)
+            y = ConvNormAct(self.features * 4, 1, activate=None,
+                            dtype=self.dtype, axis_name=self.axis_name,
+                            name="conv3")(y, train=train)
         if self.downsample:
             residual = ConvNormAct(self.features * 4, 1, stride=self.stride,
                                    activate=None, dtype=self.dtype,

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 __all__ = ["ConvNormAct", "SeparableConvNormAct", "BatchNorm2d",
-           "conv_kernel_init", "BN_MOMENTUM"]
+           "BatchNormFolded", "ConvStatsFolded", "fused_1x1_available",
+           "set_force_fused_1x1", "conv_kernel_init", "BN_MOMENTUM"]
 
 BN_MOMENTUM = 0.1  # torch convention; flax momentum = 1 - BN_MOMENTUM
 
@@ -119,6 +120,166 @@ class BatchNorm2d(nn.Module):
         y = x.astype(self.dtype) * inv.astype(self.dtype) \
             + shift.astype(self.dtype)
         return y
+
+
+class BatchNormFolded(nn.Module):
+    """BatchNorm whose batch statistics arrive as column sums (from a fused
+    conv/matmul epilogue — ops/pallas/fused_matmul_bn.py) instead of being
+    reduced from the activation tensor. Returns the per-channel folded
+    (scale, shift) in f32 for the CONSUMER to apply — normalize itself fuses
+    into the next op's prologue. Param/stat names identical to BatchNorm2d
+    ('scale'/'bias' params, 'mean'/'var' stats), so checkpoints and the
+    torch weight port are unaffected."""
+
+    momentum: float = BN_MOMENTUM
+    epsilon: float = 1e-5
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, col_sum, col_sumsq, n, use_running_average: bool):
+        c = col_sum.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if use_running_average:
+            mean = ra_mean.value
+            var = ra_var.value
+        else:
+            mean = col_sum / n
+            ex2 = col_sumsq / n
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                ex2 = jax.lax.pmean(ex2, self.axis_name)
+            var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                                 + self.momentum * mean)
+                ra_var.value = ((1 - self.momentum) * ra_var.value
+                                + self.momentum * var)
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        shift = bias - mean * inv
+        return inv, shift
+
+
+class _Kernel(nn.Module):
+    """Bare conv-kernel param holder (path <name>/kernel) for layers whose
+    matmul runs in a Pallas kernel instead of nn.Conv."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", conv_kernel_init, self.shape,
+                          jnp.float32)
+
+
+_FORCE_FUSED_1X1 = None  # 'on' | 'off' | 'interpret' (tests) | None=default
+
+
+def set_force_fused_1x1(mode):
+    """None (default: off) | 'on' (opt-in) | 'interpret' (tests) | 'off'."""
+    global _FORCE_FUSED_1X1
+    _FORCE_FUSED_1X1 = mode
+
+
+def fused_1x1_available() -> bool:
+    """Whether ResNet/MobileNetV2 blocks route their 1x1 convs through the
+    fused Pallas kernel (ops/pallas/fused_matmul_bn.py).
+
+    DEFAULT OFF — measured negative result (PERF.md): despite the kernel
+    winning isolated forward microbenches (1.3x), the end-to-end DLV3+ step
+    drops 240 -> 155 img/s, because XLA already consumer-fuses the BN
+    statistic reductions and normalize multiply-adds it replaces (same
+    lesson as round-1's BN stat-subsampling), while the kernel's backward
+    re-reads activations twice. Kept as `PSEG_FUSED_1X1=on` /
+    set_force_fused_1x1('on') for future whole-block fusion work; only
+    meaningful on a single TPU chip (no shard_map partitioning yet)."""
+    if _FORCE_FUSED_1X1 == "interpret":
+        return True
+    if _FORCE_FUSED_1X1 == "on":
+        return (jax.devices()[0].platform == "tpu"
+                and jax.device_count() == 1)
+    return False
+
+
+class ConvStatsFolded(nn.Module):
+    """Conv (no bias) producing RAW output + this layer's folded BN
+    (scale, shift) for the consumer; consumes the PREVIOUS layer's raw
+    output + fold. Same param tree as ConvNormAct ({conv/kernel, bn/*}).
+
+    1x1 stride-1 on a single TPU chip: one fused Pallas pass
+    (BN-apply + ReLU prologue, matmul, statistics epilogue) — the raw input
+    is never normalized in HBM and the output is never re-read for
+    statistics. Otherwise: explicit normalize + XLA conv + XLA statistic
+    reduction (today's cost)."""
+
+    features: int
+    kernel_size: int = 1
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    # prologue activation == the PREVIOUS layer's nonlinearity:
+    # 'relu' | 'relu6' | 'none'
+    act_in: str = "relu"
+    dtype: jnp.dtype = jnp.bfloat16
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x_raw, in_scale, in_shift, train: bool = False):
+        k = self.kernel_size
+        cin = x_raw.shape[-1]
+        n_rows = x_raw.size // cin  # B*H*W of the OUTPUT == input (stride 1)
+        if (k == 1 and self.stride == 1 and self.groups == 1
+                and fused_1x1_available() and not self.is_initializing()):
+            from ..ops.pallas.fused_matmul_bn import fused_bn_act_matmul
+            kernel = _Kernel((1, 1, cin, self.features), name="conv")()
+            w2d = kernel.reshape(cin, self.features)
+            y, s, ss = fused_bn_act_matmul(
+                x_raw.astype(self.dtype), in_scale, in_shift,
+                w2d.astype(self.dtype), act=self.act_in,
+                interpret=_FORCE_FUSED_1X1 == "interpret")
+        else:
+            # XLA path: explicit BN-apply (bf16 folded multiply-add, same as
+            # BatchNorm2d) + conv + statistic reduction
+            cdt = self.dtype
+            pre = (x_raw.astype(cdt) * in_scale.astype(cdt)
+                   + in_shift.astype(cdt))
+            if self.act_in == "relu":
+                z = nn.relu(pre)
+            elif self.act_in == "relu6":
+                z = jnp.clip(pre, 0.0, jnp.asarray(6.0, cdt))
+            else:
+                z = pre
+            if (k == 1 and self.stride == 1 and self.groups == 1
+                    and not fused_1x1_available()):
+                # keep the param path identical across platforms
+                kernel = _Kernel((1, 1, cin, self.features), name="conv")()
+                y = jax.lax.dot_general(
+                    z.reshape(-1, cin), kernel.reshape(cin, self.features)
+                    .astype(cdt), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(cdt)
+                y = y.reshape(x_raw.shape[:-1] + (self.features,))
+            else:
+                p = _pad(k, self.dilation)
+                y = nn.Conv(self.features, kernel_size=(k, k),
+                            strides=(self.stride, self.stride),
+                            padding=[(p, p), (p, p)],
+                            kernel_dilation=(self.dilation, self.dilation),
+                            feature_group_count=self.groups,
+                            use_bias=False, dtype=cdt,
+                            param_dtype=jnp.float32,
+                            kernel_init=conv_kernel_init, name="conv")(z)
+                n_rows = y.size // self.features
+            yf = y.astype(jnp.float32)
+            s = jnp.sum(yf, axis=tuple(range(y.ndim - 1)))
+            ss = jnp.sum(jnp.square(yf), axis=tuple(range(y.ndim - 1)))
+        out_scale, out_shift = BatchNormFolded(
+            axis_name=self.axis_name if train else None,
+            name="bn")(s, ss, n_rows, use_running_average=not train)
+        return y, out_scale, out_shift
 
 
 class ConvNormAct(nn.Module):

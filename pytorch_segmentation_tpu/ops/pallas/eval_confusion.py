@@ -69,7 +69,8 @@ def _eval_kernel(logits_ref, labels_ref, mh_ref, mw_ref, out_ref, *,
 def fused_eval_confusion(logits, labels, valid, align_corners: bool = True,
                          tile: int = 64, interpret: bool = False):
     """logits [B, h, w, C] (h <= H), labels [B, H, W] int, valid = number of
-    real samples. Returns (tp, fn, fp) f32 [C] with padded samples excluded.
+    real samples (scalar) or a per-sample bool mask [B]. Returns (tp, fn, fp)
+    f32 [C] with padded samples excluded.
     """
     num_classes = logits.shape[-1]
     assert num_classes <= 128, "confusion kernel supports <=128 classes"
@@ -100,7 +101,9 @@ def fused_eval_confusion(logits, labels, valid, align_corners: bool = True,
     else:
         per_sample = run()
 
-    sample_mask = (jnp.arange(b) < valid).astype(jnp.float32)[:, None]
+    valid = jnp.asarray(valid)
+    mask = (jnp.arange(b) < valid) if valid.ndim == 0 else valid.astype(bool)
+    sample_mask = mask.astype(jnp.float32)[:, None]
     counts = jnp.sum(per_sample[:, :3, :num_classes]
                      * sample_mask[..., None], axis=0)  # [3, C]
     return counts[0], counts[1], counts[2]

@@ -23,7 +23,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "initialize_distributed", "make_mesh", "data_sharding",
-    "replicated_sharding", "shard_batch", "process_batch_slice",
+    "replicated_sharding", "shard_batch", "put_global_batch",
+    "put_replicated_tree",
 ]
 
 
@@ -71,10 +72,33 @@ def shard_batch(mesh: Mesh, *arrays, axis_name: str = "data"):
     return out[0] if len(out) == 1 else out
 
 
-def process_batch_slice(global_batch_size: int):
-    """(start, size) of this host's slice of the global batch for multi-host
-    data loading (each process feeds its addressable shard)."""
-    n = jax.process_count()
-    i = jax.process_index()
-    per = global_batch_size // n
-    return i * per, per
+def put_global_batch(sharding: NamedSharding, *arrays):
+    """Assemble device arrays for the train/eval step from this process's
+    LOCAL batch.
+
+    Single-process: a plain device_put onto `sharding`. Multi-host: each
+    process's loader yields its rank shard of the data
+    (DataLoader(rank, world_size) — the DistributedSampler contract,
+    reference train.py:33-35), and the shards combine into one global jax
+    Array via jax.make_array_from_process_local_data, so the global batch is
+    bs * process_count. device_put of a host-local array onto a mesh that
+    spans non-addressable devices would fail — this is the supported path.
+    """
+    if jax.process_count() == 1:
+        out = tuple(jax.device_put(a, sharding) for a in arrays)
+    else:
+        out = tuple(
+            jax.make_array_from_process_local_data(sharding, np.asarray(a))
+            for a in arrays)
+    return out[0] if len(out) == 1 else out
+
+
+def put_replicated_tree(sharding: NamedSharding, tree):
+    """Replicate a pytree (params/optimizer state) onto the mesh. Multi-host:
+    every process holds an identical host copy (same PRNG init / checkpoint),
+    and each contributes its addressable replicas."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), tree)

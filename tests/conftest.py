@@ -27,6 +27,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute tests (2-process distributed runs)")
+
+
 @pytest.fixture(scope="session", autouse=True)
 def _assert_cpu_mesh():
     assert jax.devices()[0].platform == "cpu"

@@ -107,24 +107,34 @@ def test_someof_selects_at_most_max():
 
 
 def test_warp_order_sampled_per_image(rng):
-    """With rotation forced on, nearest and bilinear warps of a smooth ramp
-    differ — per-image order sampling (reference Affine order=[0,1]) must
-    produce both behaviors across a batch of identical inputs."""
-    cfg = AugmentConfig(p_fliplr=0.0, p_flipud=0.0, p_crop_pad=0.0,
-                        p_affine=1.0, rotate_range=(30.0, 30.0),
-                        shear_range=(0.0, 0.0), scale_range=(1.0, 1.0),
-                        translate_range=(0.0, 0.0), p_sometimes=0.0,
-                        someof_max=0)
+    """Per-image order sampling (reference Affine order=[0,1]): the default
+    config's stochastic-bilinear dither makes some samples differ from the
+    pure-nearest warp while the nearest-order samples stay identical (the
+    two configs consume identical geometric randomness per sample, so only
+    the dither distinguishes them). Also: exact 4-tap bilinear (order=1)
+    yields fractional values on a ramp where nearest stays integral."""
+    kw = dict(p_fliplr=0.0, p_flipud=0.0, p_crop_pad=0.0, p_affine=1.0,
+              rotate_range=(30.0, 30.0), shear_range=(0.0, 0.0),
+              scale_range=(1.0, 1.0), translate_range=(0.0, 0.0),
+              p_sometimes=0.0, someof_max=0)
     ramp = np.linspace(0, 255, 32 * 32).reshape(32, 32).astype(np.uint8)
-    imgs = np.tile(ramp[None, :, :, None], (8, 1, 1, 3))
-    segs = np.zeros((8, 32, 32), dtype=np.uint8)
-    out_i, _ = make_augment_fn(cfg)(jax.random.PRNGKey(0),
-                                    jnp.asarray(imgs), jnp.asarray(segs))
-    out = np.asarray(out_i)
-    # bilinear produces non-integer values on a ramp; nearest stays integral
-    frac = np.abs(out - np.round(out)).max(axis=(1, 2, 3))
-    assert (frac > 1e-3).any(), "no bilinear-warped sample in batch"
-    assert (frac < 1e-6).any(), "no nearest-warped sample in batch"
+    imgs = jnp.asarray(np.tile(ramp[None, :, :, None], (8, 1, 1, 3)))
+    segs = jnp.zeros((8, 32, 32), jnp.uint8)
+    key = jax.random.PRNGKey(0)
+
+    out_def = np.asarray(make_augment_fn(AugmentConfig(**kw))(
+        key, imgs, segs)[0])
+    out_near = np.asarray(make_augment_fn(
+        AugmentConfig(image_warp_order=0, **kw))(key, imgs, segs)[0])
+    same = np.array([np.array_equal(out_def[i], out_near[i])
+                     for i in range(8)])
+    assert same.any(), "no nearest-order sample in batch"
+    assert (~same).any(), "no dithered (bilinear-order) sample in batch"
+
+    out_bil = np.asarray(make_augment_fn(
+        AugmentConfig(image_warp_order=1, **kw))(key, imgs, segs)[0])
+    frac = np.abs(out_bil - np.round(out_bil)).max()
+    assert frac > 1e-3, "exact bilinear should interpolate fractionally"
 
 
 def test_photometric_order_is_batch_random(rng):
