@@ -31,7 +31,8 @@ from flax import linen as nn
 
 __all__ = ["ConvNormAct", "SeparableConvNormAct", "BatchNorm2d",
            "BatchNormFolded", "ConvStatsFolded", "fused_1x1_available",
-           "set_force_fused_1x1", "conv_kernel_init", "BN_MOMENTUM"]
+           "set_force_fused_1x1", "set_conv1x1_dot", "conv_kernel_init",
+           "BN_MOMENTUM"]
 
 BN_MOMENTUM = 0.1  # torch convention; flax momentum = 1 - BN_MOMENTUM
 
@@ -282,6 +283,20 @@ class ConvStatsFolded(nn.Module):
         return y, out_scale, out_shift
 
 
+# 1x1 convolutions as explicit dot_general — measured NULL result (default
+# OFF): an interleaved same-process A/B on the bench config shows 0.999x
+# (XLA already canonicalizes 1x1 conv_general_dilated to the same matmul
+# emitters, forward and transpose). Kept as a switch for experiments; param
+# tree is unchanged (kernel [1,1,K,M] at <name>/kernel) so checkpoints are
+# compatible both ways. See tools/bench_ab.py.
+_CONV1X1_DOT = False
+
+
+def set_conv1x1_dot(on: bool):
+    global _CONV1X1_DOT
+    _CONV1X1_DOT = bool(on)
+
+
 class ConvNormAct(nn.Module):
     """Conv2d(bias=False) + BatchNorm2d + activation (default ReLU)."""
 
@@ -298,19 +313,33 @@ class ConvNormAct(nn.Module):
     def __call__(self, x, train: bool = False):
         k = self.kernel_size
         p = _pad(k, self.dilation)
-        x = nn.Conv(
-            self.features,
-            kernel_size=(k, k),
-            strides=(self.stride, self.stride),
-            padding=[(p, p), (p, p)],
-            kernel_dilation=(self.dilation, self.dilation),
-            feature_group_count=self.groups,
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=conv_kernel_init,
-            name="conv",
-        )(x)
+        if k == 1 and self.groups == 1 and _CONV1X1_DOT:
+            # exact: a 1x1/pad-0 conv ignores strided-away positions
+            kernel = _Kernel((1, 1, x.shape[-1], self.features),
+                             name="conv")()
+            if self.stride > 1:
+                x = x[:, ::self.stride, ::self.stride, :]
+            cin = x.shape[-1]
+            y = jax.lax.dot_general(
+                x.astype(self.dtype).reshape(-1, cin),
+                kernel.reshape(cin, self.features).astype(self.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(self.dtype)
+            x = y.reshape(x.shape[:-1] + (self.features,))
+        else:
+            x = nn.Conv(
+                self.features,
+                kernel_size=(k, k),
+                strides=(self.stride, self.stride),
+                padding=[(p, p), (p, p)],
+                kernel_dilation=(self.dilation, self.dilation),
+                feature_group_count=self.groups,
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=conv_kernel_init,
+                name="conv",
+            )(x)
         x = BatchNorm2d(
             dtype=self.dtype,
             axis_name=self.axis_name if train else None,

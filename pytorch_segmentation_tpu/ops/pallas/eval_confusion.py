@@ -75,11 +75,12 @@ def fused_eval_confusion(logits, labels, valid, align_corners: bool = True,
     num_classes = logits.shape[-1]
     assert num_classes <= 128, "confusion kernel supports <=128 classes"
     h_out, w_out = labels.shape[1], labels.shape[2]
-    logits32 = logits.astype(jnp.float32)
-    b, hh, ww, cc = logits32.shape
+    # keep the model's native dtype through the transpose: the per-tile
+    # bf16->f32 upcast inside _upsample_class is exact, at half the traffic
+    b, hh, ww, cc = logits.shape
     mh, mw, labels_p = _prep(hh, ww, labels, (h_out, w_out), align_corners,
                              tile)
-    logits_cm = jnp.transpose(logits32, (0, 3, 1, 2))
+    logits_cm = jnp.transpose(logits, (0, 3, 1, 2))
     n_tiles = mh.shape[0] // tile
 
     def run():

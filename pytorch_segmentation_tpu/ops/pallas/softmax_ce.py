@@ -61,8 +61,13 @@ def upsample_ce_reference(logits, labels, align_corners=True):
 
 
 def _upsample_class(logits_c, mh, mw):
-    """[h, w] -> [tile, W]: two 2-D MXU contractions."""
-    a = jax.lax.dot_general(mh, logits_c, (((1,), (0,)), ((), ())),
+    """[h, w] -> [tile, W]: two 2-D MXU contractions.
+
+    logits arrive in the model's compute dtype (bf16) and are upcast per
+    VMEM tile — bitwise identical to upcasting in HBM first (bf16->f32 is
+    exact) at half the HBM traffic for the class-major tensor."""
+    a = jax.lax.dot_general(mh, logits_c.astype(jnp.float32),
+                            (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     return jax.lax.dot_general(a, mw, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
@@ -187,12 +192,13 @@ def _fused_ce(logits, labels, out_hw, align_corners, tile):
     return s
 
 
-def _fwd_partials(logits32, labels, out_hw, align_corners, tile):
-    """Per-sample CE pixel SUMS [B] plus the residuals the VJP needs."""
-    b, hh, ww, cc = logits32.shape
+def _fwd_partials(logits, labels, out_hw, align_corners, tile):
+    """Per-sample CE pixel SUMS [B] plus the residuals the VJP needs.
+    logits stay in their native dtype (bf16 on the TPU hot path)."""
+    b, hh, ww, cc = logits.shape
     mh, mw, labels_p = _prep(hh, ww, labels, out_hw, align_corners, tile)
     h_out, w_out = out_hw
-    logits_cm = jnp.transpose(logits32, (0, 3, 1, 2))  # [B, C, h, w]
+    logits_cm = jnp.transpose(logits, (0, 3, 1, 2))  # [B, C, h, w]
     n_tiles = mh.shape[0] // tile
     partials = pl.pallas_call(
         functools.partial(_fwd_kernel, tile=tile, h_out=h_out,
@@ -207,10 +213,9 @@ def _fwd_partials(logits32, labels, out_hw, align_corners, tile):
 
 
 def _fused_ce_fwd(logits, labels, out_hw, align_corners, tile):
-    logits32 = logits.astype(jnp.float32)
-    per_sample, res = _fwd_partials(logits32, labels, out_hw, align_corners,
+    per_sample, res = _fwd_partials(logits, labels, out_hw, align_corners,
                                     tile)
-    n = logits32.shape[0] * out_hw[0] * out_hw[1]
+    n = logits.shape[0] * out_hw[0] * out_hw[1]
     return jnp.sum(per_sample) / n, res
 
 
@@ -230,7 +235,9 @@ def _fused_ce_bwd(out_hw, align_corners, tile, res, g):
         out_shape=jax.ShapeDtypeStruct((b, cc, hh, ww), jnp.float32),
         scratch_shapes=[pltpu.VMEM((cc, tile, w_out), jnp.float32)],
     )(logits_cm, labels_p, mh, mw)
-    dlogits = jnp.transpose(dlogits_cm, (0, 2, 3, 1)) * g
+    # cotangent must match the primal logits dtype (bf16 on the hot path)
+    dlogits = (jnp.transpose(dlogits_cm, (0, 2, 3, 1)) * g).astype(
+        logits_cm.dtype)
     return dlogits, None
 
 
@@ -250,7 +257,6 @@ def fused_upsample_ce(logits, labels, align_corners: bool = True,
     if ((hh, ww) == (h_out, w_out) or too_many_classes
             or not (on_tpu or interpret)):
         return upsample_ce_reference(logits, labels, align_corners)
-    logits = logits.astype(jnp.float32)
     if interpret:
         # exercised in tests via pltpu.force_tpu_interpret_mode()
         with pltpu.force_tpu_interpret_mode():
@@ -268,11 +274,10 @@ def fused_upsample_ce_per_sample(logits, labels, align_corners: bool = True,
     h_out, w_out = labels.shape[1], labels.shape[2]
     hh, ww = logits.shape[1], logits.shape[2]
     on_tpu = jax.devices()[0].platform == "tpu"
-    logits = logits.astype(jnp.float32)
     if ((hh, ww) == (h_out, w_out) or logits.shape[-1] > 64
             or not (on_tpu or interpret)):
         from ..resize import resize_bilinear
-        up = resize_bilinear(logits, (h_out, w_out),
+        up = resize_bilinear(logits.astype(jnp.float32), (h_out, w_out),
                              align_corners=align_corners)
         lse = jax.nn.logsumexp(up, axis=-1)
         true_logit = jnp.take_along_axis(

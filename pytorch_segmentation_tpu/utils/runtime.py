@@ -12,6 +12,17 @@ __all__ = ["setup_runtime"]
 
 
 def setup_runtime(cache_dir: str | None = None, debug_nans: bool = False):
+    # honor an explicit JAX_PLATFORMS from the user: this environment's
+    # sitecustomize force-registers the tunneled 'axon' TPU backend and
+    # overrides the platform config AFTER jax parsed the env, so
+    # `JAX_PLATFORMS=cpu python train.py ...` would silently still target
+    # the TPU without this re-apply
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms and env_platforms != "axon":
+        try:
+            jax.config.update("jax_platforms", env_platforms)
+        except Exception:
+            pass
     cache_dir = cache_dir or os.environ.get(
         "PSEG_COMPILE_CACHE", os.path.expanduser("~/.cache/pseg_tpu_xla"))
     try:
