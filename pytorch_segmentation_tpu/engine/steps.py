@@ -31,6 +31,7 @@ from flax import struct
 
 from ..ops.loss import compute_loss
 from ..ops.resize import resize_bilinear
+from ..utils.runtime import jit_with_options, tpu_compiler_options
 
 __all__ = ["TrainState", "make_train_step", "make_eval_step", "create_train_state"]
 
@@ -127,7 +128,8 @@ def make_train_step(loss_fn: Callable = compute_loss, accumulate: int = 1,
                              apply_branch, skip_branch, state)
         return state.replace(batch_stats=new_bs, micro_step=micro), loss
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return jit_with_options(step, donate_argnums=(0,) if donate else (),
+                            compiler_options=tpu_compiler_options())
 
 
 def sample_valid_mask(valid, b: int):
@@ -203,7 +205,8 @@ def make_eval_step(num_classes: int, align_corners: bool = True,
         fp = jnp.sum(cm, axis=0) - tp
         return loss, tp, fn, fp
 
-    return jax.jit(step, out_shardings=out_shardings)
+    return jit_with_options(step, out_shardings=out_shardings,
+                            compiler_options=tpu_compiler_options())
 
 
 def make_predict_step(align_corners: bool = True):
@@ -217,4 +220,5 @@ def make_predict_step(align_corners: bool = True):
                              align_corners=align_corners)
         return jnp.argmax(up, axis=-1).astype(jnp.int32)
 
-    return jax.jit(predict, static_argnums=(2,))
+    return jit_with_options(predict, static_argnums=(2,),
+                            compiler_options=tpu_compiler_options())

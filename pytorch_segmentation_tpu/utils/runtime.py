@@ -8,7 +8,44 @@ import os
 
 import jax
 
-__all__ = ["setup_runtime"]
+__all__ = ["setup_runtime", "tpu_compiler_options", "jit_with_options"]
+
+
+def jit_with_options(fun, donate_argnums=(), static_argnums=(),
+                     out_shardings=None, compiler_options=None):
+    """jax.jit that applies per-compile XLA `compiler_options` (shipped with
+    the remote compile request — XLA_FLAGS is parsed by the LOCAL cpu jaxlib,
+    which rejects TPU-only flags). Falls back to plain jit when no options.
+
+    Caches one executable per (tree structure, leaf avals, static args) —
+    the same re-compile policy as jit (multi-scale training hits several
+    shapes)."""
+    import jax  # local to keep module import light
+
+    kw = {}
+    if out_shardings is not None:
+        kw["out_shardings"] = out_shardings
+    jitted = jax.jit(fun, donate_argnums=donate_argnums,
+                     static_argnums=static_argnums, **kw)
+    if not compiler_options:
+        return jitted
+    cache = {}
+
+    def wrapper(*args):
+        statics = tuple(args[i] for i in static_argnums)
+        leaves, treedef = jax.tree.flatten(
+            tuple(a for i, a in enumerate(args) if i not in static_argnums))
+        key = (statics, treedef,
+               tuple((getattr(l, "shape", None), str(getattr(l, "dtype", "")))
+                     for l in leaves))
+        exe = cache.get(key)
+        if exe is None:
+            exe = jitted.lower(*args).compile(
+                compiler_options=compiler_options)
+            cache[key] = exe
+        return exe(*(a for i, a in enumerate(args)
+                     if i not in static_argnums))
+    return wrapper
 
 
 def setup_runtime(cache_dir: str | None = None, debug_nans: bool = False):
@@ -32,3 +69,29 @@ def setup_runtime(cache_dir: str | None = None, debug_nans: bool = False):
         pass  # older jax without the flag
     if debug_nans:
         jax.config.update("jax_debug_nans", True)
+
+
+def tpu_compiler_options() -> dict | None:
+    """XLA compiler options for the hot jitted steps on TPU.
+
+    Default raises the scoped-VMEM fusion budget to 32 MiB: the optimized
+    HLO shows the big conv+BN mega-fusions pinned at ~13-15 MB of the
+    ~16 MiB default, and an interleaved A/B measured 1.017x at 32 MiB
+    (64 MiB is back to 1.000x — non-monotonic; see PERF.md round 2).
+
+    Override with PSEG_XLA_OPTS="k=v,k2=v2"; set PSEG_XLA_OPTS="" to
+    disable. Returns None off-TPU (the flags are TPU-specific and the CPU
+    compiler rejects unknown options).
+    """
+    try:
+        if jax.devices()[0].platform != "tpu":
+            return None
+    except Exception:
+        return None
+    env = os.environ.get("PSEG_XLA_OPTS")
+    if env is not None:
+        env = env.strip()
+        if not env:
+            return None
+        return dict(kv.split("=", 1) for kv in env.split(","))
+    return {"xla_tpu_scoped_vmem_limit_kib": "32768"}
