@@ -289,54 +289,70 @@ def _unpack_rgb(g):
                       ((g >> 16) & 0xFF).astype(jnp.float32)], axis=-1)
 
 
-def _sample_nearest_packed(img_u8, seg_u8, sy, sx, mode, cval,
+def _gather_packed(packed, yi, xi):
+    """[B,H,W] u32 gathered at per-element integer coords with ONE
+    batch-global flat gather. Indices are already clipped in-bounds:
+    promise_in_bounds skips the per-element clamp/select, and the flat
+    global form is the fastest XLA arbitrary-gather on this TPU
+    (tools/bench_gather.py: 7.3 vs 12.2 ns/elem for the vmapped 2-D form)."""
+    b, h, w = packed.shape
+    base = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None, None]
+    lin = base + yi * w + xi
+    return packed.reshape(-1).at[lin].get(mode="promise_in_bounds")
+
+
+def _sample_nearest_packed(imgs_u8, segs_u8, sy, sx, mode, cval,
                            dither_y=None, dither_x=None):
-    """Nearest warp of image+mask with ONE gather of the packed word.
-    `dither_*` (U(-.5,.5) fields or None) select the tap stochastically with
-    bilinear weights (expectation == exact bilinear) — applied after
-    boundary handling so range masks stay those of the true coordinates."""
-    h, w = seg_u8.shape
-    packed = _pack_u32(img_u8, seg_u8)
+    """Batched nearest warp of images+masks with ONE gather of the packed
+    word. imgs [B,H,W,3] u8, segs [B,H,W] u8, coords [B,H,W] f32, mode/cval
+    [B]. `dither_*` (U(-.5,.5) fields or None) select the tap
+    stochastically with bilinear weights (expectation == exact bilinear) —
+    applied after boundary handling so range masks stay those of the true
+    coordinates."""
+    h, w = segs_u8.shape[1], segs_u8.shape[2]
+    packed = _pack_u32(imgs_u8, segs_u8)
+    m = mode[:, None, None]
     img_in = (sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1)
     seg_in = (sx >= -0.5) & (sx <= w - 0.5) & (sy >= -0.5) & (sy <= h - 0.5)
-    bx = _boundary(sx, w, mode)
-    by = _boundary(sy, h, mode)
+    bx = _boundary(sx, w, m)
+    by = _boundary(sy, h, m)
     if dither_x is not None:
         bx = bx + dither_x
         by = by + dither_y
     xi = jnp.clip(jnp.round(bx), 0, w - 1).astype(jnp.int32)
     yi = jnp.clip(jnp.round(by), 0, h - 1).astype(jnp.int32)
-    g = packed[yi, xi]
-    out_img = jnp.where((mode == 0) & ~img_in[..., None], cval,
-                        _unpack_rgb(g))
+    g = _gather_packed(packed, yi, xi)
+    out_img = jnp.where((m == 0)[..., None] & ~img_in[..., None],
+                        cval[:, None, None, None], _unpack_rgb(g))
     out_seg = jnp.where(seg_in, (g >> 24).astype(jnp.int32), 0)
     return out_img, out_seg
 
 
-def _sample_packed(img_u8, seg_u8, sy, sx, mode, cval, use_bilinear):
-    """Warp image+mask from FOUR gathers of the packed uint32 word: the
+def _sample_packed(imgs_u8, segs_u8, sy, sx, mode, cval, use_bilinear):
+    """Batched warp from FOUR gathers of the packed uint32 word: the
     bilinear image interpolates the 4 unpacked taps; the nearest image and
     the mask select the nearest tap from the same 4 fetches (no 5th gather).
-    `use_bilinear` (traced bool) picks the image interpolation per sample —
-    the reference Affine's order=[0,1] (utils/datasets.py:47-50)."""
-    h, w = seg_u8.shape
-    packed = _pack_u32(img_u8, seg_u8)
+    `use_bilinear` [B] picks the image interpolation per sample — the
+    reference Affine's order=[0,1] (utils/datasets.py:47-50)."""
+    h, w = segs_u8.shape[1], segs_u8.shape[2]
+    packed = _pack_u32(imgs_u8, segs_u8)
+    m = mode[:, None, None]
     img_in = (sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1)
     seg_in = (sx >= -0.5) & (sx <= w - 0.5) & (sy >= -0.5) & (sy <= h - 0.5)
-    bx = _boundary(sx, w, mode)
-    by = _boundary(sy, h, mode)
+    bx = _boundary(sx, w, m)
+    by = _boundary(sy, h, m)
     x0 = jnp.floor(bx)
     y0 = jnp.floor(by)
-    x1 = jnp.minimum(x0 + 1, w - 1.0)
-    y1 = jnp.minimum(y0 + 1, h - 1.0)
     wx = (bx - x0)[..., None]
     wy = (by - y0)[..., None]
-    x0i, x1i = x0.astype(jnp.int32), x1.astype(jnp.int32)
-    y0i, y1i = y0.astype(jnp.int32), y1.astype(jnp.int32)
-    g00 = packed[y0i, x0i]
-    g01 = packed[y0i, x1i]
-    g10 = packed[y1i, x0i]
-    g11 = packed[y1i, x1i]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+    g00 = _gather_packed(packed, y0i, x0i)
+    g01 = _gather_packed(packed, y0i, x1i)
+    g10 = _gather_packed(packed, y1i, x0i)
+    g11 = _gather_packed(packed, y1i, x1i)
     bil = (_unpack_rgb(g00) * (1 - wy) * (1 - wx)
            + _unpack_rgb(g01) * (1 - wy) * wx
            + _unpack_rgb(g10) * wy * (1 - wx)
@@ -346,16 +362,20 @@ def _sample_packed(img_u8, seg_u8, sy, sx, mode, cval, use_bilinear):
     down = (by - y0) >= 0.5
     g_near = jnp.where(down, jnp.where(right, g11, g10),
                        jnp.where(right, g01, g00))
-    out_img = jnp.where(use_bilinear, bil, _unpack_rgb(g_near))
-    out_img = jnp.where((mode == 0) & ~img_in[..., None], cval, out_img)
+    out_img = jnp.where(use_bilinear[:, None, None, None], bil,
+                        _unpack_rgb(g_near))
+    out_img = jnp.where((m == 0)[..., None] & ~img_in[..., None],
+                        cval[:, None, None, None], out_img)
     out_seg = jnp.where(seg_in, (g_near >> 24).astype(jnp.int32), 0)
     return out_img, out_seg
 
 
-def _geometric_one(key, img_u8, seg_u8, gates, cfg: AugmentConfig):
-    """Per-sample fused geometric warp; pool members 13/14/15 gate the
-    elastic/piecewise displacement and the perspective homography."""
-    h, w = seg_u8.shape
+def _geometric_coords(key, h, w, gates, cfg: AugmentConfig):
+    """Per-sample warp coordinates + sampling params (vmapped); the actual
+    gather runs once at BATCH level (_sample_*_packed) where the global
+    flat gather is 1.7x the vmapped per-image form. Pool members 13/14/15
+    gate the elastic/piecewise displacement and the perspective
+    homography."""
     (k_mats, k_perm, k_disp, k_mode, k_cval, k_order,
      k_g) = jax.random.split(key, 7)
     kg = jax.random.split(k_g, 3)
@@ -371,11 +391,10 @@ def _geometric_one(key, img_u8, seg_u8, gates, cfg: AugmentConfig):
     # pad_mode=ia.ALL / mode=ia.ALL: random boundary handling
     mode = jax.random.randint(k_mode, (), 0, 4)
     cval = jax.random.uniform(k_cval, (), maxval=255.0)
-    if cfg.image_warp_order == 0:
-        return _sample_nearest_packed(img_u8, seg_u8, sy, sx, mode, cval)
     if cfg.image_warp_order == 1:
-        return _sample_packed(img_u8, seg_u8, sy, sx, mode, cval,
-                              jnp.bool_(True))
+        return sy, sx, mode, cval, jnp.bool_(True), None, None
+    if cfg.image_warp_order == 0:
+        return sy, sx, mode, cval, jnp.bool_(False), None, None
     # default: per-image order from {nearest, stochastic bilinear} — the
     # dither realizes bilinear weights as tap probabilities (unbiased)
     ko1, ko2, ko3 = jax.random.split(k_order, 3)
@@ -383,7 +402,21 @@ def _geometric_one(key, img_u8, seg_u8, gates, cfg: AugmentConfig):
     scale = jnp.where(use_bilinear, 1.0, 0.0)
     dy = scale * (jax.random.uniform(ko2, (h, w)) - 0.5)
     dx = scale * (jax.random.uniform(ko3, (h, w)) - 0.5)
-    return _sample_nearest_packed(img_u8, seg_u8, sy, sx, mode, cval,
+    return sy, sx, mode, cval, use_bilinear, dy, dx
+
+
+def _geometric_batch(keys, imgs_u8, segs_u8, gates, cfg: AugmentConfig):
+    """Full-fidelity geometric warp for the batch: per-sample coords under
+    vmap, one batch-level packed gather (4 for exact order=1)."""
+    h, w = segs_u8.shape[1], segs_u8.shape[2]
+
+    def coords(k, g):
+        return _geometric_coords(jax.random.fold_in(k, 2), h, w, g, cfg)
+
+    sy, sx, mode, cval, use_bil, dy, dx = jax.vmap(coords)(keys, gates)
+    if cfg.image_warp_order == 1:
+        return _sample_packed(imgs_u8, segs_u8, sy, sx, mode, cval, use_bil)
+    return _sample_nearest_packed(imgs_u8, segs_u8, sy, sx, mode, cval,
                                   dither_y=dy, dither_x=dx)
 
 
@@ -787,10 +820,8 @@ def make_augment_fn(config: AugmentConfig | None = None):
                     seg_u8.astype(jnp.int32), cfg)
             imgs, out_segs = jax.vmap(geo)(keys, images, segs)
         else:
-            def geo(k, img_u8, seg_u8, g):
-                return _geometric_one(jax.random.fold_in(k, 2), img_u8,
-                                      seg_u8, g, cfg)
-            imgs, out_segs = jax.vmap(geo)(keys, images, segs, gates)
+            imgs, out_segs = _geometric_batch(keys, images, segs, gates,
+                                              cfg)
 
         imgs = _photometric_batch(k_order, keys, imgs, gates, cfg)
         return imgs, out_segs

@@ -61,9 +61,16 @@ class PostFetch:
         if key not in self._jitted:
             augment_fn = self.augment_fn
             dtype = self.dtype
+            base_key = self._base_key
 
-            def run(rng, images, segs):
+            def run(step, images, segs):
+                # fold the batch counter INSIDE the program: a host-side
+                # jax.random.fold_in per batch is a separate tiny dispatch
+                # that serializes against the previous batch's transfers on
+                # this tunneled runtime (~190 ms/batch measured —
+                # tools/bench_e2e_diag.py)
                 if augment_fn is not None:
+                    rng = jax.random.fold_in(base_key, step)
                     images, segs = augment_fn(rng, images, segs)
                 images = normalize_images(images, dtype=dtype)
                 segs = segs.astype(jnp.int32)
@@ -80,7 +87,7 @@ class PostFetch:
         if self.multi_scale and self.base_hw is not None:
             sizes = multi_scale_sizes(self.base_hw)
             out_hw = self._rng.choice(sizes)
-        rng = jax.random.fold_in(self._base_key, self._step)
+        rng = np.uint32(self._step)
         self._step += 1
         images = jnp.asarray(batch.images)
         segs = jnp.asarray(batch.segs)
