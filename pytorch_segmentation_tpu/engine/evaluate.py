@@ -53,20 +53,30 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
     fp = np.zeros(num_classes)
     val_loss = 0.0
     n_batches = 0
+    n_read = 0
+    pending = None  # device results of the PREVIOUS batch
     pbar = tqdm(fetcher, total=len(fetcher),
                 disable=not log or jax.process_index() != 0)
+
+    def drain(res):
+        # host reads (each is a ~33 ms tunnel round-trip) — called one
+        # batch late so they overlap the CURRENT batch's device compute
+        nonlocal val_loss, tp, fn, fp, n_read
+        loss, tp_i, fn_i, fp_i = res
+        val_loss += float(loss)
+        tp += np.asarray(tp_i)
+        fn += np.asarray(fn_i)
+        fp += np.asarray(fp_i)
+        n_read += 1
+
     for images, segs, valid in pbar:
         # per-sample mask: multi-host padding is interleaved per process, so
         # the mask shards alongside the batch (steps.sample_valid_mask)
         local_mask = np.arange(images.shape[0]) < int(valid)
         images, segs = put_global_batch(sharding, images, segs)
         mask = put_global_batch(batch_sharding, local_mask)
-        loss, tp_i, fn_i, fp_i = eval_step(state, images, segs, mask)
+        res = eval_step(state, images, segs, mask)
         n_batches += 1
-        val_loss += float(loss)
-        tp += np.asarray(tp_i)
-        fn += np.asarray(fn_i)
-        fp += np.asarray(fp_i)
         if n_batches == 1 and show_first_batch and not multihost:
             # predictions only needed for the first-batch visual dump
             # (reference test.py:32-33); computed separately on <=8 samples
@@ -75,11 +85,17 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
                            (int(segs.shape[1]), int(segs.shape[2])))
             from ..utils.visualize import show_batch
             show_batch(np.asarray(images[:8]), np.asarray(pred))
-        T, P, R, miou, F1 = (np.asarray(m) for m in
-                             compute_metrics(tp, fn, fp))
-        pbar.set_description(
-            "loss: %8g, mAP: %8g, F1: %8g, miou: %8g"
-            % (val_loss / n_batches, P.mean(), F1.mean(), miou.mean()))
+        if pending is not None:
+            drain(pending)
+        pending = res
+        if n_read:
+            T, P, R, miou, F1 = (np.asarray(m) for m in
+                                 compute_metrics(tp, fn, fp))
+            pbar.set_description(
+                "loss: %8g, mAP: %8g, F1: %8g, miou: %8g"
+                % (val_loss / n_read, P.mean(), F1.mean(), miou.mean()))
+    if pending is not None:
+        drain(pending)
 
     T, P, R, miou, F1 = (np.asarray(m) for m in compute_metrics(tp, fn, fp))
     if log and jax.process_index() == 0:

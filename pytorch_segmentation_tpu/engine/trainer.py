@@ -177,6 +177,7 @@ class Trainer:
         t0 = time.time()
         images_seen = 0
         profiling = False
+        pending_loss = None
         pbar = tqdm(self.fetcher, total=len(self.fetcher),
                     disable=not self.log or jax.process_index() != 0)
         for images, segs, valid in pbar:
@@ -190,12 +191,20 @@ class Trainer:
             self.state, loss = self._train_step(self.state, images, segs)
             n += 1
             images_seen += int(valid)
-            running_loss += float(loss)  # host sync once per step
+            # read the PREVIOUS step's loss: the host sync (a ~33 ms tunnel
+            # round-trip that waits for step completion) overlaps the
+            # current step's device compute instead of serializing after it
+            if pending_loss is not None:
+                running_loss += float(pending_loss)
+            pending_loss = loss
             if profiling and n == 7:
                 jax.profiler.stop_trace()
                 profiling = False
-            pbar.set_description(
-                f"epoch {self.epoch} loss {running_loss / n:8g}")
+            if n > 1:
+                pbar.set_description(
+                    f"epoch {self.epoch} loss {running_loss / (n - 1):8g}")
+        if pending_loss is not None:
+            running_loss += float(pending_loss)
         if profiling:
             jax.profiler.stop_trace()
         self.epoch += 1

@@ -108,10 +108,17 @@ class BatchNorm2d(nn.Module):
             # fast (one-pass) variance, like flax's use_fast_variance
             var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
+                # torch updates running_var with the UNBIASED batch variance
+                # (normalization itself uses the biased one)
+                n = jnp.asarray(xs.size // c, jnp.float32)
+                if self.axis_name is not None:
+                    # under shard_map x is the local shard: count globally
+                    n = n * jax.lax.psum(1.0, self.axis_name)
+                bessel = n / jnp.maximum(n - 1.0, 1.0)
                 ra_mean.value = ((1 - self.momentum) * ra_mean.value
                                  + self.momentum * mean)
                 ra_var.value = ((1 - self.momentum) * ra_var.value
-                                + self.momentum * var)
+                                + self.momentum * (var * bessel))
 
         # fold stats into one per-channel scale+shift (f32), apply in the
         # compute dtype — a single fused multiply-add over the activations
@@ -156,10 +163,15 @@ class BatchNormFolded(nn.Module):
                 ex2 = jax.lax.pmean(ex2, self.axis_name)
             var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
+                # unbiased variance for the running update (torch semantics)
+                nf = jnp.asarray(n, jnp.float32)
+                if self.axis_name is not None:
+                    nf = nf * jax.lax.psum(1.0, self.axis_name)
+                bessel = nf / jnp.maximum(nf - 1.0, 1.0)
                 ra_mean.value = ((1 - self.momentum) * ra_mean.value
                                  + self.momentum * mean)
                 ra_var.value = ((1 - self.momentum) * ra_var.value
-                                + self.momentum * var)
+                                + self.momentum * (var * bessel))
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
         shift = bias - mean * inv
         return inv, shift

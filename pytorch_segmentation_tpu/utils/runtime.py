@@ -88,7 +88,12 @@ def tpu_compiler_options() -> dict | None:
             return None
     except Exception:
         return None
-    env = os.environ.get("PSEG_XLA_OPTS")
+    return parse_xla_opts(os.environ.get("PSEG_XLA_OPTS"))
+
+
+def parse_xla_opts(env: str | None) -> dict | None:
+    """PSEG_XLA_OPTS="k=v,k2=v2" -> dict; "" -> None (disabled);
+    unset -> the measured default."""
     if env is not None:
         env = env.strip()
         if not env:

@@ -29,9 +29,16 @@ def test_matches_flax_train_mode(rng):
     np.testing.assert_allclose(np.asarray(m1["batch_stats"]["mean"]),
                                np.asarray(m2["batch_stats"]["mean"]),
                                rtol=1e-5, atol=1e-6)
+    # running var: torch updates with the UNBIASED batch variance (flax uses
+    # the biased one) — ours follows torch
+    xs = np.asarray(x)
+    n = xs.shape[0] * xs.shape[1] * xs.shape[2]
+    var_unbiased = xs.reshape(-1, xs.shape[-1]).var(axis=0, ddof=1)
+    expected = 0.9 * 1.0 + 0.1 * var_unbiased
     np.testing.assert_allclose(np.asarray(m1["batch_stats"]["var"]),
-                               np.asarray(m2["batch_stats"]["var"]),
-                               rtol=1e-4, atol=1e-5)
+                               expected, rtol=1e-4, atol=1e-5)
+    # and differs from flax's biased update by exactly n/(n-1)
+    assert n / (n - 1) > 1.0
 
 
 def test_eval_mode_uses_running_stats(rng):
