@@ -20,6 +20,8 @@ from .steps import TrainState, make_eval_step, make_predict_step
 
 __all__ = ["test"]
 
+_EVAL_STEP_CACHE: dict = {}
+
 
 def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
          mesh=None):  # noqa: PT028 — reference API name (test.py:15)
@@ -37,9 +39,17 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
     if getattr(module, "full_res_output", None) is True:
         module = module.clone(full_res_output=False)
     mesh = mesh if mesh is not None else make_mesh()
-    # eval outputs must be readable on every host: pin them replicated
-    eval_step = make_eval_step(num_classes, align_corners=align,
-                               out_shardings=replicated_sharding(mesh))
+    # eval outputs must be readable on every host: pin them replicated.
+    # The step is cached across calls: test() runs once per epoch, and
+    # rebuilding it would re-lower + recompile the whole model every epoch
+    # (the model enters via state.apply_fn, a static jit field, so one
+    # cached step serves any model; differing models just retrace).
+    key = (num_classes, align, replicated_sharding(mesh))
+    eval_step = _EVAL_STEP_CACHE.get(key)
+    if eval_step is None:
+        eval_step = make_eval_step(num_classes, align_corners=align,
+                                   out_shardings=replicated_sharding(mesh))
+        _EVAL_STEP_CACHE[key] = eval_step
     state = TrainState(step=0, params=model.params,
                        batch_stats=model.batch_stats, opt_state=None,
                        tx=None, apply_fn=module.apply)
@@ -59,14 +69,15 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
                 disable=not log or jax.process_index() != 0)
 
     def drain(res):
-        # host reads (each is a ~33 ms tunnel round-trip) — called one
-        # batch late so they overlap the CURRENT batch's device compute
+        # ONE batched host read (per-array reads pay a ~33 ms tunnel
+        # round-trip each) — called one batch late so the read overlaps the
+        # CURRENT batch's device compute
         nonlocal val_loss, tp, fn, fp, n_read
-        loss, tp_i, fn_i, fp_i = res
+        loss, tp_i, fn_i, fp_i = jax.device_get(res)
         val_loss += float(loss)
-        tp += np.asarray(tp_i)
-        fn += np.asarray(fn_i)
-        fp += np.asarray(fp_i)
+        tp += tp_i
+        fn += fn_i
+        fp += fp_i
         n_read += 1
 
     for images, segs, valid in pbar:
@@ -80,7 +91,10 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
         if n_batches == 1 and show_first_batch and not multihost:
             # predictions only needed for the first-batch visual dump
             # (reference test.py:32-33); computed separately on <=8 samples
-            predict = make_predict_step(align_corners=align)
+            predict = _EVAL_STEP_CACHE.get(("predict", align))
+            if predict is None:
+                predict = make_predict_step(align_corners=align)
+                _EVAL_STEP_CACHE[("predict", align)] = predict
             pred = predict(state, images[:8],
                            (int(segs.shape[1]), int(segs.shape[2])))
             from ..utils.visualize import show_batch
