@@ -67,13 +67,15 @@ def _eval_kernel(logits_ref, labels_ref, mh_ref, mw_ref, out_ref, *,
 
 
 def fused_eval_confusion(logits, labels, valid, align_corners: bool = True,
-                         tile: int = 64, interpret: bool = False):
+                         tile: int = 128, interpret: bool = False):
     """logits [B, h, w, C] (h <= H), labels [B, H, W] int, valid = number of
     real samples (scalar) or a per-sample bool mask [B]. Returns (tp, fn, fp)
     f32 [C] with padded samples excluded.
     """
     num_classes = logits.shape[-1]
     assert num_classes <= 128, "confusion kernel supports <=128 classes"
+    if num_classes > 32:
+        tile = min(tile, 64)  # VMEM headroom (see softmax_ce)
     h_out, w_out = labels.shape[1], labels.shape[2]
     # keep the model's native dtype through the transpose: the per-tile
     # bf16->f32 upcast inside _upsample_class is exact, at half the traffic

@@ -245,7 +245,7 @@ _fused_ce.defvjp(_fused_ce_fwd, _fused_ce_bwd)
 
 
 def fused_upsample_ce(logits, labels, align_corners: bool = True,
-                      tile: int = 64, interpret: bool = False):
+                      tile: int = 128, interpret: bool = False):
     """Drop-in for ops.loss.compute_loss on TPU when logits are at a lower
     resolution than labels. Falls back to the XLA path when fusion does not
     apply (same resolution, or not on TPU and not interpreting)."""
@@ -257,6 +257,10 @@ def fused_upsample_ce(logits, labels, align_corners: bool = True,
     if ((hh, ww) == (h_out, w_out) or too_many_classes
             or not (on_tpu or interpret)):
         return upsample_ce_reference(logits, labels, align_corners)
+    # backward scratch is C x tile x W f32: keep it inside scoped VMEM for
+    # large class counts (tile 128 measured +0.5% at VOC's 21 classes)
+    if logits.shape[-1] > 32:
+        tile = min(tile, 64)
     if interpret:
         # exercised in tests via pltpu.force_tpu_interpret_mode()
         with pltpu.force_tpu_interpret_mode():
@@ -266,7 +270,7 @@ def fused_upsample_ce(logits, labels, align_corners: bool = True,
 
 
 def fused_upsample_ce_per_sample(logits, labels, align_corners: bool = True,
-                                 tile: int = 64, interpret: bool = False):
+                                 tile: int = 128, interpret: bool = False):
     """Per-sample mean-CE vector [B] (forward only, no VJP) — lets eval mask
     padded duplicate samples out of the displayed loss while keeping the
     fused upsample+CE kernel (ops/pallas path of engine/steps.make_eval_step).
@@ -274,6 +278,8 @@ def fused_upsample_ce_per_sample(logits, labels, align_corners: bool = True,
     h_out, w_out = labels.shape[1], labels.shape[2]
     hh, ww = logits.shape[1], logits.shape[2]
     on_tpu = jax.devices()[0].platform == "tpu"
+    if logits.shape[-1] > 32:
+        tile = min(tile, 64)
     if ((hh, ww) == (h_out, w_out) or logits.shape[-1] > 64
             or not (on_tpu or interpret)):
         from ..resize import resize_bilinear

@@ -32,11 +32,17 @@ from pytorch_segmentation_tpu.ops.loss import make_loss_fn
 from pytorch_segmentation_tpu.utils.runtime import setup_runtime
 
 _F32_LOSS = False
+_CE_TILE = None
 
 
 def _set_f32_loss(on):
     global _F32_LOSS
     _F32_LOSS = on
+
+
+def _set_ce_tile(tile):
+    global _CE_TILE
+    _CE_TILE = tile
 
 
 _NOOP = lambda: None
@@ -60,6 +66,8 @@ VARIANTS = {
     "bs64": dict(bs_b=64),
     "bs64vmem32": dict(bs_b=64,
                        opts={"xla_tpu_scoped_vmem_limit_kib": "32768"}),
+    # fused-CE row tile 64 -> 128 (half the grid steps, taller MXU tiles)
+    "cetile128": dict(b=lambda: _set_ce_tile(128)),
 }
 
 
@@ -73,6 +81,13 @@ def build(on_tpu, images, segs, compiler_options=None):
     if _F32_LOSS:
         inner = loss_fn
         loss_fn = lambda lg, tg: inner(lg.astype(jnp.float32), tg)
+    if _CE_TILE is not None:
+        from pytorch_segmentation_tpu.ops.pallas.softmax_ce import \
+            fused_upsample_ce
+        tile = _CE_TILE
+        loss_fn = lambda lg, tg: fused_upsample_ce(lg, tg,
+                                                   align_corners=True,
+                                                   tile=tile)
     step = make_train_step(loss_fn=loss_fn, accumulate=1)
     # variant switches are read at TRACE time: compile NOW, while this
     # variant's global flags are set (lazy tracing at first call would see
