@@ -6,7 +6,8 @@ Contract preserved from the reference usage (train.py:61-81):
           resume, mixed_precision) with attrs .epoch, .model, .metrics and
   methods .step() (one epoch) and .save(best).
 
-TPU-native internals: one jitted train step (grad accumulation via lax.scan,
+TPU-native internals: one jitted train step (cross-batch grad accumulation
+in a persistent f32 accumulator with a branchless every-k optimizer update,
 bf16 compute / f32 params+optimizer when mixed_precision), parameters
 replicated and batches sharded over the data mesh axis; XLA emits the
 gradient all-reduce over ICI. No DDP wrapper, no loss scaling (bf16 needs
@@ -158,13 +159,15 @@ class Trainer:
             ds = self.fetcher.loader.dataset
             w, h = ds.img_size
             label_hw = (h, w)
+        # the step donates its state arg: allocate ONE throwaway zeros state
+        # and thread it through — each call's returned state feeds the next
+        # size, so warmup never copies the live weights
+        s = jax.tree.map(jnp.zeros_like, self.state)
         for hh, ww in sizes_hw:
             images, segs = put_global_batch(
                 self._data_sharding,
                 np.zeros((batch_size, hh, ww, 3), np.float32),
                 np.zeros((batch_size,) + tuple(label_hw), np.int32))
-            # the step donates its state arg: hand it a throwaway copy
-            s = jax.tree.map(jnp.copy, self.state)
             s, loss = self._train_step(s, images, segs)
             float(loss)  # force compile+run before the next size
             if self.log and jax.process_index() == 0:

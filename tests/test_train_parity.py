@@ -1,43 +1,72 @@
 """TRAINING-DYNAMICS parity vs the torch-reconstructed reference.
 
 Extends the forward/gradient golden tests (test_model_golden_parity.py) to
-the full optimization loop: starting from identical ported weights, N steps
-of SGD+momentum on identical batches must produce matching per-step losses,
-matching parameters, and matching BN running statistics. This exercises
-everything the ±0.2 mIoU north star depends on that a single forward can't:
-train-mode batch-stat normalization, the running-stat momentum update
-(torch convention 0.1), the optimizer's momentum-buffer dynamics, and loss
-gradients through the whole model (reference loop semantics:
-train.py:71-81 + pytorch_modules Trainer)."""
+the full optimization loop, for ALL THREE model families: starting from
+identical ported weights, N steps of SGD+momentum on identical batches must
+produce matching per-step losses, matching parameters, and matching BN
+running statistics. This exercises everything the ±0.2 mIoU north star
+depends on that a single forward can't: train-mode batch-stat
+normalization, the running-stat momentum update (torch convention 0.1),
+the optimizer's momentum-buffer dynamics, and loss gradients through the
+whole model (reference loop semantics: train.py:71-81 + pytorch_modules
+Trainer). DeepLabV3+ (the benchmark model, reference
+models/deeplabv3plus.py:14-44) runs with a shallow (1,1,1,1) backbone and
+HRNet (models/hrnet.py:255-406) with a single 2-branch stage at width 16 —
+the block types under test (dilated Bottleneck, HRModule fuse) are the
+full ones; only depth is reduced to keep the 1-core compile affordable.
+"""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 import torch
 import torch.nn.functional as F
 
 from pytorch_segmentation_tpu.engine.steps import (TrainState,
                                                    make_train_step)
-from pytorch_segmentation_tpu.models import UNet
+from pytorch_segmentation_tpu.models import DeepLabV3Plus, HRNet, UNet
 from pytorch_segmentation_tpu.ops.loss import compute_loss
-from pytorch_segmentation_tpu.utils.port_torch import convert_mobilenetv2
+from pytorch_segmentation_tpu.utils.port_torch import (convert_mobilenetv2,
+                                                       convert_resnet)
 
 from test_model_golden_parity import _port
-from torch_refs import TUNet, randomize_bn_stats
+from torch_refs import (TDeepLabV3Plus, THRNet, TUNet, randomize_bn_stats)
 
 LR, MOMENTUM, N_STEPS = 1e-2, 0.9, 6
 NC, BS, HW = 3, 2, 64
 
+# (flax ctor, torch ctor, backbone converter, head param name,
+#  BN-stat module to check)
+TRAJ_CASES = {
+    "unet": (
+        lambda: UNet(num_classes=NC, dtype=jnp.float32),
+        lambda: TUNet(NC), convert_mobilenetv2, "cls_conv", "up_conv1"),
+    "deeplabv3plus": (
+        lambda: DeepLabV3Plus(num_classes=NC, backbone_layers=(1, 1, 1, 1),
+                              dtype=jnp.float32),
+        lambda: TDeepLabV3Plus(NC, layers=(1, 1, 1, 1)),
+        lambda sd: convert_resnet(sd, layers=(1, 1, 1, 1)),
+        "cls_conv", "project"),
+    "hrnet": (
+        lambda: HRNet(num_classes=NC, num_branches_list=(2,),
+                      base_channels=16, dtype=jnp.float32),
+        lambda: THRNet(NC, num_branches_list=(2,), base=16), None,
+        "final_layer", "stem_conv2"),
+}
 
-def test_sgd_trajectory_parity(rng):
+
+@pytest.mark.parametrize("name", sorted(TRAJ_CASES))
+def test_sgd_trajectory_parity(name, rng):
+    build, tbuild, conv, head, bn_mod = TRAJ_CASES[name]
     torch.manual_seed(0)
-    tmodel = TUNet(NC)
+    tmodel = tbuild()
     randomize_bn_stats(tmodel, seed=3)
     tmodel.train()
 
-    model = UNet(num_classes=NC, dtype=jnp.float32)
-    variables = _port(model, tmodel, convert_mobilenetv2)
+    model = build()
+    variables = _port(model, tmodel, conv)
 
     tx = optax.sgd(LR, momentum=MOMENTUM)
     params = jax.tree.map(jnp.asarray, variables["params"])
@@ -70,10 +99,10 @@ def test_sgd_trajectory_parity(rng):
     # trajectory diverging would show up within a few steps)
     np.testing.assert_allclose(ours, theirs, rtol=5e-3, atol=5e-4)
 
-    # final weights: spot-check the classifier conv and one encoder conv
+    # final weights: spot-check the classifier conv
     tsd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
-    k_ours = np.asarray(state.params["cls_conv"]["kernel"])
-    k_ref = np.transpose(tsd["cls_conv.weight"], (2, 3, 1, 0))
+    k_ours = np.asarray(state.params[head]["kernel"])
+    k_ref = np.transpose(tsd[f"{head}.weight"], (2, 3, 1, 0))
     np.testing.assert_allclose(k_ours, k_ref, rtol=5e-3, atol=5e-4)
 
     # BN running statistics after N train steps (torch momentum 0.1, with
@@ -81,9 +110,9 @@ def test_sgd_trajectory_parity(rng):
     # accumulate trajectory drift faster than the (normalized) loss — both
     # frameworks are exact per step, but f32 reduction-order noise compounds
     # through N optimizer steps — hence the looser tolerance.
-    bn_ours = np.asarray(state.batch_stats["up_conv1"]["bn"]["mean"])
-    bn_ref = tsd["up_conv1.bn.running_mean"]
+    bn_ours = np.asarray(state.batch_stats[bn_mod]["bn"]["mean"])
+    bn_ref = tsd[f"{bn_mod}.bn.running_mean"]
     np.testing.assert_allclose(bn_ours, bn_ref, atol=0.03)
-    var_ours = np.asarray(state.batch_stats["up_conv1"]["bn"]["var"])
-    var_ref = tsd["up_conv1.bn.running_var"]
+    var_ours = np.asarray(state.batch_stats[bn_mod]["bn"]["var"])
+    var_ref = tsd[f"{bn_mod}.bn.running_var"]
     np.testing.assert_allclose(var_ours, var_ref, rtol=0.05, atol=0.05)
