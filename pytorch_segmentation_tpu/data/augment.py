@@ -90,6 +90,22 @@ class AugmentConfig:
     # bilinear warp; 0 forces pure nearest. Masks always warp nearest
     # (sharing the image's tap, the to_deterministic contract).
     image_warp_order: int | None = None
+    # separable_warp=True realizes the general warp as the two-pass
+    # (Catmull-Smith) LANE-gather sampler (_sample_two_pass): order=1
+    # becomes DETERMINISTIC separable bilinear (no stochastic tap).
+    # Geometry parity-tested (tests/test_twopass_warp.py); currently
+    # OPT-IN: the isolated lane gather measures 1.5 ns/elem
+    # (tools/bench_gather.py) but the composed two-pass program measured
+    # 4.5x the legacy warp on TPU (tools/bench_augment.py ab —
+    # decomposition in tools/bench_twopass.py; see PERF.md round 3).
+    # Square images only (the 90-deg transpose factoring needs square
+    # frames); legacy samplers otherwise.
+    separable_warp: bool = False
+    # per_sample_photo_order=True draws the photometric pool order per
+    # SAMPLE (the reference SomeOf random_order=True semantics) instead of
+    # per batch; costs 13x the pool's op applications under vmap —
+    # measurement-gated, see _photometric_batch
+    per_sample_photo_order: bool = False
     # geometric (reference utils/datasets.py:29-57)
     p_fliplr: float = 0.5
     p_flipud: float = 0.2
@@ -291,10 +307,17 @@ def _unpack_rgb(g):
 
 def _gather_packed(packed, yi, xi):
     """[B,H,W] u32 gathered at per-element integer coords with ONE
-    batch-global flat gather. Indices are already clipped in-bounds:
-    promise_in_bounds skips the per-element clamp/select, and the flat
-    global form is the fastest XLA arbitrary-gather on this TPU
-    (tools/bench_gather.py: 7.3 vs 12.2 ns/elem for the vmapped 2-D form)."""
+    batch-global flat gather.
+
+    PRECONDITION (promise_in_bounds is undefined behavior otherwise): every
+    caller must pass yi in [0, H-1] and xi in [0, W-1] already. The two
+    samplers guarantee this — _sample_nearest_packed clips explicitly, and
+    _sample_packed floors a _boundary()-clipped coordinate (range [0, n-1])
+    so floor/floor+1-with-min stay in range. Any new coordinate path MUST
+    clip before calling; promise_in_bounds skips the per-element
+    clamp/select, and the flat global form is the fastest XLA
+    arbitrary-gather on this TPU (tools/bench_gather.py: 7.3 vs 12.2
+    ns/elem for the vmapped 2-D form)."""
     b, h, w = packed.shape
     base = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None, None]
     lin = base + yi * w + xi
@@ -370,6 +393,176 @@ def _sample_packed(imgs_u8, segs_u8, sy, sx, mode, cval, use_bilinear):
     return out_img, out_seg
 
 
+# ---------------------------------------------------------------------------
+# separable two-pass warp (lane gathers; VERDICT r3 item #5)
+# ---------------------------------------------------------------------------
+
+def _twopass_fields(hinv, grid, h: int, w: int):
+    """Deterministic coordinate fields of the separable (Catmull-Smith)
+    two-pass warp for ONE sample.
+
+    hinv: [3,3] inverse homography (output pixel -> source coords);
+    grid: [5,5,2] piecewise-affine displacement control grid (zeros when
+    ungated). Returns (tf, sx, sy_msk, vt):
+      tf     — gather from the TRANSPOSED source (factoring out the 90° part
+               when |d|>|a|, i.e. rotation beyond 45°, where the row map
+               j -> x is ill-conditioned)
+      sx     — [h,w] total source column per output pixel (pass-2 coords)
+      sy_msk — [h,w] source row per output pixel (boundary masks only)
+      vt     — [w,h] pass-1 field on the (source-col x, out-row i) grid:
+               the source ROW feeding intermediate column x at output row i,
+               from the closed-form inverse of the homography's row map
+               j*(i,x) plus the transported piecewise field.
+    The construction: pass1 t[i,x] = src[vt[x,i], x] resamples each source
+    column vertically; pass2 out[i,j] = t[i, sx[i,j]] resamples
+    horizontally; composite = src[vt(sx), sx] with vt(i, sx(i,j)) == sy(i,j)
+    by the inversion. Exact for homographies; first-order for the smooth
+    piecewise grid (evaluated at j* instead of j — error O(field slope))."""
+    tf = jnp.abs(hinv[1, 0]) > jnp.abs(hinv[0, 0])
+    hinv = jnp.where(tf, hinv[jnp.array([1, 0, 2])], hinv)
+    grid = jnp.where(tf, grid[..., ::-1], grid)
+    a, b, c = hinv[0, 0], hinv[0, 1], hinv[0, 2]
+    d, e, f = hinv[1, 0], hinv[1, 1], hinv[1, 2]
+    g, h2, w2 = hinv[2, 0], hinv[2, 1], hinv[2, 2]
+
+    def safe(x, eps):
+        return jnp.where(jnp.abs(x) < eps,
+                         jnp.where(x < 0, -eps, eps), x)
+
+    # output-grid source coords (pass-2 coordinate + boundary masks)
+    ig = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    jg = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    pz = safe(g * jg + h2 * ig + w2, 1e-6)
+    hx = (a * jg + b * ig + c) / pz
+    hy = (d * jg + e * ig + f) / pz
+    pw = resize_bilinear(grid, (h, w), align_corners=True)
+    sx = hx + pw[..., 0]
+    sy_msk = hy + pw[..., 1]
+
+    # pass-1 field on the transposed (x, i) grid: invert the row map
+    # x = (a j + b i + c)/(g j + h2 i + w2) for j, then evaluate the y map
+    xg = jax.lax.broadcasted_iota(jnp.float32, (w, h), 0)
+    ig2 = jax.lax.broadcasted_iota(jnp.float32, (w, h), 1)
+    den = safe(xg * g - a, 1e-4)
+    jstar = (b * ig2 + c - xg * (h2 * ig2 + w2)) / den
+    # columns no output pixel maps to can have wild j* (e.g. behind the
+    # perspective horizon); bound it so downstream math stays finite
+    jstar = jnp.clip(jstar, -1.0 * w, 2.0 * w)
+    pzs = safe(g * jstar + h2 * ig2 + w2, 1e-6)
+    vh = (d * jstar + e * ig2 + f) / pzs
+    # piecewise-y transported to (x, i): separable closed-form eval of the
+    # bilinear 5x5 grid at (row = i exact, col = j*)
+    rowg = resize_bilinear(grid[..., 1:2], (h, 5),
+                           align_corners=True)[..., 0]          # [h, 5]
+    u = jnp.clip(jstar / jnp.maximum(w - 1.0, 1.0) * 4.0, 0.0, 4.0)
+    c0 = jnp.clip(jnp.floor(u), 0.0, 3.0)
+    t = u - c0
+    pwy = jnp.zeros_like(u)
+    for k in range(4):
+        seg_val = rowg[:, k][None, :] * (1 - t) + rowg[:, k + 1][None, :] * t
+        pwy = jnp.where(c0 == k, seg_val, pwy)
+    return tf, sx, sy_msk, vh + pwy
+
+
+def _twopass_coords(key, h, w, gates, cfg: AugmentConfig):
+    """Per-sample random draws + separable-warp fields (vmapped). The key
+    structure mirrors _geometric_coords, so both warp realizations draw
+    identical geometric parameters from the same key."""
+    (k_mats, k_perm, k_disp, k_mode, k_cval, k_order,
+     k_g) = jax.random.split(key, 7)
+    kg = jax.random.split(k_g, 3)
+    elastic = gates[13] & jax.random.bernoulli(kg[0], cfg.p_sometimes)
+    piecewise = gates[14] & jax.random.bernoulli(kg[1], cfg.p_sometimes)
+    persp = gates[15] & jax.random.bernoulli(kg[2], cfg.p_sometimes)
+
+    mats = _component_matrices(k_mats, cfg, h, w, persp)
+    hmat = _compose_permuted(k_perm, mats)
+    hinv = jnp.linalg.inv(hmat)
+
+    ks = jax.random.split(k_disp, 6)
+    alpha = jax.random.uniform(ks[0], (), minval=cfg.elastic_alpha[0],
+                               maxval=cfg.elastic_alpha[1])
+    alpha = jnp.where(elastic, alpha, 0.0)
+    pscale = jax.random.uniform(ks[2], (), minval=cfg.piecewise_scale[0],
+                                maxval=cfg.piecewise_scale[1])
+    grid = jax.random.normal(ks[3], (5, 5, 2)) * pscale * jnp.array(
+        [w, h], jnp.float32)
+    grid = jnp.where(piecewise, grid, 0.0)
+
+    tf, sx, sy_msk, vt = _twopass_fields(hinv, grid, h, w)
+    # iid elastic jitter, one fresh field per pass: the reference's field
+    # (sigma 0.25) is near-iid per-pixel noise, so drawing it on either
+    # pass grid realizes the same distribution (module docstring)
+    sx = sx + (jax.random.uniform(ks[4], (h, w)) * 2.0 - 1.0) * alpha
+    vt = vt + (jax.random.uniform(ks[5], (w, h)) * 2.0 - 1.0) * alpha
+
+    mode = jax.random.randint(k_mode, (), 0, 4)
+    cval = jax.random.uniform(k_cval, (), maxval=255.0)
+    if cfg.image_warp_order == 1:
+        use_bil = jnp.bool_(True)
+    elif cfg.image_warp_order == 0:
+        use_bil = jnp.bool_(False)
+    else:
+        # per-image interpolation order from {0, 1} (reference Affine
+        # order=[0,1]); bilinear here is the DETERMINISTIC separable
+        # resampling, not the stochastic tap draw of the legacy sampler
+        use_bil = jax.random.bernoulli(jax.random.split(k_order, 3)[0], 0.5)
+    return vt, sx, sy_msk, mode, cval, use_bil, tf
+
+
+def _lane_taps2(arr, coord, use_bil):
+    """2-tap lane gather along the LAST axis of packed u32 [B,R,C] at
+    boundary-handled f32 coords [B,R,C] (PRECONDITION: in [0, C-1] — see
+    _gather_packed). Returns (img rgb f32 — bilinear or nearest per
+    use_bil[b] —, nearest packed word)."""
+    cdim = arr.shape[-1]
+    i0f = jnp.floor(coord)
+    frac = coord - i0f
+    i0 = jnp.clip(i0f, 0, cdim - 1).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, cdim - 1)
+    g0 = jnp.take_along_axis(arr, i0, axis=2, mode="promise_in_bounds")
+    g1 = jnp.take_along_axis(arr, i1, axis=2, mode="promise_in_bounds")
+    near = jnp.where(frac >= 0.5, g1, g0)
+    wimg = jnp.where(use_bil[:, None, None], frac,
+                     (frac >= 0.5).astype(jnp.float32))[..., None]
+    rgb = _unpack_rgb(g0) * (1 - wimg) + _unpack_rgb(g1) * wimg
+    return rgb, near
+
+
+def _sample_two_pass(imgs_u8, segs_u8, vt, sx, sy_msk, mode, cval, use_bil,
+                     tf):
+    """Separable two-pass warp of the packed batch: vertical resample in
+    transposed layout -> repack -> horizontal resample. 4 LANE gathers
+    (~1.5 ns/elem, tools/bench_gather.py) instead of the flat global
+    gathers (7.3 ns/elem; 4 of them for the exact 4-tap warp) — exact
+    deterministic bilinear cheaper than the legacy 1-gather stochastic tap.
+    Masks always take the per-pass nearest tap (0 fill). The pass-1
+    intermediate is re-quantized to u8 (<=0.5 intensity noise, bilinear
+    samples only). Square images only (the caller falls back otherwise)."""
+    n = segs_u8.shape[1]
+    packed = _pack_u32(imgs_u8, segs_u8)
+    packed_t = jnp.swapaxes(packed, 1, 2)
+    # pass-1 input = (effective source)^T: src^T normally; src itself when
+    # the sample gathers from the transposed source (tf: |rot| > 45 deg)
+    pt = jnp.where(tf[:, None, None], packed, packed_t)
+    m = mode[:, None, None]
+    rgb1, near1 = _lane_taps2(pt, _boundary(vt, n, m), use_bil)
+    rgb1_u = jnp.clip(rgb1 + 0.5, 0, 255).astype(jnp.uint32)
+    tmid = (rgb1_u[..., 0] | (rgb1_u[..., 1] << 8) | (rgb1_u[..., 2] << 16)
+            | (near1 & jnp.uint32(0xFF000000)))
+    tmid = jnp.swapaxes(tmid, 1, 2)        # [B, out-row i, source-col x]
+    rgb2, near2 = _lane_taps2(tmid, _boundary(sx, n, m), use_bil)
+    # constant-mode fill from the TOTAL source coords (legacy semantics;
+    # sy_msk omits the elastic jitter — border effect <= alpha px)
+    img_in = (sx >= 0) & (sx <= n - 1) & (sy_msk >= 0) & (sy_msk <= n - 1)
+    seg_in = ((sx >= -0.5) & (sx <= n - 0.5)
+              & (sy_msk >= -0.5) & (sy_msk <= n - 0.5))
+    out_img = jnp.where((m == 0)[..., None] & ~img_in[..., None],
+                        cval[:, None, None, None], rgb2)
+    out_seg = jnp.where(seg_in, (near2 >> 24).astype(jnp.int32), 0)
+    return out_img, out_seg
+
+
 def _geometric_coords(key, h, w, gates, cfg: AugmentConfig):
     """Per-sample warp coordinates + sampling params (vmapped); the actual
     gather runs once at BATCH level (_sample_*_packed) where the global
@@ -407,8 +600,18 @@ def _geometric_coords(key, h, w, gates, cfg: AugmentConfig):
 
 def _geometric_batch(keys, imgs_u8, segs_u8, gates, cfg: AugmentConfig):
     """Full-fidelity geometric warp for the batch: per-sample coords under
-    vmap, one batch-level packed gather (4 for exact order=1)."""
+    vmap, then one batch-level sampling stage — the separable two-pass
+    lane-gather warp (default, square images), or the legacy packed global
+    gather (1 for nearest/stochastic, 4 for exact order=1)."""
     h, w = segs_u8.shape[1], segs_u8.shape[2]
+
+    if cfg.separable_warp and h == w:
+        def coords2(k, g):
+            return _twopass_coords(jax.random.fold_in(k, 2), h, w, g, cfg)
+        vt, sx, sy_msk, mode, cval, use_bil, tf = jax.vmap(coords2)(keys,
+                                                                    gates)
+        return _sample_two_pass(imgs_u8, segs_u8, vt, sx, sy_msk, mode,
+                                cval, use_bil, tf)
 
     def coords(k, g):
         return _geometric_coords(jax.random.fold_in(k, 2), h, w, g, cfg)
@@ -687,11 +890,31 @@ assert len(_PHOTO_OPS) == _N_PHOTO
 
 
 def _photometric_batch(key_order, keys, x, gates, cfg: AugmentConfig):
-    """Apply the 13 photometric pool members to the batch in a per-batch
-    random order (SomeOf random_order=True; per-sample sequencing of
-    vectorized ops would cost 13x under vmap — documented approximation).
-    Selection gates stay per-sample. lax.scan + switch keeps the compiled
-    program one op-body per member."""
+    """Apply the 13 photometric pool members to the batch in a random order
+    (SomeOf random_order=True). Default: ONE order per batch (documented
+    approximation — the reference draws the order per sample). Selection
+    gates stay per-sample. cfg.per_sample_photo_order=True restores exact
+    per-sample ordering via vmapped switch — under vmap every branch
+    executes at every scan position (13x13 op applications vs 13), so this
+    is measurement-gated (tools/bench_augment.py ab; PERF.md)."""
+    if cfg.per_sample_photo_order:
+        def one_sample(k, img, g):
+            branches = [
+                (lambda im, i=i, op=op: jnp.where(
+                    g[i], op(jax.random.fold_in(k, 100 + i), im, cfg), im))
+                for i, op in enumerate(_PHOTO_OPS)]
+
+            def body(im, idx):
+                return jax.lax.switch(idx, branches, im), None
+
+            perm = jax.random.permutation(jax.random.fold_in(k, 977),
+                                          _N_PHOTO)
+            im, _ = jax.lax.scan(body, img, perm)
+            return im
+
+        x = jax.vmap(one_sample)(keys, x, gates)
+        return jnp.clip(x, 0.0, 255.0)
+
     branches = []
     for i, op in enumerate(_PHOTO_OPS):
         def branch(xb, i=i, op=op):

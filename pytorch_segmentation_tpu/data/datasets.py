@@ -20,10 +20,16 @@ Datasets yield (img uint8 [H, W, 3] RGB, seg uint8 [H, W]).
 CocoInstance redesign note: the reference augments polygons with imgaug
 *before* its random instance crop (utils/datasets.py:346-391). Here the
 random instance selection + crop run on the host in pure numpy and the
-geometric augmentation is applied *after* cropping, on device. The training
-distribution is equivalent (random affine of an instance crop vs. crop of an
-affinely-warped instance) without dragging a CPU polygon library into the
-hot loop.
+geometric augmentation is applied *after* cropping, on device. Quantified
+equivalence (tests/test_data.py::test_instance_crop_order_equivalence):
+the LABEL distribution is exactly order-independent — the selected instance
+lies inside the crop window, so warping about the crop center then cropping
+yields the identical mask as cropping then warping (measured gap 0.0 over
+400 random affine draws). The only divergence is IMAGE background near the
+crop edge: on average ~19% of crop pixels (p95 36%) inverse-map outside the
+crop window and receive boundary fill here where the reference would show
+true out-of-crop image content. That content is unlabeled background in a
+single-instance task, so the supervised signal is unchanged.
 """
 
 from __future__ import annotations

@@ -21,6 +21,9 @@ from .steps import TrainState, make_eval_step, make_predict_step
 __all__ = ["test"]
 
 _EVAL_STEP_CACHE: dict = {}
+_EVAL_STEP_CACHE_MAX = 16  # (num_classes, align, sharding) combos are few;
+                           # bound it anyway so a class-count sweep in one
+                           # process can't grow executables without limit
 
 
 def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
@@ -47,6 +50,8 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
     key = (num_classes, align, replicated_sharding(mesh))
     eval_step = _EVAL_STEP_CACHE.get(key)
     if eval_step is None:
+        if len(_EVAL_STEP_CACHE) >= _EVAL_STEP_CACHE_MAX:
+            _EVAL_STEP_CACHE.pop(next(iter(_EVAL_STEP_CACHE)))
         eval_step = make_eval_step(num_classes, align_corners=align,
                                    out_shardings=replicated_sharding(mesh))
         _EVAL_STEP_CACHE[key] = eval_step
@@ -57,6 +62,12 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
     batch_sharding = jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec(mesh.axis_names[0]))
     multihost = jax.process_count() > 1
+    # batch sharding into PostFetch: outputs arrive placed (single-host) /
+    # globally assembled (multi-host) and put_global_batch passes them
+    # through — no per-batch D2H bounce (see engine/trainer.py)
+    pf = getattr(fetcher, "post_fetch_fn", None)
+    if pf is not None and getattr(pf, "sharding", False) is None:
+        pf.sharding = sharding
 
     tp = np.zeros(num_classes)
     fn = np.zeros(num_classes)

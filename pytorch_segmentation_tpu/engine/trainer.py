@@ -96,6 +96,13 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh()
         self._data_sharding = data_sharding(self.mesh)
         self._repl_sharding = replicated_sharding(self.mesh)
+        # hand the batch sharding to the fetcher's PostFetch so it places
+        # (single-host) or globally assembles (multi-host, BEFORE the device
+        # augment program — no per-batch D2H bounce) its outputs; step()'s
+        # put_global_batch then passes them through untouched
+        pf = getattr(fetcher, "post_fetch_fn", None)
+        if pf is not None and getattr(pf, "sharding", False) is None:
+            pf.sharding = self._data_sharding
 
         # TPU-first: train on low-res logits and fold the model's trailing
         # bilinear upsample into the loss (fused Pallas upsample+CE on TPU).

@@ -72,25 +72,46 @@ def shard_batch(mesh: Mesh, *arrays, axis_name: str = "data"):
     return out[0] if len(out) == 1 else out
 
 
+def _already_placed(a, sharding: NamedSharding) -> bool:
+    cur = getattr(a, "sharding", None)
+    if cur is None:
+        return False
+    try:
+        return cur.is_equivalent_to(sharding, a.ndim)
+    except Exception:
+        return cur == sharding
+
+
 def put_global_batch(sharding: NamedSharding, *arrays):
     """Assemble device arrays for the train/eval step from this process's
     LOCAL batch.
 
-    Single-process: a plain device_put onto `sharding`. Multi-host: each
-    process's loader yields its rank shard of the data
+    Arrays that already carry `sharding` (the PostFetch sharded path —
+    single-host placed or multi-host globally assembled BEFORE the augment
+    program) pass through untouched: the multi-host batch path must never
+    np.asarray a device-resident array, which would bounce every batch
+    device->host->device after augmentation.
+
+    Otherwise — single-process: a plain device_put onto `sharding`.
+    Multi-host: each process's loader yields its rank shard of the data
     (DataLoader(rank, world_size) — the DistributedSampler contract,
-    reference train.py:33-35), and the shards combine into one global jax
-    Array via jax.make_array_from_process_local_data, so the global batch is
-    bs * process_count. device_put of a host-local array onto a mesh that
-    spans non-addressable devices would fail — this is the supported path.
+    reference train.py:33-35), and the HOST shards combine into one global
+    jax Array via jax.make_array_from_process_local_data, so the global
+    batch is bs * process_count. device_put of a host-local array onto a
+    mesh that spans non-addressable devices would fail — this is the
+    supported path.
     """
-    if jax.process_count() == 1:
-        out = tuple(jax.device_put(a, sharding) for a in arrays)
-    else:
-        out = tuple(
-            jax.make_array_from_process_local_data(sharding, np.asarray(a))
-            for a in arrays)
-    return out[0] if len(out) == 1 else out
+    out = []
+    for a in arrays:
+        if _already_placed(a, sharding):
+            out.append(a)
+        elif jax.process_count() == 1:
+            out.append(jax.device_put(a, sharding))
+        else:
+            out.append(
+                jax.make_array_from_process_local_data(sharding,
+                                                       np.asarray(a)))
+    return out[0] if len(out) == 1 else tuple(out)
 
 
 def put_replicated_tree(sharding: NamedSharding, tree):

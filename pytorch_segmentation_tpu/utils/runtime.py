@@ -35,8 +35,14 @@ def jit_with_options(fun, donate_argnums=(), static_argnums=(),
         statics = tuple(args[i] for i in static_argnums)
         leaves, treedef = jax.tree.flatten(
             tuple(a for i, a in enumerate(args) if i not in static_argnums))
+        # sharding + weak_type are part of the key: a same-shaped call with a
+        # different placement must not reuse an executable lowered for the
+        # first placement (JAX would raise at call time, but recompiling is
+        # the correct behavior)
         key = (statics, treedef,
-               tuple((getattr(l, "shape", None), str(getattr(l, "dtype", "")))
+               tuple((getattr(l, "shape", None), str(getattr(l, "dtype", "")),
+                      str(getattr(l, "sharding", None)),
+                      getattr(l, "weak_type", None))
                      for l in leaves))
         exe = cache.get(key)
         if exe is None:
@@ -45,6 +51,10 @@ def jit_with_options(fun, donate_argnums=(), static_argnums=(),
             cache[key] = exe
         return exe(*(a for i, a in enumerate(args)
                      if i not in static_argnums))
+    # expose the underlying jit's lower/eval_shape so AOT tools
+    # (tools/dump_hlo.py) work whether or not compiler options are active
+    wrapper.lower = jitted.lower
+    wrapper.eval_shape = jitted.eval_shape
     return wrapper
 
 

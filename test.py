@@ -2,19 +2,27 @@
 """Standalone evaluation CLI (rebuild of reference test.py:76-106).
 
 Adds `--model` (the reference hard-codes DeepLabV3Plus here while train.py
-defaults to UNet — SURVEY.md §2.2)."""
+defaults to UNet — SURVEY.md §2.2) and `--dataset` (the reference likewise
+hard-codes CocoDataset at test.py:9; `segimg` evaluates the voc2dataset.py
+layout — docs/MIOU_PARITY_RUNBOOK.md step 4)."""
 
 import argparse
 
-from pytorch_segmentation_tpu.data import CocoDataset, DataLoader, Fetcher, PostFetch
+from pytorch_segmentation_tpu.data import (CocoDataset, DataLoader, Fetcher,
+                                           PostFetch, SegImgDataset)
 from pytorch_segmentation_tpu.engine import test
 from pytorch_segmentation_tpu.engine.checkpoint import load_model_bundle
 from pytorch_segmentation_tpu.models import build_model
 
+DATASETS = {"coco": CocoDataset, "segimg": SegImgDataset}
+
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("val", type=str)
+    parser.add_argument("val", type=str,
+                        help="val.json (coco) or val.txt (segimg)")
+    parser.add_argument("--dataset", type=str, default="coco",
+                        choices=sorted(DATASETS))
     parser.add_argument("--model", type=str, default="deeplabv3plus",
                         choices=["unet", "deeplabv3plus", "hrnet"])
     parser.add_argument("--weights", type=str, default="")
@@ -28,8 +36,8 @@ def main():
     from pytorch_segmentation_tpu.utils.runtime import setup_runtime
     setup_runtime()
 
-    val_data = CocoDataset(opt.val, img_size=opt.img_size, augments=False,
-                           rect=opt.rect)
+    val_data = DATASETS[opt.dataset](opt.val, img_size=opt.img_size,
+                                     augments=False, rect=opt.rect)
     val_loader = DataLoader(val_data, batch_size=opt.batch_size,
                             num_workers=opt.num_workers)
     val_fetcher = Fetcher(val_loader, PostFetch())

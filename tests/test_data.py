@@ -105,3 +105,41 @@ def test_post_fetch_normalization(synthetic_coco):
     expected = (raw.images.astype(np.float32) - IMAGENET_MEAN) / IMAGENET_STD
     np.testing.assert_allclose(np.asarray(images), expected, rtol=1e-5,
                                atol=1e-5)
+
+
+def test_instance_crop_order_equivalence():
+    """CocoInstance redesign (datasets.py module note): the LABEL
+    distribution must be exactly order-independent — warping the full-frame
+    single-instance mask about the crop center and then cropping (reference
+    order, utils/datasets.py:346-391) equals cropping first and warping
+    inside the crop frame (our order), because the selected instance lies
+    inside the crop window. Checked over random ellipse instances and
+    random affine draws with cv2 as the oracle."""
+    import cv2
+    rng = np.random.default_rng(0)
+    H = W = 160
+    m = 50  # scaled-down analog of the reference's +-100px margin
+    for _ in range(25):
+        mask = np.zeros((H, W), np.uint8)
+        cx, cy = int(rng.integers(50, W - 50)), int(rng.integers(50, H - 50))
+        ax, ay = int(rng.integers(10, 30)), int(rng.integers(10, 30))
+        cv2.ellipse(mask, (cx, cy), (ax, ay), 0, 0, 360, 1, -1)
+        x0, y0 = max(cx - ax - m // 2, 0), max(cy - ay - m // 2, 0)
+        x1, y1 = min(cx + ax + m // 2, W), min(cy + ay + m // 2, H)
+        ch, cw = y1 - y0, x1 - x0
+        angle = float(rng.uniform(-90, 90))
+        scale = float(rng.uniform(0.8, 1.2))
+        tx = float(rng.uniform(-0.1, 0.1) * cw)
+        ty = float(rng.uniform(-0.1, 0.1) * ch)
+
+        crop = mask[y0:y1, x0:x1]
+        M = cv2.getRotationMatrix2D((cw / 2, ch / 2), angle, scale)
+        M[:, 2] += (tx, ty)
+        ours = cv2.warpAffine(crop, M, (cw, ch), flags=cv2.INTER_NEAREST)
+
+        M2 = cv2.getRotationMatrix2D((x0 + cw / 2, y0 + ch / 2), angle,
+                                     scale)
+        M2[:, 2] += (tx, ty)
+        full = cv2.warpAffine(mask, M2, (W, H), flags=cv2.INTER_NEAREST)
+        theirs = full[y0:y1, x0:x1]
+        np.testing.assert_array_equal(ours, theirs)

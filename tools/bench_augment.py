@@ -108,5 +108,35 @@ def main():
     bench_e2e(AugmentConfig(fast_geometric=True), "fast-augment e2e")
 
 
+def ab_twopass():
+    """Interleaved A/B: legacy global-gather vs separable two-pass warp
+    (drift-proof: both programs alive in one process, alternating rounds)."""
+    setup_runtime()
+    assert jax.devices()[0].platform == "tpu"
+    key = jax.random.PRNGKey(2)
+    images = jax.random.randint(key, (B, H, W, 3), 0, 255, jnp.uint8)
+    segs = jnp.zeros((B, H, W), jnp.uint8)
+    cases = [
+        ("legacy default", AugmentConfig(separable_warp=False)),
+        ("twopass default", AugmentConfig()),
+        ("legacy order=1", AugmentConfig(separable_warp=False,
+                                         image_warp_order=1)),
+        ("twopass order=1", AugmentConfig(image_warp_order=1)),
+        ("twopass psample-photo", AugmentConfig(
+            per_sample_photo_order=True)),
+    ]
+    results = {label: [] for label, _ in cases}
+    for r in range(3):
+        for label, cfg in cases:
+            results[label].append(
+                bench_augment(cfg, f"{label} r{r}", images, segs))
+    for label, v in results.items():
+        print(f"median [{label}]: {sorted(v)[1]:.1f} ms/batch", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if len(sys.argv) > 1 and sys.argv[1] == "ab":
+        ab_twopass()
+    else:
+        main()
