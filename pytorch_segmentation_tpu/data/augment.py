@@ -106,6 +106,12 @@ class AugmentConfig:
     # per batch; costs 13x the pool's op applications under vmap —
     # measurement-gated, see _photometric_batch
     per_sample_photo_order: bool = False
+    # rng_impl='rbg' draws the augmentation randomness with the
+    # counter-based RBG generator instead of threefry — much cheaper per
+    # word on TPU for the big per-pixel fields (dither/elastic/noise);
+    # statistically fine for augmentation noise. None keeps the key's own
+    # implementation (threefry via PRNGKey).
+    rng_impl: str | None = None
     # geometric (reference utils/datasets.py:29-57)
     p_fliplr: float = 0.5
     p_flipud: float = 0.2
@@ -1031,6 +1037,13 @@ def make_augment_fn(config: AugmentConfig | None = None):
 
     def augment_batch(rng, images, segs):
         b = images.shape[0]
+        if cfg.rng_impl is not None:
+            # deterministically re-key into the requested implementation
+            raw = (jax.random.key_data(rng)
+                   if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key)
+                   else rng).reshape(-1)
+            data = jnp.tile(raw, 4)[:4].astype(jnp.uint32)
+            rng = jax.random.wrap_key_data(data, impl=cfg.rng_impl)
         rng, k_order = jax.random.split(rng)
         keys = jax.random.split(rng, b)
         gates = jax.vmap(

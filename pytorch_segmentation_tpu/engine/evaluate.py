@@ -93,8 +93,16 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
 
     for images, segs, valid in pbar:
         # per-sample mask: multi-host padding is interleaved per process, so
-        # the mask shards alongside the batch (steps.sample_valid_mask)
-        local_mask = np.arange(images.shape[0]) < int(valid)
+        # the mask shards alongside the batch (steps.sample_valid_mask).
+        # `valid` counts THIS process's real samples, so the mask is built
+        # at local length — when PostFetch already assembled the global
+        # batch (sharding injected above), images.shape[0] is the GLOBAL
+        # size and must be divided back down.
+        local_b = images.shape[0]
+        if multihost and isinstance(images, jax.Array) \
+                and not images.is_fully_addressable:
+            local_b = images.shape[0] // jax.process_count()
+        local_mask = np.arange(local_b) < int(valid)
         images, segs = put_global_batch(sharding, images, segs)
         mask = put_global_batch(batch_sharding, local_mask)
         res = eval_step(state, images, segs, mask)

@@ -118,13 +118,19 @@ def ab_twopass():
     segs = jnp.zeros((B, H, W), jnp.uint8)
     cases = [
         ("legacy default", AugmentConfig(separable_warp=False)),
-        ("twopass default", AugmentConfig()),
+        ("twopass default", AugmentConfig(separable_warp=True)),
         ("legacy order=1", AugmentConfig(separable_warp=False,
                                          image_warp_order=1)),
-        ("twopass order=1", AugmentConfig(image_warp_order=1)),
-        ("twopass psample-photo", AugmentConfig(
-            per_sample_photo_order=True)),
+        ("twopass order=1", AugmentConfig(separable_warp=True,
+                                          image_warp_order=1)),
+        ("legacy psample-photo", AugmentConfig(
+            separable_warp=False, per_sample_photo_order=True)),
+        ("legacy rbg-rng", AugmentConfig(separable_warp=False,
+                                         rng_impl="rbg")),
     ]
+    import sys
+    if len(sys.argv) > 2:  # substring filter: bench_augment.py ab rbg
+        cases = [(l, c) for l, c in cases if sys.argv[2] in l]
     results = {label: [] for label, _ in cases}
     for r in range(3):
         for label, cfg in cases:

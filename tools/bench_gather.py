@@ -31,10 +31,14 @@ def timed(label, many, *args):
 
 
 def chain(fn):
+    # BOTH index operands must depend on the carry: round 2 coupled only
+    # yi, so the lanes-only variant (which ignores yi) was hoisted out of
+    # the scan by XLA and "measured" 1.5 ns/elem — the real rate is ~12.5
+    # (verified by tools/bench_twopass.py variants; PERF.md round 3)
     @jax.jit
     def many(src, yi, xi):
         def body(c, _):
-            out = fn(src, (yi + c) % H, xi)
+            out = fn(src, (yi + c) % H, (xi + c) % W)
             return jnp.max(out).astype(jnp.int32) % 3, None
         c, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), None,
                             length=REPS)
