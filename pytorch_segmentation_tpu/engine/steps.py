@@ -211,13 +211,22 @@ def make_eval_step(num_classes: int, align_corners: bool = True,
                             compiler_options=tpu_compiler_options())
 
 
-def make_predict_step(align_corners: bool = True):
-    """(state, images, out_hw) -> argmax mask at out_hw (for show_batch)."""
+def make_predict_step(align_corners: bool = True, use_pallas: bool = True):
+    """(state, images, out_hw) -> argmax mask at out_hw (serving +
+    show_batch). On TPU with low-res logits the upsample+argmax is one
+    fused Pallas kernel that never materializes the full-res logits tensor
+    (ops/pallas/upsample_argmax.py)."""
 
     def predict(state: TrainState, images, out_hw):
         logits = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             images, train=False)
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if (use_pallas and on_tpu and logits.shape[-1] <= 128
+                and (logits.shape[1], logits.shape[2]) != tuple(out_hw)):
+            from ..ops.pallas.upsample_argmax import fused_upsample_argmax
+            return fused_upsample_argmax(logits, tuple(out_hw),
+                                         align_corners=align_corners)
         up = resize_bilinear(logits.astype(jnp.float32), out_hw,
                              align_corners=align_corners)
         return jnp.argmax(up, axis=-1).astype(jnp.int32)

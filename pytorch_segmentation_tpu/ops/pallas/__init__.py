@@ -2,5 +2,7 @@
 
 from .eval_confusion import fused_eval_confusion
 from .softmax_ce import fused_upsample_ce
+from .upsample_argmax import fused_upsample_argmax
 
-__all__ = ["fused_upsample_ce", "fused_eval_confusion"]
+__all__ = ["fused_upsample_ce", "fused_eval_confusion",
+           "fused_upsample_argmax"]
