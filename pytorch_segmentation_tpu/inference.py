@@ -21,7 +21,7 @@ import numpy as np
 
 from .data.datasets import IMAGENET_MEAN, IMAGENET_STD
 
-__all__ = ["inference", "make_infer_fn"]
+__all__ = ["inference", "make_infer_fn", "make_mask_fn"]
 
 
 @functools.lru_cache(maxsize=8)
@@ -45,6 +45,51 @@ def make_infer_fn(model, legacy_preproc: bool = False):
 
     def fn(images_u8):
         return jitted(variables, jnp.asarray(images_u8))
+    return fn
+
+
+def make_mask_fn(model, out_hw=None, legacy_preproc: bool = False):
+    """Fixed-size SERVING path: fn(images_u8 NHWC RGB) -> int32 argmax
+    masks [B, *out_hw] (device), one jitted program.
+
+    Unlike `inference()` (which matches the reference CLI contract —
+    utils/inference.py:8-21 — and resizes probabilities to each image's
+    own original size on the host), this keeps everything on device at a
+    fixed output size: normalize -> forward -> bilinear-upsample+argmax.
+    On TPU with low-res logits the upsample+argmax is the fused Pallas
+    kernel (ops/pallas/upsample_argmax.py; 833 img/s at 32x513^2, see
+    PERF.md). out_hw=None upsamples to the input image size. Softmax is
+    skipped: per-pixel argmax of logits equals argmax of softmax.
+    """
+    variables = {"params": model.params, "batch_stats": model.batch_stats}
+    apply_fn = model.apply_fn
+    align = getattr(model.module, "up_align_corners", True)
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def run(images_u8, hw):
+        x = images_u8.astype(jnp.float32)
+        if legacy_preproc:
+            x = x / 255.0
+        else:
+            x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        logits = apply_fn(variables, x, train=False)
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if (logits.shape[1], logits.shape[2]) == tuple(hw):
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if on_tpu and logits.shape[-1] <= 128:
+            from .ops.pallas.upsample_argmax import fused_upsample_argmax
+            return fused_upsample_argmax(logits, tuple(hw),
+                                         align_corners=align)
+        from .ops.resize import resize_bilinear
+        up = resize_bilinear(logits.astype(jnp.float32), hw,
+                             align_corners=align)
+        return jnp.argmax(up, axis=-1).astype(jnp.int32)
+
+    def fn(images_u8):
+        images_u8 = jnp.asarray(images_u8)
+        hw = tuple(out_hw) if out_hw is not None \
+            else (images_u8.shape[1], images_u8.shape[2])
+        return run(images_u8, hw)
     return fn
 
 

@@ -68,3 +68,38 @@ def test_multi_scale_post_fetch(rng):
         # labels stay at base resolution (reference post_fetch semantics)
         assert segs.shape == (2, 64, 64)
     assert len(seen) > 1  # actually varies
+
+
+def test_make_mask_fn_matches_prob_argmax(rng):
+    # full-res logits: mask == argmax of the prob path, exactly
+    bundle = _bundle()
+    imgs = rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8)
+    from pytorch_segmentation_tpu.inference import make_mask_fn
+    masks = np.asarray(make_mask_fn(bundle)(imgs))
+    probs = np.asarray(make_infer_fn(bundle)(imgs))
+    assert masks.shape == (2, 32, 32) and masks.dtype == np.int32
+    np.testing.assert_array_equal(masks, probs.argmax(-1))
+
+
+def test_make_mask_fn_low_res_upsample(rng):
+    # deferred-upsample model: mask fn upsamples logits (align per model)
+    # before argmax — must equal the explicit resize+argmax reference
+    from pytorch_segmentation_tpu.inference import make_mask_fn
+    from pytorch_segmentation_tpu.models import UNet
+    from pytorch_segmentation_tpu.ops.resize import resize_bilinear
+    model = UNet(num_classes=3, dtype=jnp.float32, full_res_output=False)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)), train=False)
+    bundle = ModelBundle(model, variables["params"],
+                         variables["batch_stats"])
+    imgs = rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8)
+    masks = np.asarray(make_mask_fn(bundle, out_hw=(32, 32))(imgs))
+    x = (imgs.astype(np.float32)
+         - np.array([123.675, 116.28, 103.53])) / np.array(
+             [58.395, 57.12, 57.375])
+    logits = bundle.apply_fn(variables, jnp.asarray(x), train=False)
+    assert logits.shape[1] < 32  # actually exercises the upsample branch
+    up = resize_bilinear(
+        logits.astype(jnp.float32), (32, 32),
+        align_corners=getattr(model, "up_align_corners", True))
+    np.testing.assert_array_equal(masks, np.asarray(jnp.argmax(up, -1)))
