@@ -106,26 +106,45 @@ class Fetcher:
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()  # consumer abandoned the iteration
         err: list = []
+
+        def put(item):
+            # bounded put that gives up once the consumer is gone — a plain
+            # q.put would block forever on a full queue and deadlock the
+            # consumer's teardown join (early break / exception mid-epoch)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for batch in self.loader:
+                    if stop.is_set():
+                        break
                     out = (self.post_fetch_fn(batch)
                            if self.post_fetch_fn is not None else batch)
-                    q.put(out)
+                    if not put(out):
+                        break
             except BaseException as e:  # propagate to consumer
                 err.append(e)
             finally:
-                q.put(sentinel)
+                put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            stop.set()
+            t.join(timeout=5.0)
         if err:
             raise err[0]

@@ -1,6 +1,8 @@
 """Misc pipeline: multi-scale size enumeration, Fetcher error propagation,
 LR schedules, runtime setup."""
 
+import time
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -40,6 +42,35 @@ def test_fetcher_propagates_worker_errors():
     with pytest.raises(RuntimeError, match="boom"):
         for _ in fetcher:
             pass
+
+
+class _SlowDataset:
+    def __len__(self):
+        return 64
+
+    def __getitem__(self, i):
+        return (np.zeros((8, 8, 3), np.uint8), np.zeros((8, 8), np.uint8))
+
+
+def test_fetcher_abandoned_iteration_no_hang():
+    """Breaking out of a Fetcher mid-epoch (exception/KeyboardInterrupt in
+    the train loop) must not deadlock teardown: the producer thread used to
+    block forever in q.put with the consumer gone, hanging the generator's
+    close()/join. Passing = this returns within the joins' bounded waits."""
+    import threading
+    loader = DataLoader(_SlowDataset(), batch_size=2, num_workers=1)
+    fetcher = Fetcher(loader, prefetch=1)
+    before = threading.active_count()
+    for _ in range(3):
+        it = iter(fetcher)
+        next(it)
+        it.close()  # GeneratorExit at the yield -> finally join
+    # producer threads actually exited (bounded wait for the 0.1s put poll)
+    for _ in range(50):
+        if threading.active_count() <= before:
+            break
+        time.sleep(0.1)
+    assert threading.active_count() <= before
 
 
 def test_lr_schedules_construct(synthetic_coco):
