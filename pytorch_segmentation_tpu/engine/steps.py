@@ -168,8 +168,10 @@ def make_eval_step(num_classes: int, align_corners: bool = True,
         th, tw = segs.shape[1], segs.shape[2]
         hh, ww = logits.shape[1], logits.shape[2]
         on_tpu = jax.devices()[0].platform == "tpu"
+        from ..ops.pallas.softmax_ce import forward_kernel_fits
         if (use_pallas and on_tpu and (hh, ww) != (th, tw)
-                and num_classes <= 64):
+                and forward_kernel_fits(num_classes, hh, ww, tw,
+                                        logits.dtype.itemsize)):
             from ..ops.pallas.eval_confusion import fused_eval_confusion
             from ..ops.pallas.softmax_ce import fused_upsample_ce_per_sample
             per_sample = fused_upsample_ce_per_sample(
@@ -222,8 +224,12 @@ def make_predict_step(align_corners: bool = True, use_pallas: bool = True):
             {"params": state.params, "batch_stats": state.batch_stats},
             images, train=False)
         on_tpu = jax.devices()[0].platform == "tpu"
-        if (use_pallas and on_tpu and logits.shape[-1] <= 128
-                and (logits.shape[1], logits.shape[2]) != tuple(out_hw)):
+        from ..ops.pallas.softmax_ce import forward_kernel_fits
+        if (use_pallas and on_tpu
+                and (logits.shape[1], logits.shape[2]) != tuple(out_hw)
+                and forward_kernel_fits(logits.shape[-1], logits.shape[1],
+                                        logits.shape[2], out_hw[1],
+                                        logits.dtype.itemsize)):
             from ..ops.pallas.upsample_argmax import fused_upsample_argmax
             return fused_upsample_argmax(logits, tuple(out_hw),
                                          align_corners=align_corners)

@@ -76,7 +76,10 @@ def make_mask_fn(model, out_hw=None, legacy_preproc: bool = False):
         on_tpu = jax.devices()[0].platform == "tpu"
         if (logits.shape[1], logits.shape[2]) == tuple(hw):
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        if on_tpu and logits.shape[-1] <= 128:
+        from .ops.pallas.softmax_ce import forward_kernel_fits
+        if on_tpu and forward_kernel_fits(logits.shape[-1], logits.shape[1],
+                                          logits.shape[2], hw[1],
+                                          logits.dtype.itemsize):
             from .ops.pallas.upsample_argmax import fused_upsample_argmax
             return fused_upsample_argmax(logits, tuple(hw),
                                          align_corners=align)

@@ -74,8 +74,8 @@ def fused_eval_confusion(logits, labels, valid, align_corners: bool = True,
     """
     num_classes = logits.shape[-1]
     assert num_classes <= 128, "confusion kernel supports <=128 classes"
-    if num_classes > 32:
-        tile = min(tile, 64)  # VMEM headroom (see softmax_ce)
+    from .softmax_ce import default_tile
+    tile = min(tile, default_tile(num_classes))  # VMEM headroom
     h_out, w_out = labels.shape[1], labels.shape[2]
     # keep the model's native dtype through the transpose: the per-tile
     # bf16->f32 upcast inside _upsample_class is exact, at half the traffic

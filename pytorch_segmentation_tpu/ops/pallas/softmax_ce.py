@@ -244,23 +244,75 @@ def _fused_ce_bwd(out_hw, align_corners, tile, res, g):
 _fused_ce.defvjp(_fused_ce_fwd, _fused_ce_bwd)
 
 
+# scoped-VMEM budget for the EXTENDED class range (65..128, e.g. COCO's 81
+# semantic classes): of the 32 MiB tpu_compiler_options scoped-vmem limit,
+# leave headroom for Mosaic's own temporaries. The legacy <=64 range keeps
+# its measured-good tiles unconditionally (VOC=21 tile 128: +0.5%, PERF.md).
+_VMEM_BUDGET = 24 * 2 ** 20
+
+
+def _bwd_vmem_bytes(cc, hh, ww, w_out, logits_itemsize, tile):
+    """Estimate of the backward kernel's scoped-VMEM working set: streamed
+    in/out blocks double-buffered by the pipeline, the [C, tile, W] scratch
+    once, plus elementwise temporaries."""
+    inputs = (cc * hh * ww * logits_itemsize   # logits block
+              + tile * w_out * 4               # labels block
+              + tile * hh * 4 + w_out * ww * 4)  # mh block + mw
+    dlogits = cc * hh * ww * 4
+    scratch = cc * tile * w_out * 4
+    working = 8 * tile * w_out * 4
+    return 2 * (inputs + dlogits) + scratch + working
+
+
+def default_tile(cc: int) -> int:
+    """Row-tile sizes as measured (tile 128 at VOC's 21 classes: +0.5%;
+    shrink with class count to keep per-class tiles in VMEM)."""
+    return 128 if cc <= 32 else (64 if cc <= 64 else 32)
+
+
+def forward_kernel_fits(cc, hh, ww, w_out, itemsize) -> bool:
+    """Whether a FORWARD streaming kernel over class-major [C, hh, ww]
+    logits producing w_out-wide row tiles (fused CE forward, eval
+    confusion, upsample+argmax) fits the scoped-VMEM budget. Shared gate
+    for the 65..128-class extension; <=64 classes always fits at the
+    spatial sizes these models emit."""
+    if cc > 128:
+        return False
+    if cc <= 64:
+        return True
+    tile = default_tile(cc)
+    fwd = (2 * (cc * hh * ww * itemsize + tile * w_out * 4
+                + tile * hh * 4 + w_out * ww * 4)
+           + 6 * tile * w_out * 4)
+    return fwd <= _VMEM_BUDGET
+
+
 def fused_upsample_ce(logits, labels, align_corners: bool = True,
                       tile: int = 128, interpret: bool = False):
     """Drop-in for ops.loss.compute_loss on TPU when logits are at a lower
     resolution than labels. Falls back to the XLA path when fusion does not
-    apply (same resolution, or not on TPU and not interpreting)."""
+    apply (same resolution, not on TPU and not interpreting, >128 classes,
+    or a 65..128-class shape whose backward working set cannot fit scoped
+    VMEM — e.g. COCO-81 at DLV3+'s stride-16/129^2 logits fits; the same
+    class count at UNet's 256^2 logits does not)."""
     h_out, w_out = labels.shape[1], labels.shape[2]
     hh, ww = logits.shape[1], logits.shape[2]
+    cc = logits.shape[-1]
     on_tpu = jax.devices()[0].platform == "tpu"
-    # the kernels unroll the class loop: cap it (VOC=21, colormap domain=32)
-    too_many_classes = logits.shape[-1] > 64
+    # the kernels unroll the class loop: VOC=21 / colormap domain 32 /
+    # COCO semantic 81; cap at the eval kernel's 128-lane limit.
+    # Backward scratch is C x tile x W f32: shrink the row tile with class
+    # count and, in the 65..128 extension, require the whole backward
+    # working set to fit scoped VMEM
+    tile = min(tile, default_tile(cc))
+    too_many_classes = cc > 128
+    if 64 < cc <= 128:
+        if _bwd_vmem_bytes(cc, hh, ww, w_out, logits.dtype.itemsize,
+                           tile) > _VMEM_BUDGET:
+            too_many_classes = True
     if ((hh, ww) == (h_out, w_out) or too_many_classes
             or not (on_tpu or interpret)):
         return upsample_ce_reference(logits, labels, align_corners)
-    # backward scratch is C x tile x W f32: keep it inside scoped VMEM for
-    # large class counts (tile 128 measured +0.5% at VOC's 21 classes)
-    if logits.shape[-1] > 32:
-        tile = min(tile, 64)
     if interpret:
         # exercised in tests via pltpu.force_tpu_interpret_mode()
         with pltpu.force_tpu_interpret_mode():
@@ -277,10 +329,13 @@ def fused_upsample_ce_per_sample(logits, labels, align_corners: bool = True,
     Falls back to XLA when the fused kernel does not apply."""
     h_out, w_out = labels.shape[1], labels.shape[2]
     hh, ww = logits.shape[1], logits.shape[2]
+    cc = logits.shape[-1]
     on_tpu = jax.devices()[0].platform == "tpu"
-    if logits.shape[-1] > 32:
-        tile = min(tile, 64)
-    if ((hh, ww) == (h_out, w_out) or logits.shape[-1] > 64
+    tile = min(tile, default_tile(cc))
+    # forward-only: no dlogits block / class scratch in the plan
+    too_many_classes = not forward_kernel_fits(cc, hh, ww, w_out,
+                                               logits.dtype.itemsize)
+    if ((hh, ww) == (h_out, w_out) or too_many_classes
             or not (on_tpu or interpret)):
         from ..resize import resize_bilinear
         up = resize_bilinear(logits.astype(jnp.float32), (h_out, w_out),

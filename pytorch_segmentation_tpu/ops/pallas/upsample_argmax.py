@@ -51,8 +51,8 @@ def fused_upsample_argmax(logits, out_hw, align_corners: bool = True,
     """
     b, hh, ww, cc = logits.shape
     assert cc <= 128, "argmax kernel supports <=128 classes"
-    if cc > 32:
-        tile = min(tile, 64)  # VMEM headroom (see softmax_ce)
+    from .softmax_ce import default_tile
+    tile = min(tile, default_tile(cc))  # VMEM headroom
     h_out, w_out = out_hw
     mh = jnp.asarray(_pad_rows(_interp_weights(hh, h_out, align_corners),
                                tile))
