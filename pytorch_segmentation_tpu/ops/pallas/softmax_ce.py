@@ -150,6 +150,78 @@ def _bwd_kernel(logits_ref, labels_ref, mh_ref, mw_ref, dlogits_ref,
         dlogits_ref[0, c] += d
 
 
+def _fwd_lse_kernel(logits_ref, labels_ref, mh_ref, mw_ref, out_ref,
+                    lse_ref, *, tile: int, h_out: int, num_classes: int):
+    """Forward for the EXTENDED class range (65..128): same online-softmax
+    pass as _fwd_kernel, but also writes the per-pixel logsumexp tile so the
+    class-blocked backward (_bwd_cb_kernel) never needs all classes resident
+    at once."""
+    mh = mh_ref[...]
+    mw = mw_ref[...]
+    labels = labels_ref[0]
+    w_out = labels.shape[1]
+
+    m = jnp.full((tile, w_out), _NEG_BIG, jnp.float32)
+    s = jnp.zeros((tile, w_out), jnp.float32)
+    true_logit = jnp.zeros((tile, w_out), jnp.float32)
+    for c in range(num_classes):
+        up_c = _upsample_class(logits_ref[0, c], mh, mw)
+        m_new = jnp.maximum(m, up_c)
+        s = s * jnp.exp(m - m_new) + jnp.exp(up_c - m_new)
+        m = m_new
+        true_logit += jnp.where(labels == c, up_c, 0.0)
+    lse = m + jnp.log(s)
+    lse_ref[0] = lse
+
+    ti = pl.program_id(1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, w_out), 0)
+    valid = (row_ids + ti * tile) < h_out
+    per_pixel = jnp.where(valid, lse - true_logit, 0.0)
+
+    @pl.when(ti == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += _scalar_tile(jnp.sum(per_pixel))
+
+
+def _bwd_cb_kernel(logits_ref, labels_ref, lse_ref, mh_ref, mw_ref,
+                   dlogits_ref, *, tile: int, h_out: int, cb: int,
+                   inv_n: float):
+    """Class-blocked backward: grid = (B, n_class_blocks, n_tiles), logits
+    block [1, cb, h, w]. With the forward's lse saved as a residual, each
+    class's softmax residual is independent — so only `cb` classes are ever
+    resident, and the scoped-VMEM working set is ~C/cb times smaller than
+    the all-class _bwd_kernel (which blows the 32 MiB limit inside the full
+    train-step program at C=81)."""
+    mh = mh_ref[...]
+    mw = mw_ref[...]
+    labels = labels_ref[0]
+    lse = lse_ref[0]
+    w_out = labels.shape[1]
+
+    ci = pl.program_id(1)
+    ti = pl.program_id(2)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, w_out), 0)
+    valid = (row_ids + ti * tile) < h_out
+
+    @pl.when(ti == 0)
+    def _():
+        dlogits_ref[...] = jnp.zeros_like(dlogits_ref)
+
+    for j in range(cb):
+        c = ci * cb + j  # global class id (traced scalar)
+        up_c = _upsample_class(logits_ref[0, j], mh, mw)
+        p_c = jnp.exp(up_c - lse)
+        onehot_c = (labels == c).astype(jnp.float32)
+        resid = jnp.where(valid, (p_c - onehot_c) * inv_n, 0.0)
+        d1 = jax.lax.dot_general(resid, mw, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        d = jax.lax.dot_general(mh, d1, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        dlogits_ref[0, j] += d
+
+
 def _pad_rows(mat, tile):
     n = mat.shape[0]
     pad = _round_up(n, tile) - n
@@ -192,24 +264,60 @@ def _fused_ce(logits, labels, out_hw, align_corners, tile):
     return s
 
 
+def _pick_cb(cc: int) -> int:
+    """Class-block size for the 65..128-class backward: prefer an exact
+    divisor in [8, 16] (COCO-81 -> 9, zero padding), else 16 with the class
+    axis padded up."""
+    for cb in range(16, 7, -1):
+        if cc % cb == 0:
+            return cb
+    return 16
+
+
 def _fwd_partials(logits, labels, out_hw, align_corners, tile):
     """Per-sample CE pixel SUMS [B] plus the residuals the VJP needs.
-    logits stay in their native dtype (bf16 on the TPU hot path)."""
+    logits stay in their native dtype (bf16 on the TPU hot path).
+
+    For <=64 classes the backward recomputes the online softmax from the
+    saved logits (measured-good config, e.g. VOC-21). For 65..128 classes
+    the forward also emits per-pixel logsumexp tiles so the backward can be
+    class-blocked (see _bwd_cb_kernel)."""
     b, hh, ww, cc = logits.shape
     mh, mw, labels_p = _prep(hh, ww, labels, out_hw, align_corners, tile)
     h_out, w_out = out_hw
     logits_cm = jnp.transpose(logits, (0, 3, 1, 2))  # [B, C, h, w]
     n_tiles = mh.shape[0] // tile
-    partials = pl.pallas_call(
-        functools.partial(_fwd_kernel, tile=tile, h_out=h_out,
-                          num_classes=cc),
-        grid=(b, n_tiles),
-        in_specs=_common_in_specs(hh, ww, cc, tile, w_out),
-        out_specs=pl.BlockSpec((1, 8, 128), lambda bi, ti: (bi, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
-    )(logits_cm, labels_p, mh, mw)
-    return jnp.sum(partials, axis=(1, 2)), (logits_cm, labels_p, mh, mw)
+    if cc <= 64:
+        partials = pl.pallas_call(
+            functools.partial(_fwd_kernel, tile=tile, h_out=h_out,
+                              num_classes=cc),
+            grid=(b, n_tiles),
+            in_specs=_common_in_specs(hh, ww, cc, tile, w_out),
+            out_specs=pl.BlockSpec((1, 8, 128), lambda bi, ti: (bi, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
+        )(logits_cm, labels_p, mh, mw)
+        lse = None
+    else:
+        h_pad = n_tiles * tile
+        partials, lse = pl.pallas_call(
+            functools.partial(_fwd_lse_kernel, tile=tile, h_out=h_out,
+                              num_classes=cc),
+            grid=(b, n_tiles),
+            in_specs=_common_in_specs(hh, ww, cc, tile, w_out),
+            out_specs=[
+                pl.BlockSpec((1, 8, 128), lambda bi, ti: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile, w_out), lambda bi, ti: (bi, ti, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
+                jax.ShapeDtypeStruct((b, h_pad, w_out), jnp.float32),
+            ],
+        )(logits_cm, labels_p, mh, mw)
+    return jnp.sum(partials, axis=(1, 2)), (logits_cm, labels_p, mh, mw,
+                                            lse)
 
 
 def _fused_ce_fwd(logits, labels, out_hw, align_corners, tile):
@@ -220,21 +328,54 @@ def _fused_ce_fwd(logits, labels, out_hw, align_corners, tile):
 
 
 def _fused_ce_bwd(out_hw, align_corners, tile, res, g):
-    logits_cm, labels_p, mh, mw = res
+    logits_cm, labels_p, mh, mw, lse = res
     b, cc, hh, ww = logits_cm.shape
     h_out, w_out = out_hw
     n_tiles = mh.shape[0] // tile
     inv_n = 1.0 / (b * h_out * w_out)
-    dlogits_cm = pl.pallas_call(
-        functools.partial(_bwd_kernel, tile=tile, h_out=h_out,
-                          num_classes=cc, inv_n=inv_n),
-        grid=(b, n_tiles),
-        in_specs=_common_in_specs(hh, ww, cc, tile, w_out),
-        out_specs=pl.BlockSpec((1, cc, hh, ww), lambda bi, ti: (bi, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, cc, hh, ww), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((cc, tile, w_out), jnp.float32)],
-    )(logits_cm, labels_p, mh, mw)
+    if cc <= 64:
+        dlogits_cm = pl.pallas_call(
+            functools.partial(_bwd_kernel, tile=tile, h_out=h_out,
+                              num_classes=cc, inv_n=inv_n),
+            grid=(b, n_tiles),
+            in_specs=_common_in_specs(hh, ww, cc, tile, w_out),
+            out_specs=pl.BlockSpec((1, cc, hh, ww),
+                                   lambda bi, ti: (bi, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, cc, hh, ww), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((cc, tile, w_out), jnp.float32)],
+        )(logits_cm, labels_p, mh, mw)
+    else:
+        cb = _pick_cb(cc)
+        cc_pad = _round_up(cc, cb)
+        lg = logits_cm
+        if cc_pad != cc:
+            lg = jnp.pad(logits_cm, ((0, 0), (0, cc_pad - cc), (0, 0),
+                                     (0, 0)))
+        dlogits_cm = pl.pallas_call(
+            functools.partial(_bwd_cb_kernel, tile=tile, h_out=h_out,
+                              cb=cb, inv_n=inv_n),
+            grid=(b, cc_pad // cb, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, cb, hh, ww),
+                             lambda bi, ci, ti: (bi, ci, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile, w_out),
+                             lambda bi, ci, ti: (bi, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile, w_out),
+                             lambda bi, ci, ti: (bi, ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, hh), lambda bi, ci, ti: (ti, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, cb, hh, ww),
+                                   lambda bi, ci, ti: (bi, ci, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, cc_pad, hh, ww),
+                                           jnp.float32),
+        )(lg, labels_p, lse, mh, mw)[:, :cc]
     # cotangent must match the primal logits dtype (bf16 on the hot path)
     dlogits = (jnp.transpose(dlogits_cm, (0, 2, 3, 1)) * g).astype(
         logits_cm.dtype)
@@ -252,16 +393,18 @@ _VMEM_BUDGET = 24 * 2 ** 20
 
 
 def _bwd_vmem_bytes(cc, hh, ww, w_out, logits_itemsize, tile):
-    """Estimate of the backward kernel's scoped-VMEM working set: streamed
-    in/out blocks double-buffered by the pipeline, the [C, tile, W] scratch
-    once, plus elementwise temporaries."""
-    inputs = (cc * hh * ww * logits_itemsize   # logits block
-              + tile * w_out * 4               # labels block
+    """Scoped-VMEM working set of the CLASS-BLOCKED backward used for
+    65..128 classes (_bwd_cb_kernel): only `cb` classes resident, labels +
+    lse row tiles, no all-class scratch. Streamed blocks double-buffered.
+    (The all-class _bwd_kernel working set grows ~C*h*w and measured 38.8 MB
+    at C=81 inside the train step — that kernel stays <=64-class only.)"""
+    cb = _pick_cb(cc)
+    blocks = (cb * hh * ww * logits_itemsize   # logits class block
+              + cb * hh * ww * 4               # dlogits class block
+              + 2 * tile * w_out * 4           # labels + lse tiles
               + tile * hh * 4 + w_out * ww * 4)  # mh block + mw
-    dlogits = cc * hh * ww * 4
-    scratch = cc * tile * w_out * 4
     working = 8 * tile * w_out * 4
-    return 2 * (inputs + dlogits) + scratch + working
+    return 2 * blocks + working
 
 
 def default_tile(cc: int) -> int:
@@ -283,6 +426,7 @@ def forward_kernel_fits(cc, hh, ww, w_out, itemsize) -> bool:
     tile = default_tile(cc)
     fwd = (2 * (cc * hh * ww * itemsize + tile * w_out * 4
                 + tile * hh * 4 + w_out * ww * 4)
+           + 2 * tile * w_out * 4   # lse out tile (_fwd_lse_kernel)
            + 6 * tile * w_out * 4)
     return fwd <= _VMEM_BUDGET
 
@@ -292,23 +436,26 @@ def fused_upsample_ce(logits, labels, align_corners: bool = True,
     """Drop-in for ops.loss.compute_loss on TPU when logits are at a lower
     resolution than labels. Falls back to the XLA path when fusion does not
     apply (same resolution, not on TPU and not interpreting, >128 classes,
-    or a 65..128-class shape whose backward working set cannot fit scoped
-    VMEM — e.g. COCO-81 at DLV3+'s stride-16/129^2 logits fits; the same
-    class count at UNet's 256^2 logits does not)."""
+    or a 65..128-class shape whose forward or class-blocked-backward
+    working set cannot fit scoped VMEM)."""
     h_out, w_out = labels.shape[1], labels.shape[2]
     hh, ww = logits.shape[1], logits.shape[2]
     cc = logits.shape[-1]
     on_tpu = jax.devices()[0].platform == "tpu"
     # the kernels unroll the class loop: VOC=21 / colormap domain 32 /
     # COCO semantic 81; cap at the eval kernel's 128-lane limit.
-    # Backward scratch is C x tile x W f32: shrink the row tile with class
-    # count and, in the 65..128 extension, require the whole backward
-    # working set to fit scoped VMEM
+    # 65..128 classes use the lse-residual forward + class-blocked backward
+    # pair; require both working sets to fit scoped VMEM (the all-class
+    # backward measured 38.8 MB at C=81 inside the train step — over the
+    # 32 MiB limit — which is why it stays <=64-class only)
     tile = min(tile, default_tile(cc))
     too_many_classes = cc > 128
     if 64 < cc <= 128:
-        if _bwd_vmem_bytes(cc, hh, ww, w_out, logits.dtype.itemsize,
-                           tile) > _VMEM_BUDGET:
+        if (not forward_kernel_fits(cc, hh, ww, w_out,
+                                    logits.dtype.itemsize)
+                or _bwd_vmem_bytes(cc, hh, ww, w_out,
+                                   logits.dtype.itemsize,
+                                   tile) > _VMEM_BUDGET):
             too_many_classes = True
     if ((hh, ww) == (h_out, w_out) or too_many_classes
             or not (on_tpu or interpret)):

@@ -107,16 +107,41 @@ def test_extended_class_vmem_gates(rng):
     """The VMEM plan admits COCO-81 at DLV3+'s stride-16 logits and rejects
     the same class count at UNet's stride-2 logits (and anything >128)."""
     from pytorch_segmentation_tpu.ops.pallas.softmax_ce import (
-        _VMEM_BUDGET, _bwd_vmem_bytes, default_tile, forward_kernel_fits)
-    # backward plan, bf16 logits (itemsize 2)
+        _VMEM_BUDGET, _bwd_vmem_bytes, _pick_cb, default_tile,
+        forward_kernel_fits)
+    # class-blocked backward plan, bf16 logits (itemsize 2): only cb
+    # classes resident, so both DLV3+ 129^2 and UNet-scale 256^2 fit
+    assert _pick_cb(81) == 9          # exact divisor, zero class padding
+    assert _pick_cb(100) == 10
+    assert _pick_cb(127) == 16        # prime -> pad to 128
     assert _bwd_vmem_bytes(81, 129, 129, 513, 2,
                            default_tile(81)) <= _VMEM_BUDGET
     assert _bwd_vmem_bytes(81, 256, 256, 513, 2,
-                           default_tile(81)) > _VMEM_BUDGET
-    # forward gate (eval/argmax kernels): no dlogits/scratch, so 81@256^2
-    # still fits; 81 classes at stride-2 512^2 logits does not
+                           default_tile(81)) <= _VMEM_BUDGET
+    # forward holds ALL classes (online softmax): 81@129^2 and the
+    # TPU-validated borderline 81@256^2 fit; stride-2 512^2 does not
     assert forward_kernel_fits(81, 129, 129, 513, 2)
     assert forward_kernel_fits(81, 256, 256, 513, 2)
     assert not forward_kernel_fits(81, 512, 512, 1024, 2)
     assert not forward_kernel_fits(129, 8, 8, 16, 2)   # >128 lanes
     assert forward_kernel_fits(21, 256, 256, 513, 2)   # legacy range intact
+
+
+def test_fused_ce_extended_classes_padded(rng):
+    """67 classes (prime -> class axis padded to 80 for the cb=16 blocked
+    backward): gradient parity proves padded-class lanes are discarded."""
+    from pytorch_segmentation_tpu.ops.pallas.softmax_ce import (
+        fused_upsample_ce)
+    logits = jnp.asarray(rng.standard_normal((2, 8, 8, 67)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 67, (2, 16, 16)).astype(np.int32))
+    ref = float(compute_loss(logits, labels, align_corners=True))
+    fused = float(fused_upsample_ce(logits, labels, tile=8, interpret=True))
+    assert abs(fused - ref) < 1e-4, (fused, ref)
+    ref_grad = jax.grad(
+        lambda l: compute_loss(l, labels, align_corners=True))(logits)
+    with pltpu.force_tpu_interpret_mode():
+        fused_grad = jax.grad(
+            lambda l: fused_upsample_ce(l, labels, tile=8, interpret=True))(
+                logits)
+    np.testing.assert_allclose(np.asarray(fused_grad), np.asarray(ref_grad),
+                               rtol=1e-4, atol=1e-6)
