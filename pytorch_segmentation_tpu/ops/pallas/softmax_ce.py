@@ -274,20 +274,22 @@ def _pick_cb(cc: int) -> int:
     return 16
 
 
-def _fwd_partials(logits, labels, out_hw, align_corners, tile):
+def _fwd_partials(logits, labels, out_hw, align_corners, tile,
+                  want_lse: bool = True):
     """Per-sample CE pixel SUMS [B] plus the residuals the VJP needs.
     logits stay in their native dtype (bf16 on the TPU hot path).
 
     For <=64 classes the backward recomputes the online softmax from the
     saved logits (measured-good config, e.g. VOC-21). For 65..128 classes
     the forward also emits per-pixel logsumexp tiles so the backward can be
-    class-blocked (see _bwd_cb_kernel)."""
+    class-blocked (see _bwd_cb_kernel); forward-only callers (eval's
+    per-sample loss) pass want_lse=False to skip that extra HBM write."""
     b, hh, ww, cc = logits.shape
     mh, mw, labels_p = _prep(hh, ww, labels, out_hw, align_corners, tile)
     h_out, w_out = out_hw
     logits_cm = jnp.transpose(logits, (0, 3, 1, 2))  # [B, C, h, w]
     n_tiles = mh.shape[0] // tile
-    if cc <= 64:
+    if cc <= 64 or not want_lse:
         partials = pl.pallas_call(
             functools.partial(_fwd_kernel, tile=tile, h_out=h_out,
                               num_classes=cc),
@@ -494,8 +496,8 @@ def fused_upsample_ce_per_sample(logits, labels, align_corners: bool = True,
     if interpret:
         with pltpu.force_tpu_interpret_mode():
             sums, _ = _fwd_partials(logits, labels, (h_out, w_out),
-                                    align_corners, tile)
+                                    align_corners, tile, want_lse=False)
     else:
         sums, _ = _fwd_partials(logits, labels, (h_out, w_out),
-                                align_corners, tile)
+                                align_corners, tile, want_lse=False)
     return sums / (h_out * w_out)

@@ -18,7 +18,7 @@ import numpy as np
 __all__ = ["make_synthetic_coco"]
 
 
-def _make_split(root, name, num_images, img_size, rng):
+def _make_split(root, name, num_images, img_size, rng, num_cats):
     images = []
     annotations = []
     ann_id = 1
@@ -30,11 +30,11 @@ def _make_split(root, name, num_images, img_size, rng):
         img = (img + rng.normal(0, 8, img.shape)).clip(0, 255).astype(np.uint8)
         n_shapes = int(rng.integers(1, 3))
         for _ in range(n_shapes):
-            cls = int(rng.integers(0, 2))  # 0 = box, 1 = tri
+            cls = int(rng.integers(0, num_cats))  # even ids box, odd tri
             cx = int(rng.integers(img_size // 4, 3 * img_size // 4))
             cy = int(rng.integers(img_size // 4, 3 * img_size // 4))
             r = int(rng.integers(img_size // 8, img_size // 4))
-            if cls == 0:
+            if cls % 2 == 0:
                 poly = [cx - r, cy - r, cx + r, cy - r, cx + r, cy + r,
                         cx - r, cy + r]
             else:
@@ -62,16 +62,23 @@ def _make_split(root, name, num_images, img_size, rng):
     coco = {
         "images": images,
         "annotations": annotations,
-        "categories": [{"id": 0, "name": "box"}, {"id": 1, "name": "tri"}],
+        "categories": ([{"id": 0, "name": "box"}, {"id": 1, "name": "tri"}]
+                       if num_cats == 2 else
+                       [{"id": c, "name": f"cat{c}"}
+                        for c in range(num_cats)]),
     }
     with open(osp.join(root, f"{name}.json"), "w") as f:
         json.dump(coco, f)
 
 
 def make_synthetic_coco(root: str, num_train: int = 16, num_val: int = 8,
-                        img_size: int = 96, seed: int = 0):
+                        img_size: int = 96, seed: int = 0,
+                        num_classes: int = 2):
+    """num_classes = shape categories (the dataset adds background, so the
+    model trains with num_classes+1 output channels — pass 80 for a
+    COCO-81-shaped drive)."""
     os.makedirs(root, exist_ok=True)
     rng = np.random.default_rng(seed)
-    _make_split(root, "train", num_train, img_size, rng)
-    _make_split(root, "val", num_val, img_size, rng)
+    _make_split(root, "train", num_train, img_size, rng, num_classes)
+    _make_split(root, "val", num_val, img_size, rng, num_classes)
     return root
