@@ -12,8 +12,18 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate_timeout" not in flags:
+    # The 8 virtual device threads share ONE core here; late in a long
+    # suite run (hundreds of live executables) a device thread can miss
+    # XLA:CPU's default 30 s collective-rendezvous deadline and the runtime
+    # SIGABRTs the whole process ("Fatal Python error: Aborted" from inside
+    # a train step; reproduced at tests/test_train_e2e.py in full-suite
+    # runs while the same tests pass in smaller groups). Raise the hard
+    # deadline so overload degrades to slowness instead of death.
+    flags = (flags + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+             " --xla_cpu_collective_call_terminate_timeout_seconds=900")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
