@@ -265,13 +265,30 @@ def _fused_ce(logits, labels, out_hw, align_corners, tile):
 
 
 def _pick_cb(cc: int) -> int:
-    """Class-block size for the 65..128-class backward: prefer an exact
-    divisor in [8, 16] (COCO-81 -> 9, zero padding), else 16 with the class
-    axis padded up."""
-    for cb in range(16, 7, -1):
+    """Class-block size for the class-blocked backward: prefer an exact
+    divisor in [4, 16], largest first (COCO-81 -> 9, VOC-21 -> 7; zero
+    padding), else 16 with the class axis padded up."""
+    for cb in range(16, 3, -1):
         if cc % cb == 0:
             return cb
     return 16
+
+
+# Backward-kernel routing: "auto" = class-blocked for 65..128 classes,
+# all-class recompute for <=64 (measured-good at VOC-21). "cb" forces the
+# class-blocked pair everywhere — a trace-time measurement knob
+# (tools/bench_ab.py-style A/B; same pattern as nn.blocks.set_force_fused_1x1).
+_CE_BWD_MODE = "auto"
+
+
+def set_ce_bwd_mode(mode: str):
+    global _CE_BWD_MODE
+    assert mode in ("auto", "cb"), mode
+    _CE_BWD_MODE = mode
+
+
+def _use_cb(cc: int) -> bool:
+    return cc > 64 or _CE_BWD_MODE == "cb"
 
 
 def _fwd_partials(logits, labels, out_hw, align_corners, tile,
@@ -289,7 +306,7 @@ def _fwd_partials(logits, labels, out_hw, align_corners, tile,
     h_out, w_out = out_hw
     logits_cm = jnp.transpose(logits, (0, 3, 1, 2))  # [B, C, h, w]
     n_tiles = mh.shape[0] // tile
-    if cc <= 64 or not want_lse:
+    if not (_use_cb(cc) and want_lse):
         partials = pl.pallas_call(
             functools.partial(_fwd_kernel, tile=tile, h_out=h_out,
                               num_classes=cc),
@@ -335,7 +352,9 @@ def _fused_ce_bwd(out_hw, align_corners, tile, res, g):
     h_out, w_out = out_hw
     n_tiles = mh.shape[0] // tile
     inv_n = 1.0 / (b * h_out * w_out)
-    if cc <= 64:
+    # lse is None when the forward ran in all-class mode; the routing must
+    # agree with what the forward actually saved, not the current mode flag
+    if lse is None:
         dlogits_cm = pl.pallas_call(
             functools.partial(_bwd_kernel, tile=tile, h_out=h_out,
                               num_classes=cc, inv_n=inv_n),
