@@ -434,12 +434,20 @@ def default_tile(cc: int) -> int:
     return 128 if cc <= 32 else (64 if cc <= 64 else 32)
 
 
-def forward_kernel_fits(cc, hh, ww, w_out, itemsize) -> bool:
+def forward_kernel_fits(cc, hh, ww, w_out, itemsize,
+                        budget: int = _VMEM_BUDGET) -> bool:
     """Whether a FORWARD streaming kernel over class-major [C, hh, ww]
     logits producing w_out-wide row tiles (fused CE forward, eval
     confusion, upsample+argmax) fits the scoped-VMEM budget. Shared gate
     for the 65..128-class extension; <=64 classes always fits at the
-    spatial sizes these models emit."""
+    spatial sizes these models emit.
+
+    The default budget is TPU-validated for forward-ONLY programs (the
+    81-class 256^2 argmax shape compiled at ~23 MB naive). Gradient
+    programs pass the tighter _VMEM_BUDGET_TRAIN: under remat the forward
+    kernel can be recomputed co-resident with the backward kernel, and
+    the compiler's stack accounting runs ~1.7x naive block math (PERF.md
+    round 3), so a train-path shape must leave co-residency headroom."""
     if cc > 128:
         return False
     if cc <= 64:
@@ -449,7 +457,13 @@ def forward_kernel_fits(cc, hh, ww, w_out, itemsize) -> bool:
                 + tile * hh * 4 + w_out * ww * 4)
            + 2 * tile * w_out * 4   # lse out tile (_fwd_lse_kernel)
            + 6 * tile * w_out * 4)
-    return fwd <= _VMEM_BUDGET
+    return fwd <= budget
+
+
+# train-path (grad) forward budget: see forward_kernel_fits docstring.
+# COCO-81 at DLV3+'s 129^2 logits (6.6 MB naive) passes and is validated
+# in-step on chip; 81 classes at 256^2 logits (23 MB) falls back to XLA.
+_VMEM_BUDGET_TRAIN = 16 * 2 ** 20
 
 
 def fused_upsample_ce(logits, labels, align_corners: bool = True,
@@ -473,7 +487,8 @@ def fused_upsample_ce(logits, labels, align_corners: bool = True,
     too_many_classes = cc > 128
     if 64 < cc <= 128:
         if (not forward_kernel_fits(cc, hh, ww, w_out,
-                                    logits.dtype.itemsize)
+                                    logits.dtype.itemsize,
+                                    budget=_VMEM_BUDGET_TRAIN)
                 or _bwd_vmem_bytes(cc, hh, ww, w_out,
                                    logits.dtype.itemsize,
                                    tile) > _VMEM_BUDGET):

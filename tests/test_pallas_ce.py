@@ -125,6 +125,14 @@ def test_extended_class_vmem_gates(rng):
     assert not forward_kernel_fits(81, 512, 512, 1024, 2)
     assert not forward_kernel_fits(129, 8, 8, 16, 2)   # >128 lanes
     assert forward_kernel_fits(21, 256, 256, 513, 2)   # legacy range intact
+    # the TRAIN gate is tighter (remat co-residency headroom): 81@129^2
+    # stays fused, 81@256^2 falls back to XLA for gradient programs
+    from pytorch_segmentation_tpu.ops.pallas.softmax_ce import (
+        _VMEM_BUDGET_TRAIN)
+    assert forward_kernel_fits(81, 129, 129, 513, 2,
+                               budget=_VMEM_BUDGET_TRAIN)
+    assert not forward_kernel_fits(81, 256, 256, 513, 2,
+                                   budget=_VMEM_BUDGET_TRAIN)
 
 
 def test_fused_ce_extended_classes_padded(rng):
