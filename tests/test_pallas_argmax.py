@@ -45,3 +45,13 @@ def test_fused_argmax_bf16_and_wide_classes(rng):
     np.testing.assert_array_equal(
         np.asarray(pred),
         _reference(np.asarray(lb.astype(jnp.float32)), (32, 32), True))
+
+
+def test_fused_argmax_extended_classes(rng):
+    """65..128-class range (COCO-81): the forward argmax kernel at 81
+    classes matches the XLA reference (interpret mode)."""
+    logits = rng.standard_normal((1, 8, 8, 81)).astype(np.float32)
+    pred = fused_upsample_argmax(jnp.asarray(logits), (16, 16),
+                                 align_corners=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(pred),
+                                  _reference(logits, (16, 16), True))

@@ -51,3 +51,17 @@ def test_fused_eval_ragged_rows(rng):
     # total pixels counted == H*W (padding excluded)
     assert (np.asarray(tp) + np.asarray(fn)).sum() == 50 * 52
     np.testing.assert_array_equal(np.asarray(fp), rfp)
+
+
+def test_fused_eval_extended_classes(rng):
+    """65..128-class range (COCO-81): confusion counts at 81 classes match
+    the XLA reference (interpret mode)."""
+    logits = rng.standard_normal((2, 8, 8, 81)).astype(np.float32)
+    labels = rng.integers(0, 81, (2, 16, 16)).astype(np.int32)
+    tp, fn, fp = fused_eval_confusion(jnp.asarray(logits),
+                                      jnp.asarray(labels), 2,
+                                      interpret=True)
+    rtp, rfn, rfp = _reference(logits, labels, 2, True)
+    np.testing.assert_array_equal(np.asarray(tp), rtp)
+    np.testing.assert_array_equal(np.asarray(fn), rfn)
+    np.testing.assert_array_equal(np.asarray(fp), rfp)
