@@ -123,3 +123,39 @@ def test_checkpoint_shape_mismatch_rejected(tmp_path):
     bad_template = {"conv": {"kernel": jnp.zeros((3, 3, 4, 16))}}
     with pytest.raises(ValueError, match="shape"):
         restore_into(bad_template, ckpt["model"])
+
+
+def test_split_coco_json(tmp_path, synthetic_coco):
+    """split_coco_json partitions images + their annotations exactly, and
+    the resulting train.json loads through CocoDataset."""
+    import json
+    import os.path as osp
+    import sys
+    sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+    from split_coco_json import split_coco_json
+    from pytorch_segmentation_tpu.data import CocoDataset
+
+    src = json.load(open(osp.join(synthetic_coco, "train.json")))
+    merged = str(tmp_path / "coco.json")
+    json.dump(src, open(merged, "w"))
+    train_p, val_p = split_coco_json(merged, ratio=0.75, seed=1,
+                                     out_dir=str(tmp_path))
+    tr = json.load(open(train_p))
+    va = json.load(open(val_p))
+    assert len(tr["images"]) + len(va["images"]) == len(src["images"])
+    tr_ids = {im["id"] for im in tr["images"]}
+    va_ids = {im["id"] for im in va["images"]}
+    assert not tr_ids & va_ids
+    # annotations follow their image, none lost
+    assert (len(tr["annotations"]) + len(va["annotations"])
+            == len(src["annotations"]))
+    assert all(a["image_id"] in tr_ids for a in tr["annotations"])
+    assert tr["categories"] == src["categories"]
+    # images live in synthetic_coco; the dataset resolves file_name
+    # relative to the json's directory, so point it at the source dir
+    json.dump(tr, open(osp.join(synthetic_coco, "split_train.json"), "w"))
+    ds = CocoDataset(osp.join(synthetic_coco, "split_train.json"),
+                     img_size=(64, 64), augments=False)
+    assert len(ds) == len(tr["images"])
+    img, seg = ds[0][:2]
+    assert img.shape[:2] == (64, 64)
