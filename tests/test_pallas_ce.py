@@ -135,6 +135,33 @@ def test_extended_class_vmem_gates(rng):
                                    budget=_VMEM_BUDGET_TRAIN)
 
 
+def test_fused_ce_cb_mode_small_class_count(rng):
+    """set_ce_bwd_mode('cb') — the measurement knob that forces the
+    lse-residual forward + class-blocked backward pair at <=64 classes
+    (tools/bench_cb21.py) — must be gradient-exact at VOC-scale class
+    counts too (21 -> cb=7, exact divisor)."""
+    from pytorch_segmentation_tpu.ops.pallas.softmax_ce import (
+        fused_upsample_ce, set_ce_bwd_mode)
+    logits = jnp.asarray(rng.standard_normal((2, 8, 8, 21)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 21, (2, 16, 16)).astype(np.int32))
+    ref = float(compute_loss(logits, labels, align_corners=True))
+    ref_grad = jax.grad(
+        lambda l: compute_loss(l, labels, align_corners=True))(logits)
+    set_ce_bwd_mode("cb")
+    try:
+        fused = float(fused_upsample_ce(logits, labels, tile=8,
+                                        interpret=True))
+        with pltpu.force_tpu_interpret_mode():
+            fused_grad = jax.grad(
+                lambda l: fused_upsample_ce(l, labels, tile=8,
+                                            interpret=True))(logits)
+    finally:
+        set_ce_bwd_mode("auto")
+    assert abs(fused - ref) < 1e-4, (fused, ref)
+    np.testing.assert_allclose(np.asarray(fused_grad), np.asarray(ref_grad),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_fused_ce_extended_classes_padded(rng):
     """67 classes (prime -> class axis padded to 80 for the cb=16 blocked
     backward): gradient parity proves padded-class lanes are discarded."""
