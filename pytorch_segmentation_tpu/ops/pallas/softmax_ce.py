@@ -444,10 +444,11 @@ def forward_kernel_fits(cc, hh, ww, w_out, itemsize,
 
     The default budget is TPU-validated for forward-ONLY programs (the
     81-class 256^2 argmax shape compiled at ~23 MB naive). Gradient
-    programs pass the tighter _VMEM_BUDGET_TRAIN: under remat the forward
-    kernel can be recomputed co-resident with the backward kernel, and
-    the compiler's stack accounting runs ~1.7x naive block math (PERF.md
-    round 3), so a train-path shape must leave co-residency headroom."""
+    programs pass _VMEM_BUDGET_TRAIN, pinned to the largest working set
+    chip-validated INSIDE a full train step (81@256^2, 23.0 MB naive,
+    2.645x vs the XLA fallback — tools/bench_gate256.py): compiler stack
+    accounting exceeds naive math by a kernel-dependent factor, so the
+    train gate only admits shapes at or below an empirical compile."""
     if cc > 128:
         return False
     if cc <= 64:
@@ -461,9 +462,16 @@ def forward_kernel_fits(cc, hh, ww, w_out, itemsize,
 
 
 # train-path (grad) forward budget: see forward_kernel_fits docstring.
-# COCO-81 at DLV3+'s 129^2 logits (6.6 MB naive) passes and is validated
-# in-step on chip; 81 classes at 256^2 logits (23 MB) falls back to XLA.
-_VMEM_BUDGET_TRAIN = 16 * 2 ** 20
+# Set to the LARGEST chip-validated in-step working set: 81 classes at
+# 256^2 logits -> 512^2 labels (23.0 MB naive) compiled and ran inside the
+# full UNet train step and beat the XLA fallback 2.645x (272 vs 103 img/s
+# bs8 — tools/bench_gate256.py, PERF.md round 3). Shapes above this bound
+# fall back to XLA: the compiler's stack accounting exceeds naive block
+# math by a kernel-dependent factor (1.39x measured for this forward at
+# the boundary, 1.7x for the retired all-class backward), so admitting
+# anything bigger than what actually compiled would risk in-step Mosaic
+# scoped-vmem failures against the 32 MiB tpu_compiler_options limit.
+_VMEM_BUDGET_TRAIN = 22 * 2 ** 20
 
 
 def fused_upsample_ce(logits, labels, align_corners: bool = True,

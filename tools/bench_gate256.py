@@ -46,16 +46,26 @@ def main():
     segs = jnp.zeros((bs, img, img), jnp.int32)
 
     def make(budget):
+        """Build AND trace (first call) under the patched train budget —
+        the gate routes at trace time, so the patch must cover the first
+        step call, not just construction."""
+        default = softmax_ce._VMEM_BUDGET_TRAIN
         softmax_ce._VMEM_BUDGET_TRAIN = budget
-        state = create_train_state(model, jax.random.PRNGKey(0),
-                                   jnp.zeros((1, 64, 64, 3), jnp.float32),
-                                   tx)
-        step = make_train_step(loss_fn=make_loss_fn(align_corners=True,
-                                                    use_pallas=True),
-                               accumulate=1)
+        try:
+            state = create_train_state(model, jax.random.PRNGKey(0),
+                                       jnp.zeros((1, 64, 64, 3),
+                                                 jnp.float32), tx)
+            step = make_train_step(loss_fn=make_loss_fn(align_corners=True,
+                                                        use_pallas=True),
+                                   accumulate=1)
+            t0 = time.perf_counter()
+            state, loss = step(state, images, segs)
+            print("  traced+ran: loss %.5f (%.0fs)"
+                  % (float(loss), time.perf_counter() - t0), flush=True)
+        finally:
+            softmax_ce._VMEM_BUDGET_TRAIN = default
         return [state, step]
 
-    default_budget = softmax_ce._VMEM_BUDGET_TRAIN
     print("shape: C=%d logits 256^2 -> labels %d^2, bs%d" % (C, img, bs),
           flush=True)
     fits = softmax_ce.forward_kernel_fits(
@@ -64,28 +74,16 @@ def main():
 
     pair = {}
     try:
+        print("fused (budget = forward-only 24MiB):", flush=True)
         pair["fused"] = make(softmax_ce._VMEM_BUDGET)
-        sF, stepF = pair["fused"]
-        t0 = time.perf_counter()
-        sF, lF = stepF(sF, images, segs)
-        print("fused step compiled+ran: loss %.5f (%.0fs)"
-              % (float(lF), time.perf_counter() - t0), flush=True)
-        pair["fused"][0] = sF
     except Exception as e:  # Mosaic scoped-vmem overflow lands here
         print("FUSED PATH FAILED IN-STEP:", type(e).__name__, flush=True)
         print(str(e)[:2000], flush=True)
-        print("verdict: keep the 16 MiB train gate", flush=True)
+        print("verdict: keep the conservative train gate", flush=True)
         return
-    finally:
-        softmax_ce._VMEM_BUDGET_TRAIN = default_budget
 
+    print("xla fallback (budget = 0):", flush=True)
     pair["xla"] = make(0)  # budget 0 -> fused gate fails -> XLA fallback
-    softmax_ce._VMEM_BUDGET_TRAIN = default_budget
-    sX, stepX = pair["xla"]
-    sX, lX = stepX(sX, images, segs)
-    pair["xla"][0] = sX
-    print("xla-fallback loss %.5f (fused %.5f)" % (float(lX), float(lF)),
-          flush=True)
 
     def window(mode, n=6):
         s, step = pair[mode]
