@@ -120,25 +120,53 @@ def main():
                 _serving_throughput(fresh2, bs, img), 2)
         except Exception as e:
             result["inference_error"] = f"{type(e).__name__}: {e}"[:120]
+        try:
+            # int8 PTQ serving (quant.py: calibrated activation scales,
+            # per-channel int8 weights on the MXU int8 path — measured
+            # 1.24x vs bf16 serving, mask agreement 96%, PERF.md r3)
+            fresh3 = create_train_state(model, jax.random.PRNGKey(0),
+                                        jnp.zeros((1, 64, 64, 3),
+                                                  jnp.float32), tx)
+            result["inference_int8"] = round(
+                _serving_throughput(fresh3, bs, img, int8=True), 2)
+        except Exception as e:
+            result["inference_int8_error"] = f"{type(e).__name__}: {e}"[:120]
     print(json.dumps(result))
 
 
-def _serving_throughput(state, bs, img):
+def _serving_throughput(state, bs, img, int8: bool = False):
     """images/s through the serving path: uint8 batch in, int32 argmax mask
     out, one jitted program (normalize + forward + fused Pallas
-    upsample+argmax — ops/pallas/upsample_argmax.py)."""
+    upsample+argmax — ops/pallas/upsample_argmax.py). int8=True runs the
+    calibrated PTQ forward (quant.py)."""
     from pytorch_segmentation_tpu.data.pipeline import normalize_images
     from pytorch_segmentation_tpu.ops.pallas.upsample_argmax import (
         fused_upsample_argmax)
     apply_fn = state.apply_fn
+
+    images = jax.random.randint(jax.random.PRNGKey(3), (bs, img, img, 3),
+                                0, 255, jnp.uint8)
+    extra = {}
+    if int8:
+        from pytorch_segmentation_tpu import quant
+        qs = quant.calibrate(
+            state.apply_fn.__self__,
+            {"params": state.params, "batch_stats": state.batch_stats},
+            [normalize_images(images[:max(1, bs // 4)], jnp.float32)])
+        extra = {"quant_stats": qs}
 
     @jax.jit
     def serve(params, batch_stats, images_u8, tok):
         # tok (a device scalar from the previous rep's mask) chains reps so
         # the timed window measures sequential executions, not queue depth
         x = normalize_images(images_u8 + tok, jnp.float32)
-        logits = apply_fn({"params": params, "batch_stats": batch_stats},
-                          x, train=False)
+        variables = {"params": params, "batch_stats": batch_stats, **extra}
+        if int8:
+            from pytorch_segmentation_tpu.quant import quant_mode
+            with quant_mode("int8"):
+                logits = apply_fn(variables, x, train=False)
+        else:
+            logits = apply_fn(variables, x, train=False)
         if (logits.shape[1], logits.shape[2]) != (img, img):
             masks = fused_upsample_argmax(logits, (img, img),
                                           align_corners=True)
@@ -148,8 +176,6 @@ def _serving_throughput(state, bs, img):
         # would be a tiny serializing dispatch — CLAUDE.md)
         return masks, (masks[0, 0, 0] * 0).astype(jnp.uint8)
 
-    images = jax.random.randint(jax.random.PRNGKey(3), (bs, img, img, 3),
-                                0, 255, jnp.uint8)
     tok = jnp.zeros((), jnp.uint8)
     masks, tok = serve(state.params, state.batch_stats, images, tok)
     int(masks[0, 0, 0])  # warmup + compile barrier

@@ -27,11 +27,13 @@ _EVAL_STEP_CACHE_MAX = 16  # (num_classes, align, sharding) combos are few;
 
 
 def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
-         mesh=None):  # noqa: PT028 — reference API name (test.py:15)
+         mesh=None, int8: bool = False):  # noqa: PT028 — reference API name
     """model: engine.trainer.ModelBundle. Returns mean IoU (float).
 
     Prints the per-class table (or top-5 worst classes when >=10 classes)
-    with the reference's format (test.py:59-72).
+    with the reference's format (test.py:59-72). int8=True evaluates the
+    int8 PTQ forward (dynamic scales — quant.py), reporting the mIoU a
+    quantized serving deployment would actually get.
     """
     classes = fetcher.loader.dataset.classes
     num_classes = len(classes)
@@ -47,13 +49,14 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
     # rebuilding it would re-lower + recompile the whole model every epoch
     # (the model enters via state.apply_fn, a static jit field, so one
     # cached step serves any model; differing models just retrace).
-    key = (num_classes, align, replicated_sharding(mesh))
+    key = (num_classes, align, replicated_sharding(mesh), int8)
     eval_step = _EVAL_STEP_CACHE.get(key)
     if eval_step is None:
         if len(_EVAL_STEP_CACHE) >= _EVAL_STEP_CACHE_MAX:
             _EVAL_STEP_CACHE.pop(next(iter(_EVAL_STEP_CACHE)))
         eval_step = make_eval_step(num_classes, align_corners=align,
-                                   out_shardings=replicated_sharding(mesh))
+                                   out_shardings=replicated_sharding(mesh),
+                                   quant=int8)
         _EVAL_STEP_CACHE[key] = eval_step
     state = TrainState(step=0, params=model.params,
                        batch_stats=model.batch_stats, opt_state=None,

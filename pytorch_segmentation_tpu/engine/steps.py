@@ -144,11 +144,16 @@ def sample_valid_mask(valid, b: int):
 
 
 def make_eval_step(num_classes: int, align_corners: bool = True,
-                   use_pallas: bool = True, out_shardings=None):
+                   use_pallas: bool = True, out_shardings=None,
+                   quant: bool = False):
     """Returns jitted (state, images, segs, valid) -> (loss, tp, fn, fp)
     with padded samples masked out of the confusion counts. Pass
     out_shardings=replicated for multi-host meshes so every process can
     read the metric vectors (reference test.py:51-58 all_reduce semantics).
+
+    quant=True runs the forward on the int8 PTQ path with dynamic
+    activation scales (quant.py "int8dyn") — the way to measure the mIoU
+    cost of quantized serving on real validation data (test.py --int8).
 
     `valid` is either the count of real samples in the batch (int) or a
     per-sample bool mask [B] (multi-host: every process pads its own final
@@ -162,9 +167,14 @@ def make_eval_step(num_classes: int, align_corners: bool = True,
     """
 
     def step(state: TrainState, images, segs, valid):
-        logits = state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            images, train=False)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        if quant:
+            from ..quant import quant_mode
+            with quant_mode("int8dyn"):
+                logits = state.apply_fn(variables, images, train=False)
+        else:
+            logits = state.apply_fn(variables, images, train=False)
         th, tw = segs.shape[1], segs.shape[2]
         hh, ww = logits.shape[1], logits.shape[2]
         on_tpu = jax.devices()[0].platform == "tpu"

@@ -25,22 +25,30 @@ __all__ = ["inference", "make_infer_fn", "make_mask_fn"]
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted_infer(apply_fn, legacy_preproc: bool):
+def _jitted_infer(apply_fn, legacy_preproc: bool, int8: bool):
     def run(variables, images_u8):
         x = images_u8.astype(jnp.float32)
         if legacy_preproc:
             x = x / 255.0
         else:
             x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-        logits = apply_fn(variables, x, train=False)
+        if int8:
+            # dynamic-scale int8 PTQ forward (quant.py; per-batch
+            # activation scales, so no calibration artifacts needed)
+            from .quant import quant_mode
+            with quant_mode("int8dyn"):
+                logits = apply_fn(variables, x, train=False)
+        else:
+            logits = apply_fn(variables, x, train=False)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     return jax.jit(run)
 
 
-def make_infer_fn(model, legacy_preproc: bool = False):
+def make_infer_fn(model, legacy_preproc: bool = False, int8: bool = False):
     """model: engine.trainer.ModelBundle. Returns fn(images_u8 NHWC RGB) ->
-    probs [B, H, W, C] f32 (device)."""
-    jitted = _jitted_infer(model.apply_fn, legacy_preproc)
+    probs [B, H, W, C] f32 (device). int8=True runs every eligible conv on
+    the int8 MXU path with dynamic activation scales (quant.py)."""
+    jitted = _jitted_infer(model.apply_fn, legacy_preproc, int8)
     variables = {"params": model.params, "batch_stats": model.batch_stats}
 
     def fn(images_u8):
@@ -96,10 +104,11 @@ def make_mask_fn(model, out_hw=None, legacy_preproc: bool = False):
     return fn
 
 
-def inference(model, imgs, img_size=(64, 64), legacy_preproc: bool = False):
+def inference(model, imgs, img_size=(64, 64), legacy_preproc: bool = False,
+              int8: bool = False):
     """imgs: list of BGR uint8 HWC arrays (cv2-style, like the reference).
     Returns a list of [H_orig, W_orig] int argmax masks."""
-    infer = make_infer_fn(model, legacy_preproc)
+    infer = make_infer_fn(model, legacy_preproc, int8=int8)
     shapes = [img.shape for img in imgs]
     batch = np.stack([
         cv2.resize(img, tuple(img_size))[:, :, ::-1] for img in imgs

@@ -31,8 +31,8 @@ from flax import linen as nn
 
 __all__ = ["ConvNormAct", "SeparableConvNormAct", "BatchNorm2d",
            "BatchNormFolded", "ConvStatsFolded", "fused_1x1_available",
-           "set_force_fused_1x1", "set_conv1x1_dot", "conv_kernel_init",
-           "BN_MOMENTUM"]
+           "set_force_fused_1x1", "set_conv1x1_dot", "set_quant_mode",
+           "get_quant_mode", "conv_kernel_init", "BN_MOMENTUM"]
 
 BN_MOMENTUM = 0.1  # torch convention; flax momentum = 1 - BN_MOMENTUM
 
@@ -309,6 +309,31 @@ def set_conv1x1_dot(on: bool):
     _CONV1X1_DOT = bool(on)
 
 
+# int8 PTQ serving mode (see pytorch_segmentation_tpu/quant.py). Read at
+# TRACE time (same pattern as set_conv1x1_dot / set_ce_bwd_mode); quant.py
+# sets it inside the traced function body so every (re)trace sees it.
+#   None      — normal bf16/f32 path
+#   "calib"   — normal path + record per-block input abs-max into the
+#               mutable "quant_stats" collection (per-tensor activation
+#               scale calibration)
+#   "int8"    — per-out-channel int8 weights x per-tensor int8 activations
+#               (scale from calibrated quant_stats) -> int32 MXU conv ->
+#               f32 rescale; BN(running stats) + act unchanged
+#   "int8dyn" — same, but the activation scale is the live batch abs-max
+#               (no calibration artifacts needed; one extra reduce/layer)
+_QUANT_MODE = None
+
+
+def set_quant_mode(mode):
+    global _QUANT_MODE
+    assert mode in (None, "calib", "int8", "int8dyn"), mode
+    _QUANT_MODE = mode
+
+
+def get_quant_mode():
+    return _QUANT_MODE
+
+
 class ConvNormAct(nn.Module):
     """Conv2d(bias=False) + BatchNorm2d + activation (default ReLU)."""
 
@@ -325,7 +350,43 @@ class ConvNormAct(nn.Module):
     def __call__(self, x, train: bool = False):
         k = self.kernel_size
         p = _pad(k, self.dilation)
-        if k == 1 and self.groups == 1 and _CONV1X1_DOT:
+        # int8 PTQ serving path: grouped/depthwise convs stay bf16 (floor-
+        # bound and not validated int8); training always stays bf16.
+        quant = _QUANT_MODE if (self.groups == 1 and not train) else None
+        if quant == "calib":
+            stat = self.variable("quant_stats", "in_absmax",
+                                 lambda: jnp.zeros((), jnp.float32))
+            if not self.is_initializing():
+                stat.value = jnp.maximum(
+                    stat.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
+        if quant in ("int8", "int8dyn"):
+            # raw kernel param at the ConvNormAct path (<name>/conv/kernel)
+            # — checkpoint-compatible with the nn.Conv branches below
+            kernel = _Kernel((k, k, x.shape[-1], self.features),
+                             name="conv")()
+            if quant == "int8":
+                amax = self.variable("quant_stats", "in_absmax",
+                                     lambda: jnp.zeros((), jnp.float32)
+                                     ).value
+            else:
+                amax = jnp.max(jnp.abs(x)).astype(jnp.float32)
+            # symmetric per-tensor activation scale (0.0 -> 0 exactly, so
+            # conv zero-padding is exact); guard uncalibrated/all-zero
+            s_x = jnp.maximum(amax, 1e-6) / 127.0
+            x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
+                           -127, 127).astype(jnp.int8)
+            # symmetric per-OUT-CHANNEL weight scales over (H, W, I)
+            s_w = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)),
+                              1e-8) / 127.0
+            w_q = jnp.clip(jnp.round(kernel / s_w), -127,
+                           127).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                x_q, w_q, (self.stride, self.stride), [(p, p), (p, p)],
+                rhs_dilation=(self.dilation, self.dilation),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            x = (y.astype(jnp.float32) * (s_x * s_w)).astype(self.dtype)
+        elif k == 1 and self.groups == 1 and _CONV1X1_DOT:
             # exact: a 1x1/pad-0 conv ignores strided-away positions
             kernel = _Kernel((1, 1, x.shape[-1], self.features),
                              name="conv")()

@@ -31,6 +31,10 @@ def main():
                         default=[320, 320])
     parser.add_argument("-bs", "--batch-size", type=int, default=32)
     parser.add_argument("--num-workers", type=int, default=4)
+    parser.add_argument("--int8", action="store_true",
+                        help="evaluate the int8 PTQ forward (quant.py) — "
+                             "reports the mIoU a quantized serving "
+                             "deployment would get")
     opt = parser.parse_args()
 
     from pytorch_segmentation_tpu.utils.runtime import setup_runtime
@@ -45,7 +49,7 @@ def main():
     model = build_model(opt.model, num_classes=len(val_data.classes))
     bundle = load_model_bundle(model, opt.weights,
                                (opt.img_size[1], opt.img_size[0]))
-    metrics = test(bundle, val_fetcher)
+    metrics = test(bundle, val_fetcher, int8=opt.int8)
     print("metrics: %8g" % metrics)
 
 
