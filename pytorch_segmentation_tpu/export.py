@@ -72,9 +72,16 @@ def fuse_conv_bn(params, batch_stats):
 
 
 def export_stablehlo(model, params, batch_stats, img_hw, batch_size: int = 1,
-                     path: str | None = None, with_softmax: bool = True):
+                     path: str | None = None, with_softmax: bool = True,
+                     quant_stats=None, int8: bool = False):
     """Serialize the jitted inference fn (normalize-free: takes normalized
     NHWC f32) to StableHLO bytes; optionally write to `path`.
+
+    quant_stats / int8: export the int8 PTQ forward instead (quant.py) —
+    pass calibrated quant_stats for static activation scales, or int8=True
+    alone for dynamic scales. The int8 convs and rescale chain serialize
+    like any other StableHLO ops, so the deployment artifact keeps the
+    quantized MXU path.
 
     Returns (serialized_bytes, mlir_text).
     """
@@ -82,9 +89,20 @@ def export_stablehlo(model, params, batch_stats, img_hw, batch_size: int = 1,
 
     h, w = img_hw
     variables = {"params": params, "batch_stats": batch_stats}
+    mode = None
+    if quant_stats is not None:
+        mode = "int8"
+        variables = {**variables, "quant_stats": quant_stats}
+    elif int8:
+        mode = "int8dyn"
 
     def infer(x):
-        logits = model.apply(variables, x, train=False)
+        if mode is not None:
+            from .quant import quant_mode
+            with quant_mode(mode):
+                logits = model.apply(variables, x, train=False)
+        else:
+            logits = model.apply(variables, x, train=False)
         if with_softmax:
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return logits

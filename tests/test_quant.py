@@ -87,6 +87,48 @@ def test_quant_mode_does_not_leak_into_training(rng):
     assert gnorm > 0.0  # a quantized trace would have killed the gradient
 
 
+def test_quant_deeplab_dilated_close(rng):
+    """DLV3+ exercises what UNet doesn't: dilated 3x3 convs (ASPP rates,
+    os=16 backbone) through the int8 conv path."""
+    from pytorch_segmentation_tpu.models import DeepLabV3Plus
+
+    model = DeepLabV3Plus(num_classes=3, backbone_layers=(1, 1, 1, 1),
+                          dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    y_ref = model.apply(v, x, train=False)
+    with quant.quant_mode("int8dyn"):
+        y_q = model.apply(v, x, train=False)
+    assert _cos(y_q, y_ref) > 0.98, _cos(y_q, y_ref)
+
+
+def test_quant_export_stablehlo(rng):
+    """The quantized forward must serialize through the StableHLO export
+    path (deployment artifact contract, export.py) — int8 convs and the
+    rescale chain included — and round-trip to the same probabilities."""
+    from jax.export import deserialize
+
+    from pytorch_segmentation_tpu.export import export_stablehlo
+    from pytorch_segmentation_tpu.models import UNet
+
+    model = UNet(num_classes=3, dtype=jnp.float32)
+    xn = jnp.asarray(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), xn, train=False)
+    qs = quant.calibrate(model, v, [xn])
+
+    with quant.quant_mode("int8"):
+        probs_direct = jax.nn.softmax(
+            model.apply({**v, "quant_stats": qs}, xn,
+                        train=False).astype(jnp.float32), axis=-1)
+    blob, mlir = export_stablehlo(model, v["params"],
+                                  v.get("batch_stats", {}), (32, 32),
+                                  quant_stats=qs)
+    assert "i8" in mlir  # the artifact really carries the int8 path
+    out = deserialize(blob).call(xn)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(probs_direct),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_eval_step_int8(rng):
     """make_eval_step(quant=True) — the test.py --int8 path — produces
     finite masked loss and confusion counts that sum to the pixel count,
