@@ -129,6 +129,25 @@ def test_quant_export_stablehlo(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_quant_composes_with_conv_bn_fuse(rng):
+    """Deployment chain: fuse_conv_bn folds BN into the conv kernel
+    (export.py), THEN the int8 path quantizes the folded kernel — the
+    per-out-channel scales absorb the fold factor, so the composed result
+    must still track the unfused bf16 forward."""
+    from pytorch_segmentation_tpu.export import fuse_conv_bn
+    from pytorch_segmentation_tpu.models import UNet
+
+    model = UNet(num_classes=3, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    y_ref = model.apply(v, x, train=False)
+    fp, fs = fuse_conv_bn(v["params"], v.get("batch_stats", {}))
+    fused_v = {"params": fp, "batch_stats": fs}
+    with quant.quant_mode("int8dyn"):
+        y_q = model.apply(fused_v, x, train=False)
+    assert _cos(y_q, y_ref) > 0.98, _cos(y_q, y_ref)
+
+
 def test_eval_step_int8(rng):
     """make_eval_step(quant=True) — the test.py --int8 path — produces
     finite masked loss and confusion counts that sum to the pixel count,

@@ -13,7 +13,8 @@ alternating rounds, token-chained reps, ratio of medians). Also reports
 mask agreement and logits cosine of int8 vs bf16 — the accuracy side of
 the PTQ trade.
 
-Usage: python tools/bench_quant.py [rounds] [batch]
+Usage: python tools/bench_quant.py [rounds] [batch] [model]
+(model in unet|deeplabv3plus|hrnet, default deeplabv3plus)
 """
 
 import statistics
@@ -27,7 +28,7 @@ import optax
 from pytorch_segmentation_tpu import quant
 from pytorch_segmentation_tpu.data.pipeline import normalize_images
 from pytorch_segmentation_tpu.engine.steps import create_train_state
-from pytorch_segmentation_tpu.models import DeepLabV3Plus
+from pytorch_segmentation_tpu.models import build_model
 from pytorch_segmentation_tpu.ops.pallas.upsample_argmax import (
     fused_upsample_argmax)
 from pytorch_segmentation_tpu.utils.runtime import setup_runtime
@@ -37,12 +38,16 @@ B = 32
 
 
 def main():
-    global B
+    global IMG, B
     if len(sys.argv) > 2:
         B = int(sys.argv[2])
+    name = sys.argv[3] if len(sys.argv) > 3 else "deeplabv3plus"
+    if name != "deeplabv3plus":
+        IMG = 512  # UNet/HRNet stride chains want /32-divisible sizes
     setup_runtime()
-    model = DeepLabV3Plus(num_classes=21, dtype=jnp.bfloat16,
-                          full_res_output=False)
+    model = build_model(name, num_classes=21, dtype=jnp.bfloat16,
+                        full_res_output=False)
+    print(f"model: {name} @ {IMG}^2 bs{B}", flush=True)
     state = create_train_state(model, jax.random.PRNGKey(0),
                                jnp.zeros((1, 64, 64, 3), jnp.float32),
                                optax.sgd(1e-3))
