@@ -10,6 +10,7 @@ import os.path as osp
 import shutil
 
 import cv2
+import numpy as np
 from tqdm import tqdm
 
 from pytorch_segmentation_tpu.data import IMG_EXT, VOC_COLORMAP, colorize_mask
@@ -19,7 +20,8 @@ from pytorch_segmentation_tpu.models import build_model
 
 
 def run(img_dir, output_dir, img_size, num_classes, weights, model_name,
-        legacy_preproc=False, batch_size=8, show=False, int8=False):
+        legacy_preproc=False, batch_size=8, show=False, int8=False,
+        calib=False):
     shutil.rmtree(output_dir, ignore_errors=True)
     os.makedirs(output_dir, exist_ok=True)
     model = build_model(model_name, num_classes=num_classes)
@@ -27,11 +29,24 @@ def run(img_dir, output_dir, img_size, num_classes, weights, model_name,
 
     names = sorted(n for n in os.listdir(img_dir)
                    if osp.splitext(n)[1] in IMG_EXT)
+    quant_stats = None
+    if int8 and calib and names:
+        # calibrate the activation scales once on the first batch, reuse
+        # for the whole run (the calibrated int8 program skips the
+        # per-layer abs-max reductions the dynamic mode pays)
+        from pytorch_segmentation_tpu.quant import calibrate_from_u8
+        imgs = [cv2.imread(osp.join(img_dir, n))
+                for n in names[:batch_size]]
+        first = np.stack([
+            cv2.resize(img, tuple(img_size))[:, :, ::-1] for img in imgs
+        ]).astype(np.uint8)
+        quant_stats = calibrate_from_u8(bundle, first, legacy_preproc)
     for start in tqdm(range(0, len(names), batch_size)):
         chunk = names[start:start + batch_size]
         imgs = [cv2.imread(osp.join(img_dir, n)) for n in chunk]
         segmaps = inference(bundle, imgs, img_size,
-                            legacy_preproc=legacy_preproc, int8=int8)
+                            legacy_preproc=legacy_preproc, int8=int8,
+                            quant_stats=quant_stats)
         for name, img, segmap in zip(chunk, imgs, segmaps):
             seg = colorize_mask(segmap, VOC_COLORMAP)
             cv2.imwrite(osp.join(output_dir, osp.splitext(name)[0] + ".png"),
@@ -68,6 +83,11 @@ if __name__ == "__main__":
     parser.add_argument("--int8", action="store_true",
                         help="int8 PTQ forward (dynamic activation scales; "
                              "~1.4x on MXU-bound convs on TPU v5e)")
+    parser.add_argument("--calib", action="store_true",
+                        help="with --int8: calibrate activation scales on "
+                             "the first batch and run the CALIBRATED int8 "
+                             "program for the whole directory (faster than "
+                             "dynamic scales — PERF.md)")
     opt = parser.parse_args()
     print(opt)
 
@@ -75,4 +95,4 @@ if __name__ == "__main__":
     setup_runtime()
     run(opt.img_dir, opt.output_dir, opt.img_size, opt.num_classes,
         opt.weights, opt.model, opt.legacy_preproc, opt.batch_size,
-        show=opt.show, int8=opt.int8)
+        show=opt.show, int8=opt.int8, calib=opt.calib)

@@ -27,14 +27,20 @@ _EVAL_STEP_CACHE_MAX = 16  # (num_classes, align, sharding) combos are few;
 
 
 def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
-         mesh=None, int8: bool = False):  # noqa: PT028 — reference API name
+         mesh=None, int8: bool = False,  # noqa: PT028 — reference API name
+         quant_stats=None):
     """model: engine.trainer.ModelBundle. Returns mean IoU (float).
 
     Prints the per-class table (or top-5 worst classes when >=10 classes)
     with the reference's format (test.py:59-72). int8=True evaluates the
-    int8 PTQ forward (dynamic scales — quant.py), reporting the mIoU a
-    quantized serving deployment would actually get.
+    int8 PTQ forward (quant.py), reporting the mIoU a quantized serving
+    deployment would actually get: dynamic activation scales by default,
+    or the calibrated mode (the recommended deployment config) when
+    `quant_stats` from quant.calibrate() is passed (test.py
+    --calib-batches calibrates on the first batches of the val set).
     """
+    if quant_stats is not None:
+        int8 = True
     classes = fetcher.loader.dataset.classes
     num_classes = len(classes)
     # evaluate on low-res logits and resize once in the eval step (identical
@@ -108,7 +114,10 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
         local_mask = np.arange(local_b) < int(valid)
         images, segs = put_global_batch(sharding, images, segs)
         mask = put_global_batch(batch_sharding, local_mask)
-        res = eval_step(state, images, segs, mask)
+        if quant_stats is not None:
+            res = eval_step(state, images, segs, mask, quant_stats)
+        else:
+            res = eval_step(state, images, segs, mask)
         n_batches += 1
         if n_batches == 1 and show_first_batch and not multihost:
             # predictions only needed for the first-batch visual dump

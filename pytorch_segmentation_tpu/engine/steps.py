@@ -151,9 +151,12 @@ def make_eval_step(num_classes: int, align_corners: bool = True,
     out_shardings=replicated for multi-host meshes so every process can
     read the metric vectors (reference test.py:51-58 all_reduce semantics).
 
-    quant=True runs the forward on the int8 PTQ path with dynamic
-    activation scales (quant.py "int8dyn") — the way to measure the mIoU
-    cost of quantized serving on real validation data (test.py --int8).
+    quant=True runs the forward on the int8 PTQ path — the way to measure
+    the mIoU cost of quantized serving on real validation data (test.py
+    --int8). Scales are dynamic (quant.py "int8dyn") unless the returned
+    step is called with a fifth argument, the "quant_stats" collection
+    from quant.calibrate() — then the calibrated mode (the recommended
+    deployment config, test.py --calib-batches) is evaluated.
 
     `valid` is either the count of real samples in the batch (int) or a
     per-sample bool mask [B] (multi-host: every process pads its own final
@@ -166,12 +169,15 @@ def make_eval_step(num_classes: int, align_corners: bool = True,
     masked mean.
     """
 
-    def step(state: TrainState, images, segs, valid):
+    def step(state: TrainState, images, segs, valid, quant_stats=None):
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
+        if quant_stats is not None:
+            variables = {**variables, "quant_stats": quant_stats}
         if quant:
             from ..quant import quant_mode
-            with quant_mode("int8dyn"):
+            with quant_mode("int8" if quant_stats is not None
+                            else "int8dyn"):
                 logits = state.apply_fn(variables, images, train=False)
         else:
             logits = state.apply_fn(variables, images, train=False)

@@ -25,7 +25,8 @@ __all__ = ["inference", "make_infer_fn", "make_mask_fn"]
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted_infer(apply_fn, legacy_preproc: bool, int8: bool):
+def _jitted_infer(apply_fn, legacy_preproc: bool, int8: bool,
+                  calibrated: bool):
     def run(variables, images_u8):
         x = images_u8.astype(jnp.float32)
         if legacy_preproc:
@@ -33,10 +34,11 @@ def _jitted_infer(apply_fn, legacy_preproc: bool, int8: bool):
         else:
             x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
         if int8:
-            # dynamic-scale int8 PTQ forward (quant.py; per-batch
-            # activation scales, so no calibration artifacts needed)
+            # int8 PTQ forward (quant.py): calibrated per-tensor activation
+            # scales (from the "quant_stats" in variables) or dynamic
+            # per-batch scales (no calibration artifacts needed)
             from .quant import quant_mode
-            with quant_mode("int8dyn"):
+            with quant_mode("int8" if calibrated else "int8dyn"):
                 logits = apply_fn(variables, x, train=False)
         else:
             logits = apply_fn(variables, x, train=False)
@@ -44,12 +46,19 @@ def _jitted_infer(apply_fn, legacy_preproc: bool, int8: bool):
     return jax.jit(run)
 
 
-def make_infer_fn(model, legacy_preproc: bool = False, int8: bool = False):
+def make_infer_fn(model, legacy_preproc: bool = False, int8: bool = False,
+                  quant_stats=None):
     """model: engine.trainer.ModelBundle. Returns fn(images_u8 NHWC RGB) ->
     probs [B, H, W, C] f32 (device). int8=True runs every eligible conv on
-    the int8 MXU path with dynamic activation scales (quant.py)."""
-    jitted = _jitted_infer(model.apply_fn, legacy_preproc, int8)
+    the int8 MXU path — dynamic activation scales, or calibrated when
+    `quant_stats` (from quant.calibrate/calibrate_from_u8) is passed."""
+    if quant_stats is not None:
+        int8 = True
+    jitted = _jitted_infer(model.apply_fn, legacy_preproc, int8,
+                           quant_stats is not None)
     variables = {"params": model.params, "batch_stats": model.batch_stats}
+    if quant_stats is not None:
+        variables = {**variables, "quant_stats": quant_stats}
 
     def fn(images_u8):
         return jitted(variables, jnp.asarray(images_u8))
@@ -105,14 +114,26 @@ def make_mask_fn(model, out_hw=None, legacy_preproc: bool = False):
 
 
 def inference(model, imgs, img_size=(64, 64), legacy_preproc: bool = False,
-              int8: bool = False):
+              int8: bool = False, calib: bool = False, quant_stats=None):
     """imgs: list of BGR uint8 HWC arrays (cv2-style, like the reference).
-    Returns a list of [H_orig, W_orig] int argmax masks."""
-    infer = make_infer_fn(model, legacy_preproc, int8=int8)
+    Returns a list of [H_orig, W_orig] int argmax masks.
+
+    int8=True: quantized forward with dynamic activation scales.
+    calib=True additionally self-calibrates the scales on THIS input batch
+    (the calibrated mode is the faster deployment config — PERF.md); to
+    calibrate once and reuse across calls, pass `quant_stats` from
+    quant.calibrate_from_u8 instead (inference.py CLI --calib does this
+    with the first batch)."""
     shapes = [img.shape for img in imgs]
     batch = np.stack([
         cv2.resize(img, tuple(img_size))[:, :, ::-1] for img in imgs
     ]).astype(np.uint8)
+    if int8 and calib and quant_stats is None:
+        from .quant import calibrate_from_u8
+        quant_stats = calibrate_from_u8(model, jnp.asarray(batch),
+                                        legacy_preproc)
+    infer = make_infer_fn(model, legacy_preproc, int8=int8,
+                          quant_stats=quant_stats)
     probs = np.asarray(infer(batch))
     preds = [
         cv2.resize(p, (shape[1], shape[0])).argmax(axis=2)

@@ -323,6 +323,21 @@ def set_conv1x1_dot(on: bool):
 #               (no calibration artifacts needed; one extra reduce/layer)
 _QUANT_MODE = None
 
+# Per-layer int8 gate: quantize only convs whose implicit-matmul contraction
+# K = kh*kw*Cin is at least this. int8 pays on MXU-bound convs (deep
+# contractions) and LOSES on floor-/bandwidth-bound ones (the quantize pass
+# + int32 conv output add HBM bytes a short contraction can't buy back:
+# un-gated UNet is 0.61x, HRNet 0.96x). Measured sweep on TPU v5e @512^2
+# bs32 (tools/bench_quant_gate.py): K>=576 is the across-model optimum —
+# UNet 1.02x (0.61x ungated; its sub-576 MobileNetV2 pointwise convs at
+# large spatial were the poison), HRNet 1.18x (0.96x ungated; its
+# K=576 convs are most of its win — 1152 drops to 1.03x), DLV3+ 1.22x
+# (1.24x ungated; only the 7x7x3 stem gets gated off). Gating also
+# IMPROVES accuracy (UNet mask agreement .9659 -> .9971). Calibration
+# records stats for every eligible conv regardless, so the threshold can
+# change without recalibrating.
+_QUANT_MIN_K = 576
+
 
 def set_quant_mode(mode):
     global _QUANT_MODE
@@ -332,6 +347,16 @@ def set_quant_mode(mode):
 
 def get_quant_mode():
     return _QUANT_MODE
+
+
+def set_quant_min_k(min_k: int):
+    """Set the int8 per-layer gate (trace-time, like set_quant_mode)."""
+    global _QUANT_MIN_K
+    _QUANT_MIN_K = int(min_k)
+
+
+def get_quant_min_k():
+    return _QUANT_MIN_K
 
 
 class ConvNormAct(nn.Module):
@@ -353,6 +378,9 @@ class ConvNormAct(nn.Module):
         # int8 PTQ serving path: grouped/depthwise convs stay bf16 (floor-
         # bound and not validated int8); training always stays bf16.
         quant = _QUANT_MODE if (self.groups == 1 and not train) else None
+        if quant in ("int8", "int8dyn") and \
+                k * k * x.shape[-1] < _QUANT_MIN_K:
+            quant = None  # floor-/bandwidth-bound conv: int8 loses (gate ^)
         if quant == "calib":
             stat = self.variable("quant_stats", "in_absmax",
                                  lambda: jnp.zeros((), jnp.float32))

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from .data.datasets import IMAGENET_MEAN, IMAGENET_STD
 from .nn import blocks
 
-__all__ = ["quant_mode", "calibrate", "calibrate_from_u8",
+__all__ = ["quant_mode", "quant_min_k", "calibrate", "calibrate_from_u8",
            "make_quant_mask_fn"]
 
 
@@ -51,6 +51,20 @@ def quant_mode(mode):
         yield
     finally:
         blocks.set_quant_mode(prev)
+
+
+@contextmanager
+def quant_min_k(min_k: int):
+    """Scoped per-layer int8 gate (blocks._QUANT_MIN_K): only convs with
+    contraction K = kh*kw*Cin >= min_k are quantized. The default skips
+    floor-/bandwidth-bound convs where int8 measured slower than bf16
+    (tools/bench_quant_gate.py); 0 quantizes every eligible conv."""
+    prev = blocks.get_quant_min_k()
+    blocks.set_quant_min_k(min_k)
+    try:
+        yield
+    finally:
+        blocks.set_quant_min_k(prev)
 
 
 def calibrate(module, variables, batches):

@@ -35,6 +35,12 @@ def main():
                         help="evaluate the int8 PTQ forward (quant.py) — "
                              "reports the mIoU a quantized serving "
                              "deployment would get")
+    parser.add_argument("--calib-batches", type=int, default=0,
+                        help="with --int8: calibrate activation scales on "
+                             "this many val batches first and evaluate the "
+                             "CALIBRATED mode (the recommended deployment "
+                             "config — 1.24x serving vs 1.04x dynamic); "
+                             "0 = dynamic per-batch scales")
     opt = parser.parse_args()
 
     from pytorch_segmentation_tpu.utils.runtime import setup_runtime
@@ -49,7 +55,21 @@ def main():
     model = build_model(opt.model, num_classes=len(val_data.classes))
     bundle = load_model_bundle(model, opt.weights,
                                (opt.img_size[1], opt.img_size[0]))
-    metrics = test(bundle, val_fetcher, int8=opt.int8)
+    quant_stats = None
+    if opt.int8 and opt.calib_batches > 0:
+        from pytorch_segmentation_tpu import quant
+        calib = []
+        for i, (images, _segs, _valid) in enumerate(val_fetcher):
+            if i >= opt.calib_batches:
+                break
+            calib.append(images)  # fetcher output is already normalized
+        quant_stats = quant.calibrate(
+            bundle.module,
+            {"params": bundle.params, "batch_stats": bundle.batch_stats},
+            calib)
+        print(f"calibrated int8 scales on {len(calib)} val batches")
+    metrics = test(bundle, val_fetcher, int8=opt.int8,
+                   quant_stats=quant_stats)
     print("metrics: %8g" % metrics)
 
 

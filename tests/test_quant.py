@@ -23,8 +23,17 @@ def _cos(a, b):
     return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
 
 
+@pytest.fixture()
+def all_layers_quantized():
+    """Pin the per-layer gate to 0 so the unit tests' tiny convs (K =
+    k*k*cin below the shipped threshold) actually exercise the int8 math
+    instead of being gated to the bf16 path."""
+    with quant.quant_min_k(0):
+        yield
+
+
 @pytest.mark.parametrize("mode", ["int8", "int8dyn"])
-def test_convnormact_int8_close(mode, rng):
+def test_convnormact_int8_close(mode, rng, all_layers_quantized):
     x = jnp.asarray(rng.standard_normal((2, 16, 16, 8)).astype(np.float32))
     m = ConvNormAct(16, kernel_size=3, dtype=jnp.float32)
     v = m.init(jax.random.PRNGKey(0), x, train=False)
@@ -52,7 +61,7 @@ def test_calibration_running_max(rng):
     assert abs(a - float(jnp.max(jnp.abs(x2)))) < 1e-5
 
 
-def test_depthwise_stays_unquantized(rng):
+def test_depthwise_stays_unquantized(rng, all_layers_quantized):
     """Grouped convs are floor-bound and excluded from the int8 path: the
     depthwise half of SeparableConvNormAct must produce NO quant_stats and
     still run exactly in int8dyn mode (pointwise half quantized)."""
@@ -69,7 +78,7 @@ def test_depthwise_stays_unquantized(rng):
     assert _cos(y_q, y_ref) > 0.999
 
 
-def test_quant_mode_does_not_leak_into_training(rng):
+def test_quant_mode_does_not_leak_into_training(rng, all_layers_quantized):
     """train=True must take the normal path even under an active quant
     mode (gradients through round/clip would be zero)."""
     x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)).astype(np.float32))
@@ -87,7 +96,7 @@ def test_quant_mode_does_not_leak_into_training(rng):
     assert gnorm > 0.0  # a quantized trace would have killed the gradient
 
 
-def test_quant_deeplab_dilated_close(rng):
+def test_quant_deeplab_dilated_close(rng, all_layers_quantized):
     """DLV3+ exercises what UNet doesn't: dilated 3x3 convs (ASPP rates,
     os=16 backbone) through the int8 conv path."""
     from pytorch_segmentation_tpu.models import DeepLabV3Plus
@@ -129,7 +138,7 @@ def test_quant_export_stablehlo(rng):
                                rtol=1e-5, atol=1e-6)
 
 
-def test_quant_composes_with_conv_bn_fuse(rng):
+def test_quant_composes_with_conv_bn_fuse(rng, all_layers_quantized):
     """Deployment chain: fuse_conv_bn folds BN into the conv kernel
     (export.py), THEN the int8 path quantizes the folded kernel — the
     per-out-channel scales absorb the fold factor, so the composed result
@@ -201,3 +210,102 @@ def test_quant_model_forward_close(rng):
     # random weights produce near-tied logits; just require substantial
     # agreement, the logits-cosine above is the real closeness check
     assert agree > 0.5, agree
+
+
+def test_quant_gate_skips_floor_bound(rng):
+    """The per-layer gate (blocks._QUANT_MIN_K): a conv with contraction
+    K = k*k*cin below the threshold takes the normal path BITWISE even in
+    int8 mode; dropping the threshold to 0 quantizes it."""
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 8)).astype(np.float32))
+    m = ConvNormAct(16, kernel_size=3, dtype=jnp.float32)  # K = 72
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    y_ref = m.apply(v, x, train=False)
+    with quant.quant_min_k(1152), quant.quant_mode("int8dyn"):
+        y_gated = m.apply(v, x, train=False)
+    np.testing.assert_array_equal(np.asarray(y_gated), np.asarray(y_ref))
+    with quant.quant_min_k(0), quant.quant_mode("int8dyn"):
+        y_q = m.apply(v, x, train=False)
+    assert float(jnp.max(jnp.abs(y_q - y_ref))) > 0.0  # really quantized
+
+
+def test_eval_step_int8_calibrated(rng):
+    """make_eval_step(quant=True) called with the quant_stats collection
+    (the test.py --int8 --calib-batches path) evaluates the CALIBRATED
+    int8 forward: finite masked loss, counts summing to the pixel count,
+    loss close to both the bf16 and the dynamic-int8 eval steps."""
+    from pytorch_segmentation_tpu.engine.steps import (TrainState,
+                                                       make_eval_step)
+    from pytorch_segmentation_tpu.models import UNet
+
+    model = UNet(num_classes=3, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    segs = jnp.asarray(rng.integers(0, 3, (2, 32, 32)).astype(np.int32))
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    qs = quant.calibrate(model, v, [x])
+    state = TrainState(step=0, params=v["params"],
+                       batch_stats=v.get("batch_stats", {}), opt_state=None,
+                       tx=None, apply_fn=model.apply)
+    step = make_eval_step(3, quant=True)
+    loss_c, tp, fn, fp = step(state, x, segs, 2, qs)
+    loss_d, _, _, _ = step(state, x, segs, 2)
+    loss_f, _, _, _ = make_eval_step(3, quant=False)(state, x, segs, 2)
+    assert np.isfinite(float(loss_c))
+    assert float(jnp.sum(tp) + jnp.sum(fn)) == 2 * 32 * 32
+    for other in (loss_d, loss_f):
+        assert abs(float(loss_c) - float(other)) < 0.05 * max(
+            1.0, abs(float(other)))
+
+
+def test_evaluate_test_calibrated_chain(rng, tmp_path):
+    """engine.evaluate.test(quant_stats=...) — the full calibrated eval
+    engine — returns a finite mIoU on a synthetic loader, matching the
+    dynamic-int8 run's shape of behavior."""
+    from pytorch_segmentation_tpu.data.loader import DataLoader, Fetcher
+    from pytorch_segmentation_tpu.data.pipeline import PostFetch
+    from pytorch_segmentation_tpu.engine.evaluate import test as eval_test
+    from pytorch_segmentation_tpu.engine.trainer import ModelBundle
+    from pytorch_segmentation_tpu.models import UNet
+
+    class TinySet:
+        classes = ["bg", "a", "b"]
+
+        def __len__(self):
+            return 8  # one batch of 8: divisible across the 8-device mesh
+
+        def __getitem__(self, i):
+            r = np.random.default_rng(i)
+            img = r.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+            seg = r.integers(0, 3, (32, 32)).astype(np.int32)
+            return img, seg
+
+    loader = DataLoader(TinySet(), batch_size=8, num_workers=0)
+    fetcher = Fetcher(loader, PostFetch())
+    model = UNet(num_classes=3, dtype=jnp.float32)
+    xn = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), xn, train=False)
+    bundle = ModelBundle(model, v["params"], v.get("batch_stats", {}))
+    calib = [images for images, _, _ in fetcher][:1]
+    qs = quant.calibrate(model, {"params": bundle.params,
+                                 "batch_stats": bundle.batch_stats}, calib)
+    miou_c = eval_test(bundle, fetcher, show_first_batch=False, log=False,
+                       quant_stats=qs)
+    assert np.isfinite(miou_c) and 0.0 <= miou_c <= 1.0
+
+
+def test_make_infer_fn_calibrated(rng):
+    """make_infer_fn(quant_stats=...) — the inference.py --calib path —
+    produces probabilities close to the bf16 infer fn's."""
+    from pytorch_segmentation_tpu.engine.trainer import ModelBundle
+    from pytorch_segmentation_tpu.inference import make_infer_fn
+    from pytorch_segmentation_tpu.models import UNet
+
+    model = UNet(num_classes=3, dtype=jnp.float32)
+    x_u8 = rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8)
+    xn = quant._normalize_u8(jnp.asarray(x_u8), False)
+    v = model.init(jax.random.PRNGKey(0), xn, train=False)
+    bundle = ModelBundle(model, v["params"], v.get("batch_stats", {}))
+    qs = quant.calibrate_from_u8(bundle, x_u8)
+    p_ref = make_infer_fn(bundle)(x_u8)
+    p_cal = make_infer_fn(bundle, quant_stats=qs)(x_u8)
+    assert p_cal.shape == p_ref.shape
+    assert _cos(p_cal, p_ref) > 0.99, _cos(p_cal, p_ref)
