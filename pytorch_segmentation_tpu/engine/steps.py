@@ -83,21 +83,33 @@ def create_train_state(model, rng, sample_input, tx,
 
 
 def make_train_step(loss_fn: Callable = compute_loss, accumulate: int = 1,
-                    donate: bool = True):
+                    donate: bool = True, qat: bool = False):
     """Returns jitted (state, images, segs) -> (state, loss) over ONE loader
     batch. With accumulate=k, grads from k consecutive calls are averaged in
     state.grad_acc and the optimizer applies on every k-th call — the
     reference's --accumulate contract (effective batch = bs*k, BN statistics
     per bs batch; reference train.py:94 + pytorch_modules Trainer).
 
+    qat=True traces the forward in quantization-aware-training mode
+    (nn.blocks "qat": straight-through fake-quant on every int8-eligible
+    conv, docs/QUANTIZATION.md) so the trained weights/BN stats match the
+    int8 serving path's arithmetic.
+
     images: [B, H, W, 3] normalized float; segs: [B, H, W] int32.
     """
     accumulate = max(1, int(accumulate))
 
     def batch_loss(params, batch_stats, apply_fn, images, segs):
-        logits, mutated = apply_fn(
-            {"params": params, "batch_stats": batch_stats},
-            images, train=True, mutable=["batch_stats"])
+        if qat:
+            from ..quant import quant_mode
+            with quant_mode("qat"):
+                logits, mutated = apply_fn(
+                    {"params": params, "batch_stats": batch_stats},
+                    images, train=True, mutable=["batch_stats"])
+        else:
+            logits, mutated = apply_fn(
+                {"params": params, "batch_stats": batch_stats},
+                images, train=True, mutable=["batch_stats"])
         loss = loss_fn(logits, segs)
         return loss, mutated["batch_stats"]
 

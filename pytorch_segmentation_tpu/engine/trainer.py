@@ -57,7 +57,8 @@ class Trainer:
                  mesh=None, seed: int = 0, log: bool = True,
                  log_dir: str = "runs", profile: bool = False,
                  defer_upsample: bool = True, lr_schedule: str = "constant",
-                 warmup_steps: int = 0, total_steps: int | None = None):
+                 warmup_steps: int = 0, total_steps: int | None = None,
+                 qat: bool = False):
         self.module = model
         self.fetcher = fetcher
         self.workdir = workdir
@@ -147,8 +148,10 @@ class Trainer:
         # process inits/loads the same state and contributes its replicas)
         self.state = put_replicated_tree(self._repl_sharding, self.state)
 
+        self.qat = bool(qat)  # quantization-aware training (train.py --qat)
         self._train_step = make_train_step(loss_fn=loss_fn,
-                                           accumulate=self.accumulate)
+                                           accumulate=self.accumulate,
+                                           qat=self.qat)
 
     @property
     def model(self) -> ModelBundle:

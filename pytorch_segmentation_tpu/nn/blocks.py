@@ -321,6 +321,13 @@ def set_conv1x1_dot(on: bool):
 #               f32 rescale; BN(running stats) + act unchanged
 #   "int8dyn" — same, but the activation scale is the live batch abs-max
 #               (no calibration artifacts needed; one extra reduce/layer)
+#   "qat"     — quantization-aware TRAINING: straight-through fake-quant of
+#               the conv input + kernel with the same scale formulas as
+#               "int8dyn", active only at train=True (the serving modes
+#               above are active only at train=False). BN batch statistics
+#               are computed on the fake-quantized conv outputs, so the
+#               running stats the int8 serving path consumes match what it
+#               actually computes — the main PTQ accuracy loss mechanism.
 _QUANT_MODE = None
 
 # Per-layer int8 gate: quantize only convs whose implicit-matmul contraction
@@ -341,7 +348,7 @@ _QUANT_MIN_K = 576
 
 def set_quant_mode(mode):
     global _QUANT_MODE
-    assert mode in (None, "calib", "int8", "int8dyn"), mode
+    assert mode in (None, "calib", "int8", "int8dyn", "qat"), mode
     _QUANT_MODE = mode
 
 
@@ -375,10 +382,15 @@ class ConvNormAct(nn.Module):
     def __call__(self, x, train: bool = False):
         k = self.kernel_size
         p = _pad(k, self.dilation)
-        # int8 PTQ serving path: grouped/depthwise convs stay bf16 (floor-
-        # bound and not validated int8); training always stays bf16.
-        quant = _QUANT_MODE if (self.groups == 1 and not train) else None
-        if quant in ("int8", "int8dyn") and \
+        # int8 quantization: grouped/depthwise convs stay bf16 (floor-bound
+        # and not validated int8). The serving modes (calib/int8/int8dyn)
+        # apply only at train=False; "qat" only at train=True (eval under a
+        # QAT-mode trace runs the plain path — eval/serving choose their own
+        # quantization via make_eval_step(quant=)/make_quant_mask_fn).
+        quant = _QUANT_MODE if self.groups == 1 else None
+        if (quant == "qat") != train:
+            quant = None
+        if quant in ("int8", "int8dyn", "qat") and \
                 k * k * x.shape[-1] < _QUANT_MIN_K:
             quant = None  # floor-/bandwidth-bound conv: int8 loses (gate ^)
         if quant == "calib":
@@ -387,7 +399,33 @@ class ConvNormAct(nn.Module):
             if not self.is_initializing():
                 stat.value = jnp.maximum(
                     stat.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
-        if quant in ("int8", "int8dyn"):
+        if quant == "qat":
+            # Quantization-aware training: straight-through fake-quant of
+            # the conv input and kernel with the SAME scale formulas as the
+            # int8 serving branch below (symmetric per-tensor activation /
+            # per-out-channel weight abs-max), so the training loss sees
+            # serving's quantization error while round/clip pass gradients
+            # through unchanged (STE). Scales are stop-gradiented live
+            # abs-maxes (the "int8dyn" scheme); the conv itself runs in the
+            # normal compute dtype. docs/QUANTIZATION.md.
+            kernel = _Kernel((k, k, x.shape[-1], self.features),
+                             name="conv")()
+            xf = x.astype(jnp.float32)
+            s_x = jnp.maximum(jax.lax.stop_gradient(jnp.max(jnp.abs(xf))),
+                              1e-6) / 127.0
+            x_dq = jnp.clip(jnp.round(xf / s_x), -127, 127) * s_x
+            xf = xf + jax.lax.stop_gradient(x_dq - xf)
+            s_w = jnp.maximum(
+                jnp.max(jnp.abs(jax.lax.stop_gradient(kernel)),
+                        axis=(0, 1, 2)), 1e-8) / 127.0
+            w_dq = jnp.clip(jnp.round(kernel / s_w), -127, 127) * s_w
+            w = kernel + jax.lax.stop_gradient(w_dq - kernel)
+            x = jax.lax.conv_general_dilated(
+                xf.astype(self.dtype), w.astype(self.dtype),
+                (self.stride, self.stride), [(p, p), (p, p)],
+                rhs_dilation=(self.dilation, self.dilation),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        elif quant in ("int8", "int8dyn"):
             # raw kernel param at the ConvNormAct path (<name>/conv/kernel)
             # — checkpoint-compatible with the nn.Conv branches below
             kernel = _Kernel((k, k, x.shape[-1], self.features),

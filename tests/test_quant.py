@@ -309,3 +309,107 @@ def test_make_infer_fn_calibrated(rng):
     p_cal = make_infer_fn(bundle, quant_stats=qs)(x_u8)
     assert p_cal.shape == p_ref.shape
     assert _cos(p_cal, p_ref) > 0.99, _cos(p_cal, p_ref)
+
+
+# ---------------------------------------------------------------------------
+# Quantization-aware training ("qat" mode; train.py --qat)
+# ---------------------------------------------------------------------------
+
+def _fake_quant_act(x):
+    s = jnp.maximum(jnp.max(jnp.abs(x)), 1e-6) / 127.0
+    return jnp.clip(jnp.round(x / s), -127, 127) * s
+
+
+def _fake_quant_kernel(w):
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-8) / 127.0
+    return jnp.clip(jnp.round(w / s), -127, 127) * s
+
+
+def test_qat_forward_matches_explicit_fake_quant(rng, all_layers_quantized):
+    """The qat branch must equal the NORMAL train path fed fake-quantized
+    input + kernel (same scale formulas as the int8 serving branch)."""
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 8)).astype(np.float32))
+    m = ConvNormAct(16, kernel_size=3, dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    with quant.quant_mode("qat"):
+        y_qat, _ = m.apply(v, x, train=True, mutable=["batch_stats"])
+    assert get_quant_mode() is None
+    w_fq = _fake_quant_kernel(v["params"]["conv"]["kernel"])
+    v_fq = {**v, "params": {**v["params"],
+                            "conv": {"kernel": w_fq}}}
+    y_exp, _ = m.apply(v_fq, _fake_quant_act(x), train=True,
+                       mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y_qat), np.asarray(y_exp),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_qat_gradients_flow_through_ste(rng, all_layers_quantized):
+    """Straight-through estimator: gradients under qat are nonzero, finite,
+    and directionally close to the unquantized gradients."""
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)).astype(np.float32))
+    m = ConvNormAct(8, kernel_size=3, dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(params, mode):
+        def run():
+            y, _ = m.apply({**v, "params": params}, x, train=True,
+                           mutable=["batch_stats"])
+            return jnp.sum(y ** 2)
+        if mode is None:
+            return run()
+        with quant.quant_mode(mode):
+            return run()
+
+    g_plain = jax.grad(loss)(v["params"], None)
+    g_qat = jax.grad(loss)(v["params"], "qat")
+    for gp, gq in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_qat)):
+        assert bool(jnp.all(jnp.isfinite(gq)))
+        assert float(jnp.sum(jnp.abs(gq))) > 0.0
+        assert _cos(gp, gq) > 0.95, _cos(gp, gq)
+
+
+def test_qat_inactive_at_eval_and_below_gate(rng):
+    """qat must not touch eval traces (train=False) at all, and the
+    per-layer K gate applies: a K < _QUANT_MIN_K conv trains unquantized."""
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)).astype(np.float32))
+    m = ConvNormAct(8, kernel_size=3, dtype=jnp.float32)  # K = 36 << 576
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    y_ref = m.apply(v, x, train=False)
+    with quant.quant_mode("qat"):
+        y_eval = m.apply(v, x, train=False)
+        y_train, _ = m.apply(v, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_array_equal(np.asarray(y_eval), np.asarray(y_ref))
+    y_train_ref, _ = m.apply(v, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_array_equal(np.asarray(y_train),
+                                  np.asarray(y_train_ref))
+
+
+def test_qat_train_step_e2e(rng, all_layers_quantized):
+    """make_train_step(qat=True) trains a real model: losses finite and
+    decreasing-ish, params move, and the fake quant is actually active
+    (loss differs from the plain step on identical inputs)."""
+    import optax
+
+    from pytorch_segmentation_tpu.engine.steps import (create_train_state,
+                                                       make_train_step)
+    from pytorch_segmentation_tpu.models import UNet
+
+    model = UNet(num_classes=3, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    segs = jnp.asarray(rng.integers(0, 3, (2, 32, 32)).astype(np.int32))
+    tx = optax.adam(1e-3)  # sgd 1e-2+momentum diverges on random data
+    s_qat = create_train_state(model, jax.random.PRNGKey(0), x[:1], tx)
+    s_plain = create_train_state(model, jax.random.PRNGKey(0), x[:1], tx)
+    step_qat = make_train_step(qat=True, donate=False)
+    step_plain = make_train_step(donate=False)
+    _, l_plain = step_plain(s_plain, x, segs)
+    losses = []
+    for _ in range(3):
+        s_qat, loss = step_qat(s_qat, x, segs)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # SGD on a fixed batch must descend
+    assert abs(losses[0] - float(l_plain)) > 1e-7  # fake quant active
+    moved = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                         s_qat.params, s_plain.params)
+    assert max(jax.tree.leaves(moved)) > 0.0

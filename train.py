@@ -38,7 +38,7 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
           adam, resume, weights, num_workers, multi_scale, rect,
           mixed_precision, notest, nosave, seed=0, profile=False,
           dataset="cocoinstance", remat=False, lr_schedule="constant",
-          warmup_steps=0, fast_augment=False, precompile=False):
+          warmup_steps=0, fast_augment=False, precompile=False, qat=False):
     ds_cls, train_file, val_file = DATASETS[dataset]
     train_coco = osp.join(data_dir, train_file)
     val_coco = osp.join(data_dir, val_file)
@@ -90,7 +90,8 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
                       # optimizer updates: one per `accumulate` loader
                       # batches (reference every-k-batches accumulation)
                       total_steps=epochs * len(train_loader)
-                      // max(1, accumulate))
+                      // max(1, accumulate),
+                      qat=qat)
     if precompile:
         # warm-up precompilation of the bounded multi-scale size set (or the
         # single base size) — no first-epoch compile stalls
@@ -101,7 +102,9 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
         trainer.step()
         best = False
         if not notest:
-            metrics = test(trainer.model, val_fetcher, mesh=mesh)
+            # under QAT the deployment target is the int8 forward, so track
+            # (and select "best" on) the quantized mIoU
+            metrics = test(trainer.model, val_fetcher, mesh=mesh, int8=qat)
             trainer.log_record(epoch=trainer.epoch - 1, val_miou=metrics)
             if metrics > trainer.metrics:
                 best = True
@@ -157,6 +160,11 @@ if __name__ == "__main__":
     parser.add_argument("--precompile", action="store_true",
                         help="compile the train step for every multi-scale "
                              "size up front (no first-epoch stalls)")
+    parser.add_argument("--qat", action="store_true",
+                        help="quantization-aware training: fake-quant every "
+                             "int8-eligible conv (STE) so int8 PTQ serving "
+                             "costs ~zero accuracy; epoch-end val runs the "
+                             "int8 forward (docs/QUANTIZATION.md)")
     opt = parser.parse_args()
 
     from pytorch_segmentation_tpu.utils.runtime import setup_runtime
@@ -175,4 +183,5 @@ if __name__ == "__main__":
           notest=opt.notest, nosave=opt.nosave, seed=opt.seed,
           profile=opt.profile, dataset=opt.dataset, remat=opt.remat,
           lr_schedule=opt.lr_schedule, warmup_steps=opt.warmup_steps,
-          fast_augment=opt.fast_augment, precompile=opt.precompile)
+          fast_augment=opt.fast_augment, precompile=opt.precompile,
+          qat=opt.qat)
