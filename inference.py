@@ -21,11 +21,29 @@ from pytorch_segmentation_tpu.models import build_model
 
 def run(img_dir, output_dir, img_size, num_classes, weights, model_name,
         legacy_preproc=False, batch_size=8, show=False, int8=False,
-        calib=False):
+        calib=False, ema=False, tta=False, tile=None):
     shutil.rmtree(output_dir, ignore_errors=True)
     os.makedirs(output_dir, exist_ok=True)
     model = build_model(model_name, num_classes=num_classes)
-    bundle = load_model_bundle(model, weights, (img_size[1], img_size[0]))
+    bundle = load_model_bundle(model, weights, (img_size[1], img_size[0]),
+                               use_ema=ema)
+    if tile is not None:
+        # sliding-window serving at each image's NATIVE resolution (no
+        # downscale round-trip); tile size = the training resolution.
+        # One image at a time: native shapes vary (one compile per shape).
+        from pytorch_segmentation_tpu.inference import make_tiled_mask_fn
+        tiled = make_tiled_mask_fn(bundle, tile_hw=(tile[1], tile[0]),
+                                   legacy_preproc=legacy_preproc,
+                                   tta_flip=tta)
+        names = sorted(n for n in os.listdir(img_dir)
+                       if osp.splitext(n)[1] in IMG_EXT)
+        for name in tqdm(names):
+            img = cv2.imread(osp.join(img_dir, name))
+            segmap = np.asarray(tiled(img[None, :, :, ::-1]))[0]
+            seg = colorize_mask(segmap, VOC_COLORMAP)
+            cv2.imwrite(osp.join(output_dir, osp.splitext(name)[0] + ".png"),
+                        seg)
+        return
 
     names = sorted(n for n in os.listdir(img_dir)
                    if osp.splitext(n)[1] in IMG_EXT)
@@ -46,7 +64,7 @@ def run(img_dir, output_dir, img_size, num_classes, weights, model_name,
         imgs = [cv2.imread(osp.join(img_dir, n)) for n in chunk]
         segmaps = inference(bundle, imgs, img_size,
                             legacy_preproc=legacy_preproc, int8=int8,
-                            quant_stats=quant_stats)
+                            quant_stats=quant_stats, tta_flip=tta)
         for name, img, segmap in zip(chunk, imgs, segmaps):
             seg = colorize_mask(segmap, VOC_COLORMAP)
             cv2.imwrite(osp.join(output_dir, osp.splitext(name)[0] + ".png"),
@@ -88,6 +106,17 @@ if __name__ == "__main__":
                              "the first batch and run the CALIBRATED int8 "
                              "program for the whole directory (faster than "
                              "dynamic scales — PERF.md)")
+    parser.add_argument("--ema", action="store_true",
+                        help="serve the EMA-averaged weights stored by "
+                             "train.py --ema")
+    parser.add_argument("--tta", action="store_true",
+                        help="flip test-time augmentation (~2x cost)")
+    parser.add_argument("--tile", type=int, nargs=2, default=None,
+                        metavar=("W", "H"),
+                        help="sliding-window inference at each image's "
+                             "native resolution with WxH tiles (use the "
+                             "training size) instead of downscaling to "
+                             "--img_size")
     opt = parser.parse_args()
     print(opt)
 
@@ -95,4 +124,5 @@ if __name__ == "__main__":
     setup_runtime()
     run(opt.img_dir, opt.output_dir, opt.img_size, opt.num_classes,
         opt.weights, opt.model, opt.legacy_preproc, opt.batch_size,
-        show=opt.show, int8=opt.int8, calib=opt.calib)
+        show=opt.show, int8=opt.int8, calib=opt.calib, ema=opt.ema,
+        tta=opt.tta, tile=opt.tile)

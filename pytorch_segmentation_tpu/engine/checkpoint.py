@@ -28,13 +28,15 @@ def _to_host(tree):
 
 
 def save_checkpoint(path: str, params, batch_stats, opt_state=None,
-                    epoch: int = 0, best_miou: float = 0.0):
+                    epoch: int = 0, best_miou: float = 0.0, ema=None):
     payload = {
         "model": _to_host(params),  # key 'model' kept for reference parity
         "batch_stats": _to_host(batch_stats),
         "opt_state": _to_host(opt_state) if opt_state is not None else None,
         "epoch": int(epoch),
         "best_miou": float(best_miou),
+        # EMA-averaged params (train.py --ema); None when EMA is off
+        "ema": _to_host(ema) if ema is not None else None,
     }
     os.makedirs(osp.dirname(path) or ".", exist_ok=True)
     blob = serialization.msgpack_serialize(payload)
@@ -65,11 +67,14 @@ def restore_into(template, restored):
     return jax.tree.map(check, template, out)
 
 
-def load_model_bundle(model, weights_path: str, sample_hw, num_channels=3):
+def load_model_bundle(model, weights_path: str, sample_hw, num_channels=3,
+                      use_ema: bool = False):
     """Build a ModelBundle for eval/inference from a checkpoint WITHOUT
     running real initialization: parameter shapes come from jax.eval_shape
     (free — no compute), values from the checkpoint. Falls back to real
-    (jitted) init when weights_path is empty."""
+    (jitted) init when weights_path is empty. use_ema=True loads the
+    EMA-averaged params (checkpoints written by train.py --ema) instead of
+    the raw trajectory; errors if the checkpoint has none."""
     import jax.numpy as jnp  # local to avoid cycles at module import
 
     from .trainer import ModelBundle
@@ -81,7 +86,13 @@ def load_model_bundle(model, weights_path: str, sample_hw, num_channels=3):
             lambda rng, x: model.init({"params": rng}, x, train=False),
             jax.random.PRNGKey(0), sample)
         ckpt = load_checkpoint(weights_path)
-        params = restore_into(shapes["params"], ckpt["model"])
+        src = ckpt["model"]
+        if use_ema:
+            if ckpt.get("ema") is None:
+                raise ValueError(f"{weights_path} holds no EMA params "
+                                 "(trained without --ema)")
+            src = ckpt["ema"]
+        params = restore_into(shapes["params"], src)
         batch_stats = restore_into(shapes.get("batch_stats", {}),
                                    ckpt["batch_stats"])
     else:

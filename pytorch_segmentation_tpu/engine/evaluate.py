@@ -28,7 +28,7 @@ _EVAL_STEP_CACHE_MAX = 16  # (num_classes, align, sharding) combos are few;
 
 def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
          mesh=None, int8: bool = False,  # noqa: PT028 — reference API name
-         quant_stats=None):
+         quant_stats=None, tta_flip: bool = False):
     """model: engine.trainer.ModelBundle. Returns mean IoU (float).
 
     Prints the per-class table (or top-5 worst classes when >=10 classes)
@@ -38,6 +38,8 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
     or the calibrated mode (the recommended deployment config) when
     `quant_stats` from quant.calibrate() is passed (test.py
     --calib-batches calibrates on the first batches of the val set).
+    tta_flip=True averages logits with a horizontally-flipped second
+    forward (test.py --tta; ~2x eval cost).
     """
     if quant_stats is not None:
         int8 = True
@@ -55,14 +57,14 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
     # rebuilding it would re-lower + recompile the whole model every epoch
     # (the model enters via state.apply_fn, a static jit field, so one
     # cached step serves any model; differing models just retrace).
-    key = (num_classes, align, replicated_sharding(mesh), int8)
+    key = (num_classes, align, replicated_sharding(mesh), int8, tta_flip)
     eval_step = _EVAL_STEP_CACHE.get(key)
     if eval_step is None:
         if len(_EVAL_STEP_CACHE) >= _EVAL_STEP_CACHE_MAX:
             _EVAL_STEP_CACHE.pop(next(iter(_EVAL_STEP_CACHE)))
         eval_step = make_eval_step(num_classes, align_corners=align,
                                    out_shardings=replicated_sharding(mesh),
-                                   quant=int8)
+                                   quant=int8, tta_flip=tta_flip)
         _EVAL_STEP_CACHE[key] = eval_step
     state = TrainState(step=0, params=model.params,
                        batch_stats=model.batch_stats, opt_state=None,

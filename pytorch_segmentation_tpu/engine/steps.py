@@ -49,6 +49,9 @@ class TrainState(struct.PyTreeNode):
     # counter driving the every-k update; None / 0 when accumulate == 1
     grad_acc: Any = None
     micro_step: Any = None
+    # exponential moving average of params (f32, params-shaped), updated
+    # once per OPTIMIZER UPDATE; None when EMA is off (train.py --ema)
+    ema_params: Any = None
 
     def apply_gradients(self, grads):
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
@@ -58,7 +61,7 @@ class TrainState(struct.PyTreeNode):
 
 
 def create_train_state(model, rng, sample_input, tx,
-                       accumulate: int = 1) -> TrainState:
+                       accumulate: int = 1, ema: bool = False) -> TrainState:
     # jitted init: one compiled program instead of thousands of eager
     # dispatches (matters on TPU startup and enormously on small hosts)
     init_fn = jax.jit(lambda rng, x: model.init({"params": rng}, x,
@@ -70,6 +73,14 @@ def create_train_state(model, rng, sample_input, tx,
     if accumulate > 1:
         grad_acc = jax.tree.map(
             lambda p: jnp.zeros(p.shape, jnp.float32), params)
+    ema_params = None
+    if ema:
+        # seed the average at the initial params (standard torch/TF EMA
+        # initialization; no debias term needed). Must be a REAL copy:
+        # jnp.asarray would alias the param buffers and the train step's
+        # donated state would then donate the same buffer twice.
+        ema_params = jax.tree.map(
+            lambda p: jnp.array(p, dtype=jnp.float32, copy=True), params)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
@@ -79,11 +90,13 @@ def create_train_state(model, rng, sample_input, tx,
         apply_fn=model.apply,
         grad_acc=grad_acc,
         micro_step=jnp.zeros((), jnp.int32),
+        ema_params=ema_params,
     )
 
 
 def make_train_step(loss_fn: Callable = compute_loss, accumulate: int = 1,
-                    donate: bool = True, qat: bool = False):
+                    donate: bool = True, qat: bool = False,
+                    ema_decay: float = 0.0):
     """Returns jitted (state, images, segs) -> (state, loss) over ONE loader
     batch. With accumulate=k, grads from k consecutive calls are averaged in
     state.grad_acc and the optimizer applies on every k-th call — the
@@ -95,9 +108,28 @@ def make_train_step(loss_fn: Callable = compute_loss, accumulate: int = 1,
     conv, docs/QUANTIZATION.md) so the trained weights/BN stats match the
     int8 serving path's arithmetic.
 
+    ema_decay>0 maintains an exponential moving average of the params in
+    state.ema_params (created by create_train_state(..., ema=True)), updated
+    once per optimizer update: ema = d*ema + (1-d)*params. The averaged
+    weights typically evaluate 0.1-0.5 mIoU above the raw trajectory late in
+    training (train.py --ema; eval/serving read Trainer.ema_model).
+
     images: [B, H, W, 3] normalized float; segs: [B, H, W] int32.
     """
     accumulate = max(1, int(accumulate))
+    ema_decay = float(ema_decay)
+
+    def ema_update(state):
+        if not ema_decay:
+            return state
+        if state.ema_params is None:
+            raise ValueError("ema_decay > 0 needs create_train_state(..., "
+                             "ema=True)")
+        new_ema = jax.tree.map(
+            lambda e, p: e * ema_decay + (1.0 - ema_decay)
+            * p.astype(jnp.float32),
+            state.ema_params, state.params)
+        return state.replace(ema_params=new_ema)
 
     def batch_loss(params, batch_stats, apply_fn, images, segs):
         if qat:
@@ -118,7 +150,7 @@ def make_train_step(loss_fn: Callable = compute_loss, accumulate: int = 1,
         (loss, new_bs), grads = grad_fn(state.params, state.batch_stats,
                                         state.apply_fn, images, segs)
         if accumulate == 1:
-            state = state.apply_gradients(grads)
+            state = ema_update(state.apply_gradients(grads))
             return state.replace(batch_stats=new_bs), loss
 
         if state.grad_acc is None:
@@ -135,7 +167,9 @@ def make_train_step(loss_fn: Callable = compute_loss, accumulate: int = 1,
         # and gating them deadlocked the 8-device dryrun (VERDICT r2 Weak #1).
         apply = micro % accumulate == 0
         mean_grads = jax.tree.map(lambda g: g / accumulate, grad_acc)
-        applied = state.apply_gradients(mean_grads).replace(
+        # EMA rides the same branchless select: it advances only on the
+        # calls where the optimizer actually applies (once per update)
+        applied = ema_update(state.apply_gradients(mean_grads)).replace(
             grad_acc=jax.tree.map(jnp.zeros_like, grad_acc))
         skipped = state.replace(grad_acc=grad_acc)
         state = jax.tree.map(lambda a, s: jnp.where(apply, a, s),
@@ -157,7 +191,7 @@ def sample_valid_mask(valid, b: int):
 
 def make_eval_step(num_classes: int, align_corners: bool = True,
                    use_pallas: bool = True, out_shardings=None,
-                   quant: bool = False):
+                   quant: bool = False, tta_flip: bool = False):
     """Returns jitted (state, images, segs, valid) -> (loss, tp, fn, fp)
     with padded samples masked out of the confusion counts. Pass
     out_shardings=replicated for multi-host meshes so every process can
@@ -179,6 +213,12 @@ def make_eval_step(num_classes: int, align_corners: bool = True,
     are fused Pallas kernels that never materialize full-res logits
     (ops/pallas/); the loss uses the kernel's per-sample partials for the
     masked mean.
+
+    tta_flip=True runs test-time augmentation: a second forward on the
+    horizontally flipped batch, logits flipped back and averaged (logit
+    averaging = geometric mean of the softmaxes — the standard flip-TTA;
+    ~2x eval cost). The averaged logits flow through the same fused
+    upsample+CE/confusion kernels.
     """
 
     def step(state: TrainState, images, segs, valid, quant_stats=None):
@@ -186,13 +226,20 @@ def make_eval_step(num_classes: int, align_corners: bool = True,
                      "batch_stats": state.batch_stats}
         if quant_stats is not None:
             variables = {**variables, "quant_stats": quant_stats}
-        if quant:
-            from ..quant import quant_mode
-            with quant_mode("int8" if quant_stats is not None
-                            else "int8dyn"):
-                logits = state.apply_fn(variables, images, train=False)
-        else:
-            logits = state.apply_fn(variables, images, train=False)
+
+        def fwd(x):
+            if quant:
+                from ..quant import quant_mode
+                with quant_mode("int8" if quant_stats is not None
+                                else "int8dyn"):
+                    return state.apply_fn(variables, x, train=False)
+            return state.apply_fn(variables, x, train=False)
+
+        logits = fwd(images)
+        if tta_flip:
+            # W is axis 2 in both NHWC images and [B, h, w, C] logits
+            flipped = fwd(jnp.flip(images, axis=2))
+            logits = (logits + jnp.flip(flipped, axis=2)) * 0.5
         th, tw = segs.shape[1], segs.shape[2]
         hh, ww = logits.shape[1], logits.shape[2]
         on_tpu = jax.devices()[0].platform == "tpu"

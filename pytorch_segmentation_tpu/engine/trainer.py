@@ -31,7 +31,36 @@ from ..parallel.mesh import (data_sharding, make_mesh, put_global_batch,
 from .checkpoint import load_checkpoint, restore_into, save_checkpoint
 from .steps import create_train_state, make_train_step
 
-__all__ = ["Trainer", "ModelBundle"]
+__all__ = ["Trainer", "ModelBundle", "make_lr_schedule"]
+
+
+def make_lr_schedule(name: str, lr: float, warmup_steps: int = 0,
+                     total_steps: int | None = None):
+    """LR schedule over OPTIMIZER-UPDATE counts (= loader batches /
+    accumulate). 'constant' matches the reference CLI contract; 'cosine'
+    (warmup+cosine) and 'poly' (the (1-s/T)^0.9 DeepLab schedule,
+    arXiv:1706.05587 §4.1) are the production options. Returns an optax
+    schedule (or the float lr for constant-without-warmup)."""
+    if name == "cosine":
+        decay_steps = max((total_steps or 10000) - warmup_steps, 1)
+        return optax.warmup_cosine_decay_schedule(
+            0.0, lr, max(warmup_steps, 1), warmup_steps + decay_steps,
+            end_value=lr * 0.01)
+    if name == "poly":
+        decay_steps = max((total_steps or 10000) - warmup_steps, 1)
+        # no transition_begin: join_schedules already rebases the step
+        # count to the boundary for the second schedule
+        poly = optax.polynomial_schedule(lr, 0.0, 0.9, decay_steps)
+        if warmup_steps:
+            return optax.join_schedules(
+                [optax.linear_schedule(0.0, lr, warmup_steps), poly],
+                [warmup_steps])
+        return poly
+    if name != "constant":
+        raise ValueError(f"unknown lr schedule {name!r}")
+    if warmup_steps:
+        return optax.linear_schedule(0.0, lr, warmup_steps)
+    return lr
 
 
 class ModelBundle:
@@ -58,7 +87,7 @@ class Trainer:
                  log_dir: str = "runs", profile: bool = False,
                  defer_upsample: bool = True, lr_schedule: str = "constant",
                  warmup_steps: int = 0, total_steps: int | None = None,
-                 qat: bool = False):
+                 qat: bool = False, ema_decay: float = 0.0):
         self.module = model
         self.fetcher = fetcher
         self.workdir = workdir
@@ -72,18 +101,11 @@ class Trainer:
 
         # LR schedule (the reference Trainer's schedule lives in the
         # unavailable pytorch_modules package; constant matches its CLI
-        # contract, warmup+cosine offered as the production default)
+        # contract, warmup+cosine / poly offered as production options)
         # total_steps counts OPTIMIZER UPDATES (= loader batches / accumulate
         # with the reference's every-k-batches accumulation semantics)
-        if lr_schedule == "cosine":
-            decay_steps = max((total_steps or 10000) - warmup_steps, 1)
-            schedule = optax.warmup_cosine_decay_schedule(
-                0.0, lr, max(warmup_steps, 1), warmup_steps + decay_steps,
-                end_value=lr * 0.01)
-        elif warmup_steps:
-            schedule = optax.linear_schedule(0.0, lr, warmup_steps)
-        else:
-            schedule = lr
+        schedule = make_lr_schedule(lr_schedule, lr, warmup_steps,
+                                    total_steps)
         # schedule-aware lr reporting for log.jsonl (observability)
         self._lr_at = schedule if callable(schedule) else (lambda s: lr)
         if adam:
@@ -123,8 +145,10 @@ class Trainer:
         w, h = ds.img_size
         sample = jnp.zeros((1, h, w, 3), jnp.float32)
         rng = jax.random.PRNGKey(seed)
+        self.ema_decay = float(ema_decay)
         self.state = create_train_state(self._train_module, rng, sample,
-                                        self.tx, accumulate=self.accumulate)
+                                        self.tx, accumulate=self.accumulate,
+                                        ema=self.ema_decay > 0)
 
         if weights:
             ckpt = load_checkpoint(weights)
@@ -143,6 +167,16 @@ class Trainer:
                                        ckpt["opt_state"]))
             self.epoch = int(ckpt["epoch"])
             self.metrics = float(ckpt["best_miou"])
+            if self.ema_decay > 0 and ckpt.get("ema") is not None:
+                self.state = self.state.replace(
+                    ema_params=restore_into(self.state.ema_params,
+                                            ckpt["ema"]))
+        if self.ema_decay > 0 and weights and not resume:
+            # warm start: re-seed the average at the loaded params (real
+            # copy — aliasing would double-donate buffers in the train step)
+            self.state = self.state.replace(ema_params=jax.tree.map(
+                lambda p: jnp.array(p, dtype=jnp.float32, copy=True),
+                self.state.params))
 
         # replicate over the mesh after any restore (multi-host: every
         # process inits/loads the same state and contributes its replicas)
@@ -151,12 +185,23 @@ class Trainer:
         self.qat = bool(qat)  # quantization-aware training (train.py --qat)
         self._train_step = make_train_step(loss_fn=loss_fn,
                                            accumulate=self.accumulate,
-                                           qat=self.qat)
+                                           qat=self.qat,
+                                           ema_decay=self.ema_decay)
 
     @property
     def model(self) -> ModelBundle:
         return ModelBundle(self.module, self.state.params,
                            self.state.batch_stats)
+
+    @property
+    def ema_model(self) -> ModelBundle:
+        """ModelBundle over the EMA-averaged params (--ema); falls back to
+        the raw params when EMA is off. batch_stats are shared — BN running
+        stats are already a moving average of the data statistics."""
+        params = self.state.ema_params
+        if params is None:
+            params = self.state.params
+        return ModelBundle(self.module, params, self.state.batch_stats)
 
     def warmup(self, sizes_hw, batch_size: int, label_hw=None):
         """Precompile the train step for every input size in `sizes_hw`
@@ -255,7 +300,7 @@ class Trainer:
             return
         kw = dict(params=self.state.params, batch_stats=self.state.batch_stats,
                   opt_state=self.state.opt_state, epoch=self.epoch,
-                  best_miou=self.metrics)
+                  best_miou=self.metrics, ema=self.state.ema_params)
         save_checkpoint(osp.join(self.workdir, "last.ckpt"), **kw)
         if best:
             save_checkpoint(osp.join(self.workdir, "best.ckpt"), **kw)

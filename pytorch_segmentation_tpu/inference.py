@@ -21,41 +21,50 @@ import numpy as np
 
 from .data.datasets import IMAGENET_MEAN, IMAGENET_STD
 
-__all__ = ["inference", "make_infer_fn", "make_mask_fn"]
+__all__ = ["inference", "make_infer_fn", "make_mask_fn",
+           "make_tiled_mask_fn"]
 
 
 @functools.lru_cache(maxsize=8)
 def _jitted_infer(apply_fn, legacy_preproc: bool, int8: bool,
-                  calibrated: bool):
+                  calibrated: bool, tta_flip: bool = False):
     def run(variables, images_u8):
         x = images_u8.astype(jnp.float32)
         if legacy_preproc:
             x = x / 255.0
         else:
             x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-        if int8:
-            # int8 PTQ forward (quant.py): calibrated per-tensor activation
-            # scales (from the "quant_stats" in variables) or dynamic
-            # per-batch scales (no calibration artifacts needed)
-            from .quant import quant_mode
-            with quant_mode("int8" if calibrated else "int8dyn"):
-                logits = apply_fn(variables, x, train=False)
-        else:
-            logits = apply_fn(variables, x, train=False)
+
+        def fwd(xx):
+            if int8:
+                # int8 PTQ forward (quant.py): calibrated per-tensor
+                # activation scales (from the "quant_stats" in variables)
+                # or dynamic per-batch scales (no calibration artifacts)
+                from .quant import quant_mode
+                with quant_mode("int8" if calibrated else "int8dyn"):
+                    return apply_fn(variables, xx, train=False)
+            return apply_fn(variables, xx, train=False)
+
+        logits = fwd(x)
+        if tta_flip:
+            logits = (logits + jnp.flip(fwd(jnp.flip(x, axis=2)),
+                                        axis=2)) * 0.5
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     return jax.jit(run)
 
 
 def make_infer_fn(model, legacy_preproc: bool = False, int8: bool = False,
-                  quant_stats=None):
+                  quant_stats=None, tta_flip: bool = False):
     """model: engine.trainer.ModelBundle. Returns fn(images_u8 NHWC RGB) ->
     probs [B, H, W, C] f32 (device). int8=True runs every eligible conv on
     the int8 MXU path — dynamic activation scales, or calibrated when
-    `quant_stats` (from quant.calibrate/calibrate_from_u8) is passed."""
+    `quant_stats` (from quant.calibrate/calibrate_from_u8) is passed.
+    tta_flip=True averages logits with a horizontally-flipped second
+    forward (flip TTA, ~2x cost)."""
     if quant_stats is not None:
         int8 = True
     jitted = _jitted_infer(model.apply_fn, legacy_preproc, int8,
-                           quant_stats is not None)
+                           quant_stats is not None, tta_flip)
     variables = {"params": model.params, "batch_stats": model.batch_stats}
     if quant_stats is not None:
         variables = {**variables, "quant_stats": quant_stats}
@@ -65,7 +74,8 @@ def make_infer_fn(model, legacy_preproc: bool = False, int8: bool = False,
     return fn
 
 
-def make_mask_fn(model, out_hw=None, legacy_preproc: bool = False):
+def make_mask_fn(model, out_hw=None, legacy_preproc: bool = False,
+                 tta_flip: bool = False):
     """Fixed-size SERVING path: fn(images_u8 NHWC RGB) -> int32 argmax
     masks [B, *out_hw] (device), one jitted program.
 
@@ -77,6 +87,8 @@ def make_mask_fn(model, out_hw=None, legacy_preproc: bool = False):
     kernel (ops/pallas/upsample_argmax.py; 833 img/s at 32x513^2, see
     PERF.md). out_hw=None upsamples to the input image size. Softmax is
     skipped: per-pixel argmax of logits equals argmax of softmax.
+    tta_flip=True averages logits with a horizontally-flipped second
+    forward before the fused upsample+argmax (flip TTA, ~2x cost).
     """
     variables = {"params": model.params, "batch_stats": model.batch_stats}
     apply_fn = model.apply_fn
@@ -90,6 +102,9 @@ def make_mask_fn(model, out_hw=None, legacy_preproc: bool = False):
         else:
             x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
         logits = apply_fn(variables, x, train=False)
+        if tta_flip:
+            flipped = apply_fn(variables, jnp.flip(x, axis=2), train=False)
+            logits = (logits + jnp.flip(flipped, axis=2)) * 0.5
         on_tpu = jax.devices()[0].platform == "tpu"
         if (logits.shape[1], logits.shape[2]) == tuple(hw):
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -113,8 +128,95 @@ def make_mask_fn(model, out_hw=None, legacy_preproc: bool = False):
     return fn
 
 
+def _tile_offsets(size: int, tile: int, overlap: float):
+    """Evenly spaced tile offsets covering [0, size) with ~overlap fraction
+    of tile overlap; the last tile is flush with the end (python ints —
+    static per jitted grid)."""
+    if size <= tile:
+        return (0,)
+    stride = max(1, int(round(tile * (1.0 - overlap))))
+    n = -(-(size - tile) // stride) + 1  # ceil
+    last = size - tile
+    return tuple(int(round(i * last / (n - 1))) for i in range(n))
+
+
+def make_tiled_mask_fn(model, tile_hw=(513, 513), overlap: float = 0.25,
+                       legacy_preproc: bool = False, tta_flip: bool = False):
+    """Sliding-window serving for images LARGER than the training
+    resolution: fn(images_u8 NHWC RGB) -> int32 masks [B, H, W] at the
+    input's own resolution.
+
+    The reference CLI downscales every image to img_size and upscales the
+    mask back (utils/inference.py:8-21) — at 4K input that throws away 8x
+    linear detail. This path instead runs the network at native resolution
+    over a static grid of tile_hw windows (~`overlap` fraction overlapping),
+    sums per-tile logits on a canvas (overlap regions average; per-pixel
+    argmax is invariant to the positive per-pixel weight, so no division),
+    and argmaxes once.
+
+    TPU-native: the grid is static per input shape, the tile forward is
+    traced ONCE inside a lax.fori_loop (compile time independent of grid
+    size), tiles/canvas are updated with lax.dynamic_slice /
+    dynamic_update_slice, and the pad region is ImageNet-mean (zeros after
+    normalize). Masks for the pad are cropped off. tta_flip composes: each
+    tile is flip-averaged.
+    """
+    variables = {"params": model.params, "batch_stats": model.batch_stats}
+    apply_fn = model.apply_fn
+    align = getattr(model.module, "up_align_corners", True)
+    th, tw = int(tile_hw[0]), int(tile_hw[1])
+
+    def fwd(x):
+        logits = apply_fn(variables, x, train=False)
+        if tta_flip:
+            flipped = apply_fn(variables, jnp.flip(x, axis=2), train=False)
+            logits = (logits + jnp.flip(flipped, axis=2)) * 0.5
+        if (logits.shape[1], logits.shape[2]) != (th, tw):
+            from .ops.resize import resize_bilinear
+            logits = resize_bilinear(logits.astype(jnp.float32), (th, tw),
+                                     align_corners=align)
+        return logits.astype(jnp.float32)
+
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def run(images_u8, offs_h, offs_w):
+        b, h, w = images_u8.shape[:3]
+        x = images_u8.astype(jnp.float32)
+        if legacy_preproc:
+            x = x / 255.0
+        else:
+            x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        hp, wp = max(h, th), max(w, tw)
+        x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+        nc = jax.eval_shape(fwd, jax.ShapeDtypeStruct((b, th, tw, 3),
+                                                      x.dtype)).shape[-1]
+        oh = jnp.asarray(offs_h, jnp.int32)
+        ow = jnp.asarray(offs_w, jnp.int32)
+        nw = len(offs_w)
+
+        def body(i, canvas):
+            y0, x0 = oh[i // nw], ow[i % nw]
+            tile = jax.lax.dynamic_slice(x, (0, y0, x0, 0), (b, th, tw, 3))
+            logits = fwd(tile)
+            cur = jax.lax.dynamic_slice(canvas, (0, y0, x0, 0),
+                                        (b, th, tw, nc))
+            return jax.lax.dynamic_update_slice(canvas, cur + logits,
+                                                (0, y0, x0, 0))
+
+        canvas = jnp.zeros((b, hp, wp, nc), jnp.float32)
+        canvas = jax.lax.fori_loop(0, len(offs_h) * nw, body, canvas)
+        return jnp.argmax(canvas[:, :h, :w], axis=-1).astype(jnp.int32)
+
+    def fn(images_u8):
+        images_u8 = jnp.asarray(images_u8)
+        h, w = int(images_u8.shape[1]), int(images_u8.shape[2])
+        return run(images_u8, _tile_offsets(h, th, overlap),
+                   _tile_offsets(w, tw, overlap))
+    return fn
+
+
 def inference(model, imgs, img_size=(64, 64), legacy_preproc: bool = False,
-              int8: bool = False, calib: bool = False, quant_stats=None):
+              int8: bool = False, calib: bool = False, quant_stats=None,
+              tta_flip: bool = False):
     """imgs: list of BGR uint8 HWC arrays (cv2-style, like the reference).
     Returns a list of [H_orig, W_orig] int argmax masks.
 
@@ -133,7 +235,7 @@ def inference(model, imgs, img_size=(64, 64), legacy_preproc: bool = False,
         quant_stats = calibrate_from_u8(model, jnp.asarray(batch),
                                         legacy_preproc)
     infer = make_infer_fn(model, legacy_preproc, int8=int8,
-                          quant_stats=quant_stats)
+                          quant_stats=quant_stats, tta_flip=tta_flip)
     probs = np.asarray(infer(batch))
     preds = [
         cv2.resize(p, (shape[1], shape[0])).argmax(axis=2)

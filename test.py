@@ -41,6 +41,13 @@ def main():
                              "CALIBRATED mode (the recommended deployment "
                              "config — 1.24x serving vs 1.04x dynamic); "
                              "0 = dynamic per-batch scales")
+    parser.add_argument("--ema", action="store_true",
+                        help="evaluate the EMA-averaged weights stored by "
+                             "train.py --ema")
+    parser.add_argument("--tta", action="store_true",
+                        help="flip test-time augmentation: average logits "
+                             "with a horizontally-flipped second forward "
+                             "(~2x eval cost)")
     opt = parser.parse_args()
 
     from pytorch_segmentation_tpu.utils.runtime import setup_runtime
@@ -54,7 +61,8 @@ def main():
 
     model = build_model(opt.model, num_classes=len(val_data.classes))
     bundle = load_model_bundle(model, opt.weights,
-                               (opt.img_size[1], opt.img_size[0]))
+                               (opt.img_size[1], opt.img_size[0]),
+                               use_ema=opt.ema)
     quant_stats = None
     if opt.int8 and opt.calib_batches > 0:
         from pytorch_segmentation_tpu import quant
@@ -69,7 +77,7 @@ def main():
             calib)
         print(f"calibrated int8 scales on {len(calib)} val batches")
     metrics = test(bundle, val_fetcher, int8=opt.int8,
-                   quant_stats=quant_stats)
+                   quant_stats=quant_stats, tta_flip=opt.tta)
     print("metrics: %8g" % metrics)
 
 

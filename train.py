@@ -38,7 +38,8 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
           adam, resume, weights, num_workers, multi_scale, rect,
           mixed_precision, notest, nosave, seed=0, profile=False,
           dataset="cocoinstance", remat=False, lr_schedule="constant",
-          warmup_steps=0, fast_augment=False, precompile=False, qat=False):
+          warmup_steps=0, fast_augment=False, precompile=False, qat=False,
+          ema=0.0):
     ds_cls, train_file, val_file = DATASETS[dataset]
     train_coco = osp.join(data_dir, train_file)
     val_coco = osp.join(data_dir, val_file)
@@ -91,7 +92,7 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
                       # batches (reference every-k-batches accumulation)
                       total_steps=epochs * len(train_loader)
                       // max(1, accumulate),
-                      qat=qat)
+                      qat=qat, ema_decay=ema)
     if precompile:
         # warm-up precompilation of the bounded multi-scale size set (or the
         # single base size) — no first-epoch compile stalls
@@ -103,8 +104,10 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
         best = False
         if not notest:
             # under QAT the deployment target is the int8 forward, so track
-            # (and select "best" on) the quantized mIoU
-            metrics = test(trainer.model, val_fetcher, mesh=mesh, int8=qat)
+            # (and select "best" on) the quantized mIoU; under --ema the
+            # deployment weights are the averaged ones, so eval those
+            eval_model = trainer.ema_model if ema > 0 else trainer.model
+            metrics = test(eval_model, val_fetcher, mesh=mesh, int8=qat)
             trainer.log_record(epoch=trainer.epoch - 1, val_miou=metrics)
             if metrics > trainer.metrics:
                 best = True
@@ -146,7 +149,9 @@ if __name__ == "__main__":
                         help="rematerialize backbone activations "
                              "(less HBM, bigger batches)")
     parser.add_argument("--lr-schedule", type=str, default="constant",
-                        choices=["constant", "cosine"])
+                        choices=["constant", "cosine", "poly"],
+                        help="'poly' = (1-step/total)^0.9, the standard "
+                             "DeepLab segmentation schedule")
     parser.add_argument("--warmup-steps", type=int, default=0)
     parser.add_argument("--bn-subsample", type=int, default=1,
                         help="compute BN statistics from every s-th pixel "
@@ -165,6 +170,12 @@ if __name__ == "__main__":
                              "int8-eligible conv (STE) so int8 PTQ serving "
                              "costs ~zero accuracy; epoch-end val runs the "
                              "int8 forward (docs/QUANTIZATION.md)")
+    parser.add_argument("--ema", type=float, default=0.0, metavar="DECAY",
+                        help="keep an exponential moving average of the "
+                             "weights (e.g. 0.999); epoch-end val and "
+                             "'best' selection use the averaged weights, "
+                             "checkpoints store them under the 'ema' key "
+                             "(test.py/inference.py --ema)")
     opt = parser.parse_args()
 
     from pytorch_segmentation_tpu.utils.runtime import setup_runtime
@@ -184,4 +195,4 @@ if __name__ == "__main__":
           profile=opt.profile, dataset=opt.dataset, remat=opt.remat,
           lr_schedule=opt.lr_schedule, warmup_steps=opt.warmup_steps,
           fast_augment=opt.fast_augment, precompile=opt.precompile,
-          qat=opt.qat)
+          qat=opt.qat, ema=opt.ema)
