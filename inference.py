@@ -21,7 +21,7 @@ from pytorch_segmentation_tpu.models import build_model
 
 def run(img_dir, output_dir, img_size, num_classes, weights, model_name,
         legacy_preproc=False, batch_size=8, show=False, int8=False,
-        calib=False, ema=False, tta=False, tile=None):
+        calib=False, ema=False, tta=False, tile=None, tta_scales=()):
     shutil.rmtree(output_dir, ignore_errors=True)
     os.makedirs(output_dir, exist_ok=True)
     model = build_model(model_name, num_classes=num_classes)
@@ -34,7 +34,7 @@ def run(img_dir, output_dir, img_size, num_classes, weights, model_name,
         from pytorch_segmentation_tpu.inference import make_tiled_mask_fn
         tiled = make_tiled_mask_fn(bundle, tile_hw=(tile[1], tile[0]),
                                    legacy_preproc=legacy_preproc,
-                                   tta_flip=tta)
+                                   tta_flip=tta, tta_scales=tta_scales)
         names = sorted(n for n in os.listdir(img_dir)
                        if osp.splitext(n)[1] in IMG_EXT)
         for name in tqdm(names):
@@ -64,7 +64,8 @@ def run(img_dir, output_dir, img_size, num_classes, weights, model_name,
         imgs = [cv2.imread(osp.join(img_dir, n)) for n in chunk]
         segmaps = inference(bundle, imgs, img_size,
                             legacy_preproc=legacy_preproc, int8=int8,
-                            quant_stats=quant_stats, tta_flip=tta)
+                            quant_stats=quant_stats, tta_flip=tta,
+                            tta_scales=tta_scales)
         for name, img, segmap in zip(chunk, imgs, segmaps):
             seg = colorize_mask(segmap, VOC_COLORMAP)
             cv2.imwrite(osp.join(output_dir, osp.splitext(name)[0] + ".png"),
@@ -111,6 +112,10 @@ if __name__ == "__main__":
                              "train.py --ema")
     parser.add_argument("--tta", action="store_true",
                         help="flip test-time augmentation (~2x cost)")
+    parser.add_argument("--tta-scales", type=float, nargs="+", default=[],
+                        metavar="S",
+                        help="multi-scale TTA, e.g. 0.75 1.0 1.25 "
+                             "(composes with --tta and --tile)")
     parser.add_argument("--tile", type=int, nargs=2, default=None,
                         metavar=("W", "H"),
                         help="sliding-window inference at each image's "
@@ -125,4 +130,4 @@ if __name__ == "__main__":
     run(opt.img_dir, opt.output_dir, opt.img_size, opt.num_classes,
         opt.weights, opt.model, opt.legacy_preproc, opt.batch_size,
         show=opt.show, int8=opt.int8, calib=opt.calib, ema=opt.ema,
-        tta=opt.tta, tile=opt.tile)
+        tta=opt.tta, tile=opt.tile, tta_scales=tuple(opt.tta_scales))

@@ -28,7 +28,7 @@ _EVAL_STEP_CACHE_MAX = 16  # (num_classes, align, sharding) combos are few;
 
 def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
          mesh=None, int8: bool = False,  # noqa: PT028 — reference API name
-         quant_stats=None, tta_flip: bool = False):
+         quant_stats=None, tta_flip: bool = False, tta_scales=()):
     """model: engine.trainer.ModelBundle. Returns mean IoU (float).
 
     Prints the per-class table (or top-5 worst classes when >=10 classes)
@@ -39,10 +39,15 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
     `quant_stats` from quant.calibrate() is passed (test.py
     --calib-batches calibrates on the first batches of the val set).
     tta_flip=True averages logits with a horizontally-flipped second
-    forward (test.py --tta; ~2x eval cost).
+    forward (test.py --tta; ~2x eval cost). tta_scales adds multi-scale
+    TTA (test.py --tta-scales 0.75 1.25; ops/tta.py) — extra forwards at
+    /32-snapped scaled sizes, logits resized back and averaged; composes
+    with tta_flip.
     """
     if quant_stats is not None:
         int8 = True
+    from ..ops.tta import normalize_tta_scales
+    tta_scales = normalize_tta_scales(tta_scales)
     classes = fetcher.loader.dataset.classes
     num_classes = len(classes)
     # evaluate on low-res logits and resize once in the eval step (identical
@@ -57,14 +62,16 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
     # rebuilding it would re-lower + recompile the whole model every epoch
     # (the model enters via state.apply_fn, a static jit field, so one
     # cached step serves any model; differing models just retrace).
-    key = (num_classes, align, replicated_sharding(mesh), int8, tta_flip)
+    key = (num_classes, align, replicated_sharding(mesh), int8, tta_flip,
+           tta_scales)
     eval_step = _EVAL_STEP_CACHE.get(key)
     if eval_step is None:
         if len(_EVAL_STEP_CACHE) >= _EVAL_STEP_CACHE_MAX:
             _EVAL_STEP_CACHE.pop(next(iter(_EVAL_STEP_CACHE)))
         eval_step = make_eval_step(num_classes, align_corners=align,
                                    out_shardings=replicated_sharding(mesh),
-                                   quant=int8, tta_flip=tta_flip)
+                                   quant=int8, tta_flip=tta_flip,
+                                   tta_scales=tta_scales)
         _EVAL_STEP_CACHE[key] = eval_step
     state = TrainState(step=0, params=model.params,
                        batch_stats=model.batch_stats, opt_state=None,

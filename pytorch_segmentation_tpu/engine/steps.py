@@ -191,7 +191,8 @@ def sample_valid_mask(valid, b: int):
 
 def make_eval_step(num_classes: int, align_corners: bool = True,
                    use_pallas: bool = True, out_shardings=None,
-                   quant: bool = False, tta_flip: bool = False):
+                   quant: bool = False, tta_flip: bool = False,
+                   tta_scales: tuple = ()):
     """Returns jitted (state, images, segs, valid) -> (loss, tp, fn, fp)
     with padded samples masked out of the confusion counts. Pass
     out_shardings=replicated for multi-host meshes so every process can
@@ -218,8 +219,13 @@ def make_eval_step(num_classes: int, align_corners: bool = True,
     horizontally flipped batch, logits flipped back and averaged (logit
     averaging = geometric mean of the softmaxes — the standard flip-TTA;
     ~2x eval cost). The averaged logits flow through the same fused
-    upsample+CE/confusion kernels.
+    upsample+CE/confusion kernels. tta_scales=(0.75, 1.25, ...) adds
+    multi-scale TTA (ops/tta.py): each extra scale is a second forward at
+    a /32-snapped input size whose logits are bilinearly resized back to
+    the base resolution before averaging; composes with tta_flip (flip
+    runs per scale). Each scale costs ~scale^2 of a forward.
     """
+    tta_scales = tuple(tta_scales or ())
 
     def step(state: TrainState, images, segs, valid, quant_stats=None):
         variables = {"params": state.params,
@@ -235,11 +241,10 @@ def make_eval_step(num_classes: int, align_corners: bool = True,
                     return state.apply_fn(variables, x, train=False)
             return state.apply_fn(variables, x, train=False)
 
-        logits = fwd(images)
-        if tta_flip:
-            # W is axis 2 in both NHWC images and [B, h, w, C] logits
-            flipped = fwd(jnp.flip(images, axis=2))
-            logits = (logits + jnp.flip(flipped, axis=2)) * 0.5
+        # flip/multi-scale TTA (no-op returning fwd(images) when both off)
+        from ..ops.tta import tta_logits
+        logits = tta_logits(fwd, images, scales=tta_scales, flip=tta_flip,
+                            align_corners=align_corners)
         th, tw = segs.shape[1], segs.shape[2]
         hh, ww = logits.shape[1], logits.shape[2]
         on_tpu = jax.devices()[0].platform == "tpu"

@@ -27,7 +27,8 @@ __all__ = ["inference", "make_infer_fn", "make_mask_fn",
 
 @functools.lru_cache(maxsize=8)
 def _jitted_infer(apply_fn, legacy_preproc: bool, int8: bool,
-                  calibrated: bool, tta_flip: bool = False):
+                  calibrated: bool, tta_flip: bool = False,
+                  tta_scales: tuple = ()):
     def run(variables, images_u8):
         x = images_u8.astype(jnp.float32)
         if legacy_preproc:
@@ -45,26 +46,27 @@ def _jitted_infer(apply_fn, legacy_preproc: bool, int8: bool,
                     return apply_fn(variables, xx, train=False)
             return apply_fn(variables, xx, train=False)
 
-        logits = fwd(x)
-        if tta_flip:
-            logits = (logits + jnp.flip(fwd(jnp.flip(x, axis=2)),
-                                        axis=2)) * 0.5
+        from .ops.tta import tta_logits
+        logits = tta_logits(fwd, x, scales=tta_scales, flip=tta_flip)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     return jax.jit(run)
 
 
 def make_infer_fn(model, legacy_preproc: bool = False, int8: bool = False,
-                  quant_stats=None, tta_flip: bool = False):
+                  quant_stats=None, tta_flip: bool = False, tta_scales=()):
     """model: engine.trainer.ModelBundle. Returns fn(images_u8 NHWC RGB) ->
     probs [B, H, W, C] f32 (device). int8=True runs every eligible conv on
     the int8 MXU path — dynamic activation scales, or calibrated when
     `quant_stats` (from quant.calibrate/calibrate_from_u8) is passed.
     tta_flip=True averages logits with a horizontally-flipped second
-    forward (flip TTA, ~2x cost)."""
+    forward (flip TTA, ~2x cost); tta_scales=(0.75, 1.25, ...) adds
+    multi-scale TTA (ops/tta.py), composing with the flip."""
     if quant_stats is not None:
         int8 = True
+    from .ops.tta import normalize_tta_scales
     jitted = _jitted_infer(model.apply_fn, legacy_preproc, int8,
-                           quant_stats is not None, tta_flip)
+                           quant_stats is not None, tta_flip,
+                           normalize_tta_scales(tta_scales))
     variables = {"params": model.params, "batch_stats": model.batch_stats}
     if quant_stats is not None:
         variables = {**variables, "quant_stats": quant_stats}
@@ -75,7 +77,7 @@ def make_infer_fn(model, legacy_preproc: bool = False, int8: bool = False,
 
 
 def make_mask_fn(model, out_hw=None, legacy_preproc: bool = False,
-                 tta_flip: bool = False):
+                 tta_flip: bool = False, tta_scales=()):
     """Fixed-size SERVING path: fn(images_u8 NHWC RGB) -> int32 argmax
     masks [B, *out_hw] (device), one jitted program.
 
@@ -88,11 +90,14 @@ def make_mask_fn(model, out_hw=None, legacy_preproc: bool = False,
     PERF.md). out_hw=None upsamples to the input image size. Softmax is
     skipped: per-pixel argmax of logits equals argmax of softmax.
     tta_flip=True averages logits with a horizontally-flipped second
-    forward before the fused upsample+argmax (flip TTA, ~2x cost).
+    forward before the fused upsample+argmax (flip TTA, ~2x cost);
+    tta_scales adds multi-scale TTA (ops/tta.py), composing with the flip.
     """
     variables = {"params": model.params, "batch_stats": model.batch_stats}
     apply_fn = model.apply_fn
     align = getattr(model.module, "up_align_corners", True)
+    from .ops.tta import normalize_tta_scales, tta_logits
+    tta_scales = normalize_tta_scales(tta_scales)
 
     @functools.partial(jax.jit, static_argnums=(1,))
     def run(images_u8, hw):
@@ -101,10 +106,9 @@ def make_mask_fn(model, out_hw=None, legacy_preproc: bool = False,
             x = x / 255.0
         else:
             x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-        logits = apply_fn(variables, x, train=False)
-        if tta_flip:
-            flipped = apply_fn(variables, jnp.flip(x, axis=2), train=False)
-            logits = (logits + jnp.flip(flipped, axis=2)) * 0.5
+        logits = tta_logits(
+            lambda xx: apply_fn(variables, xx, train=False), x,
+            scales=tta_scales, flip=tta_flip, align_corners=align)
         on_tpu = jax.devices()[0].platform == "tpu"
         if (logits.shape[1], logits.shape[2]) == tuple(hw):
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -141,7 +145,8 @@ def _tile_offsets(size: int, tile: int, overlap: float):
 
 
 def make_tiled_mask_fn(model, tile_hw=(513, 513), overlap: float = 0.25,
-                       legacy_preproc: bool = False, tta_flip: bool = False):
+                       legacy_preproc: bool = False, tta_flip: bool = False,
+                       tta_scales=()):
     """Sliding-window serving for images LARGER than the training
     resolution: fn(images_u8 NHWC RGB) -> int32 masks [B, H, W] at the
     input's own resolution.
@@ -158,19 +163,20 @@ def make_tiled_mask_fn(model, tile_hw=(513, 513), overlap: float = 0.25,
     traced ONCE inside a lax.fori_loop (compile time independent of grid
     size), tiles/canvas are updated with lax.dynamic_slice /
     dynamic_update_slice, and the pad region is ImageNet-mean (zeros after
-    normalize). Masks for the pad are cropped off. tta_flip composes: each
-    tile is flip-averaged.
+    normalize). Masks for the pad are cropped off. tta_flip / tta_scales
+    compose: each tile is flip- and multi-scale-averaged (ops/tta.py).
     """
     variables = {"params": model.params, "batch_stats": model.batch_stats}
     apply_fn = model.apply_fn
     align = getattr(model.module, "up_align_corners", True)
     th, tw = int(tile_hw[0]), int(tile_hw[1])
+    from .ops.tta import normalize_tta_scales, tta_logits
+    tta_scales = normalize_tta_scales(tta_scales)
 
     def fwd(x):
-        logits = apply_fn(variables, x, train=False)
-        if tta_flip:
-            flipped = apply_fn(variables, jnp.flip(x, axis=2), train=False)
-            logits = (logits + jnp.flip(flipped, axis=2)) * 0.5
+        logits = tta_logits(
+            lambda xx: apply_fn(variables, xx, train=False), x,
+            scales=tta_scales, flip=tta_flip, align_corners=align)
         if (logits.shape[1], logits.shape[2]) != (th, tw):
             from .ops.resize import resize_bilinear
             logits = resize_bilinear(logits.astype(jnp.float32), (th, tw),
@@ -216,7 +222,7 @@ def make_tiled_mask_fn(model, tile_hw=(513, 513), overlap: float = 0.25,
 
 def inference(model, imgs, img_size=(64, 64), legacy_preproc: bool = False,
               int8: bool = False, calib: bool = False, quant_stats=None,
-              tta_flip: bool = False):
+              tta_flip: bool = False, tta_scales=()):
     """imgs: list of BGR uint8 HWC arrays (cv2-style, like the reference).
     Returns a list of [H_orig, W_orig] int argmax masks.
 
@@ -235,7 +241,8 @@ def inference(model, imgs, img_size=(64, 64), legacy_preproc: bool = False,
         quant_stats = calibrate_from_u8(model, jnp.asarray(batch),
                                         legacy_preproc)
     infer = make_infer_fn(model, legacy_preproc, int8=int8,
-                          quant_stats=quant_stats, tta_flip=tta_flip)
+                          quant_stats=quant_stats, tta_flip=tta_flip,
+                          tta_scales=tta_scales)
     probs = np.asarray(infer(batch))
     preds = [
         cv2.resize(p, (shape[1], shape[0])).argmax(axis=2)

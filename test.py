@@ -48,6 +48,12 @@ def main():
                         help="flip test-time augmentation: average logits "
                              "with a horizontally-flipped second forward "
                              "(~2x eval cost)")
+    parser.add_argument("--tta-scales", type=float, nargs="+", default=[],
+                        metavar="S",
+                        help="multi-scale TTA, e.g. 0.75 1.0 1.25: extra "
+                             "forwards at /32-snapped scaled sizes, logits "
+                             "resized back and averaged (composes with "
+                             "--tta; each scale costs ~S^2 of a forward)")
     opt = parser.parse_args()
 
     from pytorch_segmentation_tpu.utils.runtime import setup_runtime
@@ -77,7 +83,8 @@ def main():
             calib)
         print(f"calibrated int8 scales on {len(calib)} val batches")
     metrics = test(bundle, val_fetcher, int8=opt.int8,
-                   quant_stats=quant_stats, tta_flip=opt.tta)
+                   quant_stats=quant_stats, tta_flip=opt.tta,
+                   tta_scales=opt.tta_scales)
     print("metrics: %8g" % metrics)
 
 
