@@ -18,6 +18,14 @@ ready for `train.py --weights`.
 The converters are numerically validated against torch-reconstructed
 reference models in tests/test_model_golden_parity.py (<1e-3 max-abs at
 320x320 through the full forward).
+
+`--reverse` ports the other way (migration back to torch): a framework
+checkpoint becomes a torch-loadable `{'model': state_dict}` .pt (the
+reference checkpoint format, test.py:103-104) with name-mirrored modules,
+OIHW conv kernels and running BN stats — loadable with strict=True into a
+torch reimplementation of the same architecture (tests/torch_refs.py):
+
+    python port_weights.py weights/best.ckpt --reverse -o weights/best_torch.pt
 """
 
 import argparse
@@ -54,9 +62,25 @@ def run(sd_path, model_name, num_classes, out_path, arch=None):
           f"nc={num_classes})")
 
 
+def run_reverse(ckpt_path, out_path, use_ema=False):
+    from pytorch_segmentation_tpu.engine.checkpoint import load_checkpoint
+    from pytorch_segmentation_tpu.utils.port_torch import \
+        save_torch_checkpoint
+    ckpt = load_checkpoint(ckpt_path)
+    if use_ema and ckpt.get("ema") is None:
+        raise SystemExit(f"{ckpt_path} holds no EMA params "
+                         "(trained without --ema)")
+    params = ckpt["ema"] if use_ema else ckpt["model"]
+    save_torch_checkpoint(out_path, params, ckpt.get("batch_stats") or {})
+    print(f"wrote torch checkpoint {out_path} "
+          f"({'EMA ' if use_ema else ''}weights, {{'model': state_dict}})")
+
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
-    parser.add_argument("state_dict", help="torchvision .pth file")
+    parser.add_argument("state_dict",
+                        help="torchvision .pth file (or a framework .ckpt "
+                             "with --reverse)")
     parser.add_argument("--model", type=str, default="deeplabv3plus",
                         choices=["unet", "deeplabv3plus", "hrnet"])
     parser.add_argument("-nc", "--num-classes", type=int, default=21)
@@ -65,5 +89,13 @@ if __name__ == "__main__":
     parser.add_argument("--arch", type=str, default=None,
                         choices=["mobilenetv2", "resnet50", "resnet34"],
                         help="backbone converter (defaults by model)")
+    parser.add_argument("--reverse", action="store_true",
+                        help="framework checkpoint -> torch "
+                             "{'model': state_dict} .pt")
+    parser.add_argument("--ema", action="store_true",
+                        help="with --reverse: export the EMA weights")
     opt = parser.parse_args()
-    run(opt.state_dict, opt.model, opt.num_classes, opt.output, opt.arch)
+    if opt.reverse:
+        run_reverse(opt.state_dict, opt.output, use_ema=opt.ema)
+    else:
+        run(opt.state_dict, opt.model, opt.num_classes, opt.output, opt.arch)

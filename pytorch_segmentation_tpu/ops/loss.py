@@ -25,6 +25,8 @@ __all__ = [
     "compute_loss",
     "focal_bce_loss",
     "lovasz_softmax_loss",
+    "build_loss",
+    "LOSSES",
 ]
 
 
@@ -75,6 +77,60 @@ def make_loss_fn(align_corners: bool = True, use_pallas: bool = True):
                                      align_corners=align_corners)
         return compute_loss(logits, targets, align_corners=align_corners)
     return loss_fn
+
+
+LOSSES = ("ce", "lovasz", "ce+lovasz", "focal", "ce+rect")
+
+
+def build_loss(name: str, align_corners: bool = True):
+    """Named training losses for the CLI (train.py --loss).
+
+    'ce' (default) returns `compute_loss` itself so the Trainer's
+    deferred-upsample + fused-Pallas substitution still applies. The other
+    names return a custom loss_fn(logits, targets) — the Trainer detects a
+    non-default loss and keeps full-res logits (unknown upsample
+    semantics), so the upsample below is normally a no-op:
+
+      lovasz     Lovász-softmax (direct mIoU surrogate)
+      ce+lovasz  CE + Lovász (common fine-tuning combination)
+      focal      focal BCE on one-hot targets (the reference instantiates
+                 FocalBCELoss at utils/utils.py:14 but never uses it)
+      ce+rect    CE + rectangularity prior — the reference's commented-out
+                 RectLoss hook (utils/utils.py:21-23, criterions.py:7-56)
+    """
+    if name == "ce":
+        return compute_loss
+
+    def up(logits, targets):
+        th, tw = targets.shape[1], targets.shape[2]
+        if (logits.shape[1], logits.shape[2]) != (th, tw):
+            logits = resize_bilinear(logits.astype(jnp.float32), (th, tw),
+                                     align_corners=align_corners)
+        return logits.astype(jnp.float32)
+
+    if name == "lovasz":
+        return lambda logits, targets: lovasz_softmax_loss(
+            up(logits, targets), targets)
+    if name == "ce+lovasz":
+        def ce_lovasz(logits, targets):
+            l = up(logits, targets)
+            return (softmax_cross_entropy(l, targets)
+                    + lovasz_softmax_loss(l, targets))
+        return ce_lovasz
+    if name == "focal":
+        def focal(logits, targets):
+            l = up(logits, targets)
+            onehot = jax.nn.one_hot(targets, l.shape[-1], axis=-1)
+            return focal_bce_loss(l, onehot)
+        return focal
+    if name == "ce+rect":
+        from .rect_loss import rect_loss
+
+        def ce_rect(logits, targets):
+            l = up(logits, targets)
+            return softmax_cross_entropy(l, targets) + rect_loss(l)
+        return ce_rect
+    raise ValueError(f"unknown loss {name!r} (choose from {LOSSES})")
 
 
 def focal_bce_loss(logits: jax.Array, targets_onehot: jax.Array,

@@ -18,7 +18,8 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["convert_mobilenetv2", "convert_resnet", "convert_named",
-           "load_pretrained_backbone"]
+           "load_pretrained_backbone", "export_torch_state_dict",
+           "save_torch_checkpoint"]
 
 # standard MobileNetV2 stage layout: (expand_ratio, repeats)
 _MBV2_STAGES = [(1, 1), (6, 2), (6, 3), (6, 4), (6, 3), (6, 3), (6, 1)]
@@ -174,6 +175,81 @@ def load_pretrained_backbone(model_params, model_stats, path_or_sd,
 def jax_to_py(tree):
     import jax
     return jax.tree.map(np.asarray, dict(tree))
+
+
+def _conv_inv(k) -> np.ndarray:
+    """JAX HWIO (incl. depthwise (kh,kw,1,C)) -> torch OIHW / (C,1,kh,kw)."""
+    return np.ascontiguousarray(np.transpose(np.asarray(k), (3, 2, 0, 1))
+                                ).astype(np.float32)
+
+
+def export_torch_state_dict(params, batch_stats) -> dict:
+    """Inverse of `convert_named`: flax param/batch-stat trees -> a flat
+    torch-style state_dict of numpy arrays (migration path back to torch —
+    the reference framework loads `torch.load(w)['model']`, test.py:103).
+
+    Naming is the mirrored-module convention `convert_named` consumes
+    (ConvNormAct children `conv`/`bn`; standalone convs keep weight/bias):
+    conv kernels transpose HWIO -> OIHW (depthwise (kh,kw,1,C) -> (C,1,kh,kw)),
+    bn scale/bias/mean/var -> weight/bias/running_mean/running_var, plus the
+    int64 `num_batches_tracked` torch BN modules require for a strict load.
+    Round-trip `convert_named(export_torch_state_dict(p, s)) == (p, s)` is
+    test-enforced (tests/test_port_torch.py)."""
+    sd: dict = {}
+
+    def walk_params(node, prefix):
+        for k, v in node.items():
+            path = f"{prefix}.{k}" if prefix else str(k)
+            if isinstance(v, dict):
+                walk_params(v, path)
+                continue
+            v = np.asarray(v, np.float32)
+            parts = path.split(".")
+            leaf, parent = parts[-1], parts[-2] if len(parts) >= 2 else ""
+            base = ".".join(parts[:-1])
+            if parent == "bn" and leaf in ("scale", "bias"):
+                sd[f"{base}.{'weight' if leaf == 'scale' else 'bias'}"] = v
+            elif leaf == "kernel":
+                sd[f"{base}.weight"] = _conv_inv(v)
+            elif leaf == "bias":
+                sd[f"{base}.bias"] = v
+            else:
+                raise ValueError(f"unexported param leaf {path!r} — only "
+                                 "conv kernel/bias and bn scale/bias trees "
+                                 "are torch-exportable")
+
+    def walk_stats(node, prefix):
+        for k, v in node.items():
+            path = f"{prefix}.{k}" if prefix else str(k)
+            if isinstance(v, dict):
+                walk_stats(v, path)
+                continue
+            v = np.asarray(v, np.float32)
+            parts = path.split(".")
+            leaf = parts[-1]
+            base = ".".join(parts[:-1])
+            if leaf in ("mean", "var"):
+                sd[f"{base}.running_{leaf}"] = v
+                sd.setdefault(f"{base}.num_batches_tracked",
+                              np.zeros((), np.int64))
+            else:
+                raise ValueError(f"unexported batch-stat leaf {path!r}")
+
+    walk_params(jax_to_py(params), "")
+    walk_stats(jax_to_py(batch_stats), "")
+    return sd
+
+
+def save_torch_checkpoint(path: str, params, batch_stats):
+    """Write a torch-loadable checkpoint `{'model': state_dict}` — the
+    reference's checkpoint format (ckpt['model'], test.py:103-104)."""
+    import torch
+    # np.array copies: jax-backed arrays are non-writable views and
+    # torch.from_numpy warns on (and forbids writing through) those
+    sd = {k: torch.from_numpy(np.array(v))
+          for k, v in export_torch_state_dict(params, batch_stats).items()}
+    torch.save({"model": sd}, path)
+    return path
 
 
 def _merge_checked(dst: dict, src: dict, path: str):

@@ -4,6 +4,7 @@ zero-guard parity (utils/utils.py:51-65)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -72,3 +73,73 @@ def test_focal_and_lovasz_finite(rng):
     l = float(lovasz_softmax_loss(logits, labels))
     assert np.isfinite(f) and f > 0
     assert np.isfinite(l) and 0 <= l <= 1
+
+
+def test_build_loss_ce_is_reference_loss():
+    from pytorch_segmentation_tpu.ops.loss import build_loss, compute_loss
+    # identity matters: the Trainer swaps in the fused deferred-upsample
+    # path only for the default loss (trainer.py)
+    assert build_loss("ce") is compute_loss
+
+
+def test_build_loss_named_variants(rng):
+    import jax
+
+    from pytorch_segmentation_tpu.ops.loss import (build_loss,
+                                                   lovasz_softmax_loss,
+                                                   softmax_cross_entropy)
+
+    logits = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    targets = jnp.asarray(rng.integers(0, 3, (2, 16, 16)), jnp.int32)
+
+    for name in ("lovasz", "ce+lovasz", "focal", "ce+rect"):
+        fn = build_loss(name)
+        v = float(fn(logits, targets))
+        assert np.isfinite(v) and v > 0, (name, v)
+        g = jax.grad(lambda l: fn(l, targets))(logits)
+        assert float(jnp.abs(g).max()) > 0, name
+
+    # composition math: ce+lovasz == ce + lovasz on full-res logits
+    want = float(softmax_cross_entropy(logits, targets)
+                 + lovasz_softmax_loss(logits, targets))
+    np.testing.assert_allclose(float(build_loss("ce+lovasz")(logits,
+                                                             targets)),
+                               want, rtol=1e-6)
+
+    # low-res logits upsample before the criterion (deferred-upsample
+    # models): equals the loss on manually upsampled logits
+    from pytorch_segmentation_tpu.ops.resize import resize_bilinear
+    low = jnp.asarray(rng.standard_normal((2, 8, 8, 3)), jnp.float32)
+    up = resize_bilinear(low, (16, 16), align_corners=True)
+    np.testing.assert_allclose(float(build_loss("lovasz")(low, targets)),
+                               float(lovasz_softmax_loss(up, targets)),
+                               rtol=1e-6)
+
+    with pytest.raises(ValueError):
+        build_loss("nope")
+
+
+def test_train_step_with_named_loss(rng):
+    """One optimization step with a non-default loss through the real
+    train-step machinery (custom losses bypass the fused-CE substitution)."""
+    import flax.linen as fnn
+    import optax
+
+    from pytorch_segmentation_tpu.engine.steps import (create_train_state,
+                                                       make_train_step)
+    from pytorch_segmentation_tpu.ops.loss import build_loss
+
+    class Tiny(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, train=False):
+            return fnn.Conv(3, (1, 1), param_dtype=jnp.float32)(x)
+
+    state = create_train_state(Tiny(), jax.random.PRNGKey(0),
+                               jnp.zeros((1, 8, 8, 3)), optax.sgd(1e-2))
+    step = make_train_step(loss_fn=build_loss("ce+lovasz"), donate=False)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 3, (2, 8, 8)), jnp.int32)
+    s1, l1 = step(state, x, y)
+    _s2, l2 = step(s1, x, y)
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+    assert float(l2) < float(l1)  # one SGD step on the same batch improves

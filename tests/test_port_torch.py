@@ -173,3 +173,120 @@ def test_resnet34_port(rng):
                       "batch_stats": stats["backbone"]},
                      jnp.zeros((1, 64, 64, 3)), train=False)
     assert feats[-1].shape[-1] == 512
+
+
+# ---------------------------------------------------------------------------
+# Reverse port: flax trees -> torch state_dict (port_weights.py --reverse)
+# ---------------------------------------------------------------------------
+
+def _small_flax_and_trees(rng_key=0):
+    import flax.linen as fnn
+
+    from pytorch_segmentation_tpu.nn.blocks import ConvNormAct
+
+    class SmallFlax(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, train=False):
+            x = ConvNormAct(8, kernel_size=3, dtype=jnp.float32,
+                            name="block0")(x, train=train)
+            # depthwise: exercises the (kh,kw,1,C) <-> (C,1,kh,kw) transpose
+            x = ConvNormAct(8, kernel_size=3, groups=8, dtype=jnp.float32,
+                            name="dw")(x, train=train)
+            return fnn.Conv(4, (1, 1), dtype=jnp.float32,
+                            param_dtype=jnp.float32, name="cls_conv")(x)
+
+    model = SmallFlax()
+    variables = model.init({"params": jax.random.PRNGKey(rng_key)},
+                           jnp.zeros((1, 16, 16, 3)), train=False)
+    params = jax.tree.map(np.asarray, dict(variables["params"]))
+    stats = jax.tree.map(np.asarray, dict(variables["batch_stats"]))
+    # non-trivial BN stats so eval-mode parity tests the BN math
+    r = np.random.RandomState(7)
+    for blk in stats.values():
+        blk["bn"]["mean"] = (0.1 * r.standard_normal(
+            blk["bn"]["mean"].shape)).astype(np.float32)
+        blk["bn"]["var"] = (0.5 + r.uniform(
+            size=blk["bn"]["var"].shape)).astype(np.float32)
+    return model, params, stats
+
+
+def _small_torch_mirror():
+    import torch
+
+    from torch_refs import TConvNormAct
+
+    class SmallTorch(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.block0 = TConvNormAct(3, 8, k=3)
+            self.dw = TConvNormAct(8, 8, k=3, groups=8)
+            self.cls_conv = torch.nn.Conv2d(8, 4, 1)
+
+        def forward(self, x):
+            return self.cls_conv(self.dw(self.block0(x)))
+
+    return SmallTorch()
+
+
+def test_export_torch_state_dict_roundtrip():
+    from pytorch_segmentation_tpu.utils.port_torch import (
+        _merge_checked, convert_named, export_torch_state_dict)
+
+    _model, params, stats = _small_flax_and_trees()
+    sd = export_torch_state_dict(params, stats)
+    # num_batches_tracked present for torch strict loads, int64
+    assert sd["block0.bn.num_batches_tracked"].dtype == np.int64
+    rp, rs = convert_named(sd)
+    import copy
+    p2, s2 = copy.deepcopy(params), copy.deepcopy(stats)
+    _merge_checked(p2, rp, "params")
+    _merge_checked(s2, rs, "stats")
+    for (a, b) in ((params, p2), (stats, s2)):
+        fa, fb = jax.tree.flatten(a)[0], jax.tree.flatten(b)[0]
+        assert len(fa) == len(fb)
+        for x, y in zip(fa, fb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_reverse_port_strict_torch_load_forward_parity(rng):
+    import torch
+
+    from pytorch_segmentation_tpu.utils.port_torch import \
+        export_torch_state_dict
+
+    model, params, stats = _small_flax_and_trees()
+    sd = export_torch_state_dict(params, stats)
+    tmodel = _small_torch_mirror()
+    tmodel.load_state_dict({k: torch.from_numpy(np.array(v))
+                            for k, v in sd.items()}, strict=True)
+    tmodel.eval()
+
+    x = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+    ours = np.asarray(model.apply(
+        {"params": params, "batch_stats": stats}, x, train=False))
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_reverse_port_cli(tmp_path):
+    import torch
+
+    from pytorch_segmentation_tpu.engine.checkpoint import save_checkpoint
+
+    _model, params, stats = _small_flax_and_trees()
+    ckpt = tmp_path / "small.ckpt"
+    save_checkpoint(str(ckpt), params, stats)
+
+    import port_weights
+    out = tmp_path / "small_torch.pt"
+    port_weights.run_reverse(str(ckpt), str(out))
+    loaded = torch.load(str(out), map_location="cpu", weights_only=True)
+    assert set(loaded.keys()) == {"model"}  # the reference ckpt format
+    tmodel = _small_torch_mirror()
+    tmodel.load_state_dict(loaded["model"], strict=True)
+
+    # --ema on an EMA-less checkpoint must fail loudly
+    with pytest.raises(SystemExit):
+        port_weights.run_reverse(str(ckpt), str(out), use_ema=True)

@@ -39,7 +39,7 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
           mixed_precision, notest, nosave, seed=0, profile=False,
           dataset="cocoinstance", remat=False, lr_schedule="constant",
           warmup_steps=0, fast_augment=False, precompile=False, qat=False,
-          ema=0.0):
+          ema=0.0, loss="ce"):
     ds_cls, train_file, val_file = DATASETS[dataset]
     train_coco = osp.join(data_dir, train_file)
     val_coco = osp.join(data_dir, val_file)
@@ -76,7 +76,11 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
                         dtype=jnp.bfloat16 if mixed_precision else jnp.float32,
                         **model_kw)
 
-    trainer = Trainer(model, train_fetcher, workdir="weights",
+    from pytorch_segmentation_tpu.ops.loss import build_loss
+    loss_fn = build_loss(loss, align_corners=getattr(
+        model, "up_align_corners", True))
+    trainer = Trainer(model, train_fetcher, loss_fn=loss_fn,
+                      workdir="weights",
                       accumulate=accumulate, adam=adam, lr=lr,
                       weights=weights, resume=resume,
                       mixed_precision=mixed_precision, mesh=mesh, seed=seed,
@@ -170,6 +174,13 @@ if __name__ == "__main__":
                              "int8-eligible conv (STE) so int8 PTQ serving "
                              "costs ~zero accuracy; epoch-end val runs the "
                              "int8 forward (docs/QUANTIZATION.md)")
+    parser.add_argument("--loss", type=str, default="ce",
+                        choices=["ce", "lovasz", "ce+lovasz", "focal",
+                                 "ce+rect"],
+                        help="training loss: 'ce' = the reference's "
+                             "upsample+CE (fused Pallas path); 'ce+rect' = "
+                             "the reference's commented-out RectLoss hook; "
+                             "lovasz/focal per ops/loss.py")
     parser.add_argument("--ema", type=float, default=0.0, metavar="DECAY",
                         help="keep an exponential moving average of the "
                              "weights (e.g. 0.999); epoch-end val and "
@@ -195,4 +206,4 @@ if __name__ == "__main__":
           profile=opt.profile, dataset=opt.dataset, remat=opt.remat,
           lr_schedule=opt.lr_schedule, warmup_steps=opt.warmup_steps,
           fast_augment=opt.fast_augment, precompile=opt.precompile,
-          qat=opt.qat, ema=opt.ema)
+          qat=opt.qat, ema=opt.ema, loss=opt.loss)
