@@ -62,16 +62,33 @@ IMAGENET_STD = np.array([58.395, 57.12, 57.375], dtype=np.float32)
 class BasicDataset:
     """Base dataset: resize / rect-pad to static shape (reference
     utils/datasets.py:149-213). `img_size` is (width, height) like the
-    reference's `-s` flag."""
+    reference's `-s` flag.
+
+    cache_images=True (train.py --cache-images) keeps host records in RAM
+    after the first epoch: deterministic datasets (CocoDataset,
+    SegImgDataset) cache the FINAL static-size (img, seg) record — decode,
+    rasterize/color-map and resize all run once; CocoInstance (random
+    per-access crop) caches decoded source images only. Opt-in: RAM is
+    ~HxWx4 bytes per cached record (513^2 ~ 1 MB/sample). Safe with the
+    threaded loader (one shared in-process cache; cached arrays are marked
+    read-only, downstream BGR->RGB copies)."""
+
+    # subclasses whose get_data is random per access (CocoInstance) set
+    # False: only the image decode is cached, never the record
+    deterministic_records = True
 
     def __init__(self, img_size=(224, 224), augments: bool = True,
-                 multi_scale: bool = False, rect: bool = False):
+                 multi_scale: bool = False, rect: bool = False,
+                 cache_images: bool = False):
         if isinstance(img_size, int):
             img_size = (img_size, img_size)
         self.img_size = tuple(int(v) for v in img_size)
         self.rect = rect
         self.multi_scale = multi_scale
         self.augments = augments  # consumed by the device pipeline
+        self.cache_images = bool(cache_images)
+        self._record_cache: dict = {}
+        self._decode_cache: dict = {}
         self.data: list = []
         self.classes: list[str] = []
 
@@ -79,10 +96,28 @@ class BasicDataset:
     def get_data(self, idx):
         raise NotImplementedError
 
+    def _imread(self, path, flags=cv2.IMREAD_COLOR):
+        """cv2.imread with the opt-in decode cache (GIL-safe dict ops;
+        cached arrays are read-only — callers copy before mutating)."""
+        if not self.cache_images:
+            return cv2.imread(path, flags)
+        img = self._decode_cache.get((path, flags))
+        if img is None:
+            img = cv2.imread(path, flags)
+            if img is not None:
+                img.setflags(write=False)
+            self._decode_cache[(path, flags)] = img
+        return img
+
     def __len__(self):
         return len(self.data)
 
     def __getitem__(self, idx):
+        cache_record = self.cache_images and self.deterministic_records
+        if cache_record:
+            hit = self._record_cache.get(int(idx))
+            if hit is not None:
+                return hit
         img, seg = self.get_data(idx)
         img = np.ascontiguousarray(img[..., ::-1])  # BGR -> RGB
         tw, th = self.img_size
@@ -105,7 +140,12 @@ class BasicDataset:
         else:
             img = cv2.resize(img, (tw, th), interpolation=cv2.INTER_CUBIC)
             seg = cv2.resize(seg, (tw, th), interpolation=cv2.INTER_NEAREST)
-        return img, seg.astype(np.uint8)
+        seg = seg.astype(np.uint8)
+        if cache_record:
+            img.setflags(write=False)
+            seg.setflags(write=False)
+            self._record_cache[int(idx)] = (img, seg)
+        return img, seg
 
 
 class SegImgDataset(BasicDataset):
@@ -113,8 +153,9 @@ class SegImgDataset(BasicDataset):
     utils/datasets.py:216-257)."""
 
     def __init__(self, path, img_size=224, augments=True, multi_scale=False,
-                 rect=False, colormap=VOC_COLORMAP):
-        super().__init__(img_size, augments, multi_scale, rect)
+                 rect=False, colormap=VOC_COLORMAP, cache_images=False):
+        super().__init__(img_size, augments, multi_scale, rect,
+                         cache_images=cache_images)
         self.path = path
         self.colormap = np.asarray(colormap, dtype=np.uint8)
         self._build()
@@ -136,16 +177,17 @@ class SegImgDataset(BasicDataset):
         ]
 
     def get_data(self, idx):
-        img = cv2.imread(self.data[idx][0])
-        seg_color = cv2.imread(self.data[idx][1])
+        img = self._imread(self.data[idx][0])
+        seg_color = self._imread(self.data[idx][1])
         seg = mask_from_colors(seg_color, self.colormap)
         return img, seg
 
 
 class _CocoBase(BasicDataset):
     def __init__(self, path, img_size=224, augments=True, multi_scale=False,
-                 rect=False):
-        super().__init__(img_size, augments, multi_scale, rect)
+                 rect=False, cache_images=False):
+        super().__init__(img_size, augments, multi_scale, rect,
+                         cache_images=cache_images)
         with open(path) as f:
             self.coco = json.load(f)
         self.img_root = osp.dirname(path)
@@ -183,7 +225,7 @@ class CocoDataset(_CocoBase):
 
     def get_data(self, idx):
         path, anns = self.data[idx]
-        img = cv2.imread(path)
+        img = self._imread(path)
         seg = rasterize_annotations(img.shape[0], img.shape[1], anns)
         return img, seg
 
@@ -200,6 +242,7 @@ class CocoInstance(_CocoBase):
 
     MIN_EXTENT = 50
     CROP_MARGIN = 100
+    deterministic_records = False  # random crop/instance pick per access
 
     def _keep_ann(self, ann, img_info):
         seg = ann.get("segmentation")
@@ -215,7 +258,7 @@ class CocoInstance(_CocoBase):
 
     def get_data(self, idx):
         path, anns = self.data[idx]
-        img = cv2.imread(path)
+        img = self._imread(path)
         h, w = img.shape[:2]
         # choose a polygon with sufficient extent, like the reference's
         # retry loop (utils/datasets.py:352-361)

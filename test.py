@@ -48,6 +48,9 @@ def main():
                         help="flip test-time augmentation: average logits "
                              "with a horizontally-flipped second forward "
                              "(~2x eval cost)")
+    parser.add_argument("--cache-images", action="store_true",
+                        help="keep decoded+resized val records in RAM "
+                             "across epochs/eval passes")
     parser.add_argument("--tta-scales", type=float, nargs="+", default=[],
                         metavar="S",
                         help="multi-scale TTA, e.g. 0.75 1.0 1.25: extra "
@@ -60,7 +63,8 @@ def main():
     setup_runtime()
 
     val_data = DATASETS[opt.dataset](opt.val, img_size=opt.img_size,
-                                     augments=False, rect=opt.rect)
+                                     augments=False, rect=opt.rect,
+                                     cache_images=opt.cache_images)
     val_loader = DataLoader(val_data, batch_size=opt.batch_size,
                             num_workers=opt.num_workers)
     val_fetcher = Fetcher(val_loader, PostFetch())

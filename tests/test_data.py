@@ -6,6 +6,7 @@ import os.path as osp
 
 import cv2
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from pytorch_segmentation_tpu.data import (IMAGENET_MEAN, IMAGENET_STD,
@@ -143,3 +144,65 @@ def test_instance_crop_order_equivalence():
         full = cv2.warpAffine(mask, M2, (W, H), flags=cv2.INTER_NEAREST)
         theirs = full[y0:y1, x0:x1]
         np.testing.assert_array_equal(ours, theirs)
+
+
+def test_cache_images_deterministic_dataset(synthetic_coco, monkeypatch):
+    """--cache-images on CocoDataset: records identical to the uncached
+    dataset, and after the first pass neither decode nor rasterize runs."""
+    path = osp.join(synthetic_coco, "val.json")
+    plain = CocoDataset(path, img_size=(64, 64), augments=False)
+    cached = CocoDataset(path, img_size=(64, 64), augments=False,
+                         cache_images=True)
+
+    want = [plain[i] for i in range(len(plain))]
+    got1 = [cached[i] for i in range(len(cached))]
+    for (wi, ws), (gi, gs) in zip(want, got1):
+        np.testing.assert_array_equal(wi, gi)
+        np.testing.assert_array_equal(ws, gs)
+
+    calls = {"imread": 0}
+    real_imread = cv2.imread
+
+    def counting(*a, **kw):
+        calls["imread"] += 1
+        return real_imread(*a, **kw)
+
+    monkeypatch.setattr(cv2, "imread", counting)
+    got2 = [cached[i] for i in range(len(cached))]  # second epoch: cache hits
+    assert calls["imread"] == 0
+    for (a, b), (c, d) in zip(got1, got2):
+        assert a is c and b is d  # the very same cached record
+    # cached arrays are read-only (shared across the threaded loader)
+    with pytest.raises(ValueError):
+        got2[0][0][0, 0, 0] = 1
+
+
+def test_cache_images_coco_instance_decode_only(synthetic_coco, monkeypatch):
+    """CocoInstance stays random per access: only the DECODE is cached
+    (records never are), so crops still vary epoch to epoch."""
+    import random as _random
+
+    from pytorch_segmentation_tpu.data import CocoInstance
+
+    path = osp.join(synthetic_coco, "train.json")
+    ds = CocoInstance(path, img_size=(64, 64), cache_images=True)
+    _random.seed(0)
+    a = ds[0]
+    n_decoded = len(ds._decode_cache)
+    assert n_decoded >= 1 and not ds._record_cache
+
+    calls = {"imread": 0}
+    real_imread = cv2.imread
+
+    def counting(*a, **kw):
+        calls["imread"] += 1
+        return real_imread(*a, **kw)
+
+    monkeypatch.setattr(cv2, "imread", counting)
+    _random.seed(1)
+    b = ds[0]
+    assert calls["imread"] == 0  # decode cache hit
+    assert not ds._record_cache  # record cache never used
+    # different random crop windows -> (almost surely) different records
+    assert a[0].shape == b[0].shape
+    assert not (np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1]))

@@ -39,7 +39,7 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
           mixed_precision, notest, nosave, seed=0, profile=False,
           dataset="cocoinstance", remat=False, lr_schedule="constant",
           warmup_steps=0, fast_augment=False, precompile=False, qat=False,
-          ema=0.0, loss="ce"):
+          ema=0.0, loss="ce", cache_images=False):
     ds_cls, train_file, val_file = DATASETS[dataset]
     train_coco = osp.join(data_dir, train_file)
     val_coco = osp.join(data_dir, val_file)
@@ -49,7 +49,8 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
     world = jax.process_count()
 
     train_data = ds_cls(train_coco, img_size=img_size,
-                        multi_scale=multi_scale, rect=rect)
+                        multi_scale=multi_scale, rect=rect,
+                        cache_images=cache_images)
     train_loader = DataLoader(train_data, batch_size=batch_size, shuffle=True,
                               drop_last=True, num_workers=num_workers,
                               seed=seed, rank=rank, world_size=world)
@@ -63,7 +64,7 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
 
     if not notest:
         val_data = ds_cls(val_coco, img_size=img_size, augments=False,
-                          rect=rect)
+                          rect=rect, cache_images=cache_images)
         val_loader = DataLoader(val_data, batch_size=batch_size,
                                 shuffle=False, num_workers=num_workers,
                                 rank=rank, world_size=world)
@@ -174,6 +175,10 @@ if __name__ == "__main__":
                              "int8-eligible conv (STE) so int8 PTQ serving "
                              "costs ~zero accuracy; epoch-end val runs the "
                              "int8 forward (docs/QUANTIZATION.md)")
+    parser.add_argument("--cache-images", action="store_true",
+                        help="keep host records in RAM after epoch 1 "
+                             "(decode/rasterize/resize once; ~1 MB per "
+                             "513^2 sample — see data/datasets.py)")
     parser.add_argument("--loss", type=str, default="ce",
                         choices=["ce", "lovasz", "ce+lovasz", "focal",
                                  "ce+rect"],
@@ -206,4 +211,5 @@ if __name__ == "__main__":
           profile=opt.profile, dataset=opt.dataset, remat=opt.remat,
           lr_schedule=opt.lr_schedule, warmup_steps=opt.warmup_steps,
           fast_augment=opt.fast_augment, precompile=opt.precompile,
-          qat=opt.qat, ema=opt.ema, loss=opt.loss)
+          qat=opt.qat, ema=opt.ema, loss=opt.loss,
+          cache_images=opt.cache_images)
