@@ -41,6 +41,7 @@ from pytorch_segmentation_tpu.utils.port_torch import (
 _BACKBONE_ARCH = {
     "unet": "mobilenetv2",
     "deeplabv3plus": "resnet50",
+    "pspnet": "resnet50",
 }
 
 
@@ -82,7 +83,7 @@ if __name__ == "__main__":
                         help="torchvision .pth file (or a framework .ckpt "
                              "with --reverse)")
     parser.add_argument("--model", type=str, default="deeplabv3plus",
-                        choices=["unet", "deeplabv3plus", "hrnet"])
+                        choices=["unet", "deeplabv3plus", "hrnet", "pspnet"])
     parser.add_argument("-nc", "--num-classes", type=int, default=21)
     parser.add_argument("-o", "--output", type=str,
                         default="weights/pretrained.ckpt")

@@ -6,12 +6,14 @@ reference's hard-coded selection (train.py:57-59, SURVEY.md §2.2).
 
 from .deeplabv3plus import DeepLabV3Plus
 from .hrnet import HRNet
+from .pspnet import PSPNet
 from .unet import UNet
 
 MODEL_REGISTRY = {
     "unet": UNet,
     "deeplabv3plus": DeepLabV3Plus,
     "hrnet": HRNet,
+    "pspnet": PSPNet,
 }
 
 
@@ -24,4 +26,5 @@ def build_model(name: str, num_classes: int, **kwargs):
     return cls(num_classes=num_classes, **kwargs)
 
 
-__all__ = ["UNet", "DeepLabV3Plus", "HRNet", "MODEL_REGISTRY", "build_model"]
+__all__ = ["UNet", "DeepLabV3Plus", "HRNet", "PSPNet", "MODEL_REGISTRY",
+           "build_model"]

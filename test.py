@@ -24,7 +24,7 @@ def main():
     parser.add_argument("--dataset", type=str, default="coco",
                         choices=sorted(DATASETS))
     parser.add_argument("--model", type=str, default="deeplabv3plus",
-                        choices=["unet", "deeplabv3plus", "hrnet"])
+                        choices=["unet", "deeplabv3plus", "hrnet", "pspnet"])
     parser.add_argument("--weights", type=str, default="")
     parser.add_argument("--rect", action="store_true")
     parser.add_argument("-s", "--img_size", type=int, nargs=2,

@@ -18,12 +18,13 @@ import pytest
 import torch
 import torch.nn.functional as F
 
-from pytorch_segmentation_tpu.models import DeepLabV3Plus, HRNet, UNet
+from pytorch_segmentation_tpu.models import DeepLabV3Plus, HRNet, PSPNet, UNet
 from pytorch_segmentation_tpu.utils.port_torch import (
     _merge_checked, convert_mobilenetv2, convert_named, convert_resnet,
     jax_to_py)
 
-from torch_refs import TDeepLabV3Plus, THRNet, TUNet, randomize_bn_stats
+from torch_refs import (TDeepLabV3Plus, THRNet, TPSPNet, TUNet,
+                        randomize_bn_stats)
 
 
 def _split_sd(model, prefix="backbone."):
@@ -72,6 +73,8 @@ CASES = {
         TDeepLabV3Plus, convert_resnet),
     "hrnet": (lambda nc: HRNet(num_classes=nc, dtype=jnp.float32),
               THRNet, None),
+    "pspnet": (lambda nc: PSPNet(num_classes=nc, dtype=jnp.float32),
+               TPSPNet, convert_resnet),
 }
 
 

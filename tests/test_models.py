@@ -66,3 +66,30 @@ def test_train_mode_updates_batch_stats():
     before = jax.tree.leaves(variables["batch_stats"])
     after = jax.tree.leaves(mutated["batch_stats"])
     assert any(not jnp.allclose(a, b) for a, b in zip(before, after))
+
+
+def test_pspnet_deferred_and_adaptive_pool():
+    """PSPNet: stride-8 logits under full_res_output=False, and the
+    adaptive pool matches torch.AdaptiveAvgPool2d exactly (window
+    boundary semantics) on a non-divisible size."""
+    import numpy as np
+    import torch
+
+    from pytorch_segmentation_tpu.models import PSPNet
+    from pytorch_segmentation_tpu.ops.pool import adaptive_avg_pool2d
+
+    model = PSPNet(num_classes=3, dtype=jnp.float32, full_res_output=False)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (1, 8, 8, 3)  # output_stride 8
+    assert model.output_stride == 8
+
+    r = np.random.RandomState(0)
+    a = r.standard_normal((2, 13, 11, 5)).astype(np.float32)  # non-divisible
+    for bins in (1, 2, 3, 6):
+        ours = np.asarray(adaptive_avg_pool2d(jnp.asarray(a), (bins, bins)))
+        ref = torch.nn.functional.adaptive_avg_pool2d(
+            torch.from_numpy(np.transpose(a, (0, 3, 1, 2))), bins)
+        ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
+        np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6)

@@ -433,3 +433,34 @@ class THRNet(nn.Module):
             ys = getattr(self, f"stage{s}")(xs)
             prev_n = nb
         return _up(self.final_layer(ys[0]), 4, align=False)
+
+
+class TPSPNet(nn.Module):
+    """PSPNet mirror (models/pspnet.py — an addition beyond the reference;
+    classic Zhao et al. pyramid pooling). ResNet-50 at output-stride 8,
+    bins (1,2,3,6) adaptive-avg-pooled -> 1x1 CNA 2048->512 -> bilinear
+    upsample (align_corners=True) -> concat -> 3x3 CNA 4096->512 -> 1x1
+    cls conv -> x8 upsample. Names mirror the flax tree (convert_named)."""
+
+    def __init__(self, num_classes, layers=(3, 4, 6, 3), bins=(1, 2, 3, 6)):
+        super().__init__()
+        self.backbone = TResNet(_TorchBottleneck, layers,
+                                replace_stride_with_dilation=(False, True,
+                                                              True))
+        self.bins = bins
+        for b in bins:
+            setattr(self, f"ppm_conv{b}", TConvNormAct(2048, 512, 1))
+        self.head = TConvNormAct(2048 + 512 * len(bins), 512, 3)
+        self.cls_conv = nn.Conv2d(512, num_classes, 1)
+
+    def forward(self, x):
+        y = self.backbone(x)[-1]
+        size = y.shape[-2:]
+        branches = [y]
+        for b in self.bins:
+            p = F.adaptive_avg_pool2d(y, b)
+            p = getattr(self, f"ppm_conv{b}")(p)
+            branches.append(F.interpolate(p, size=size, mode="bilinear",
+                                          align_corners=True))
+        y = self.head(torch.cat(branches, 1))
+        return _up(self.cls_conv(y), 8)
