@@ -22,8 +22,11 @@ def main():
     bs = 32 if on_tpu else 4
     # DLV3+ handles the reference's odd 513; UNet/HRNet skip-concat wants
     # multiples of 32 (reference trains them at 320/512-style sizes)
-    sizes = {"unet": 512, "deeplabv3plus": 513, "hrnet": 512}
-    for name in ("unet", "deeplabv3plus", "hrnet"):
+    sizes = {"unet": 512, "deeplabv3plus": 513, "hrnet": 512,
+             "pspnet": 513}
+    import sys
+    names = sys.argv[1:] or ("unet", "deeplabv3plus", "hrnet", "pspnet")
+    for name in names:
         img = sizes[name] if on_tpu else 128
         images = jax.random.normal(jax.random.PRNGKey(1),
                                    (bs, img, img, 3), jnp.float32)
