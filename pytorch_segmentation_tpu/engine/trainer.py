@@ -83,6 +83,7 @@ class Trainer:
                  adam: bool = False, lr: float = 1e-3, weights: str = "",
                  resume: bool = False, mixed_precision: bool = False,
                  momentum: float = 0.9, weight_decay: float = 0.0,
+                 clip_grad: float = 0.0,
                  mesh=None, seed: int = 0, log: bool = True,
                  log_dir: str = "runs", profile: bool = False,
                  defer_upsample: bool = True, lr_schedule: str = "constant",
@@ -114,6 +115,10 @@ class Trainer:
             tx = optax.sgd(schedule, momentum=momentum, nesterov=False)
         if weight_decay:
             tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+        if clip_grad:
+            # clip the RAW gradients' global norm before decay/optimizer
+            # (torch.nn.utils.clip_grad_norm_ ordering)
+            tx = optax.chain(optax.clip_by_global_norm(clip_grad), tx)
         self.tx = tx
 
         self.mesh = mesh if mesh is not None else make_mesh()

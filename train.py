@@ -39,7 +39,8 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
           mixed_precision, notest, nosave, seed=0, profile=False,
           dataset="cocoinstance", remat=False, lr_schedule="constant",
           warmup_steps=0, fast_augment=False, precompile=False, qat=False,
-          ema=0.0, loss="ce", cache_images=False):
+          ema=0.0, loss="ce", cache_images=False, momentum=0.9,
+          weight_decay=0.0, clip_grad=0.0):
     ds_cls, train_file, val_file = DATASETS[dataset]
     train_coco = osp.join(data_dir, train_file)
     val_coco = osp.join(data_dir, val_file)
@@ -85,6 +86,8 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
                       accumulate=accumulate, adam=adam, lr=lr,
                       weights=weights, resume=resume,
                       mixed_precision=mixed_precision, mesh=mesh, seed=seed,
+                      momentum=momentum, weight_decay=weight_decay,
+                      clip_grad=clip_grad,
                       profile=profile,
                       # deferred upsample composes with multi-scale: the
                       # reference resizes only the *images* post-normalize
@@ -137,6 +140,15 @@ if __name__ == "__main__":
     parser.add_argument("-a", "--accumulate", type=int, default=2)
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--adam", action="store_true")
+    parser.add_argument("--momentum", type=float, default=0.9,
+                        help="SGD momentum (ignored with --adam)")
+    parser.add_argument("--weight-decay", type=float, default=0.0,
+                        help="decoupled L2 weight decay added to the "
+                             "gradients before the optimizer")
+    parser.add_argument("--clip-grad", type=float, default=0.0,
+                        metavar="NORM",
+                        help="clip the raw gradients' global L2 norm "
+                             "(torch clip_grad_norm_ semantics); 0 = off")
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--weights", type=str, default="")
     parser.add_argument("--num-workers", type=int, default=4)
@@ -212,4 +224,5 @@ if __name__ == "__main__":
           lr_schedule=opt.lr_schedule, warmup_steps=opt.warmup_steps,
           fast_augment=opt.fast_augment, precompile=opt.precompile,
           qat=opt.qat, ema=opt.ema, loss=opt.loss,
-          cache_images=opt.cache_images)
+          cache_images=opt.cache_images, momentum=opt.momentum,
+          weight_decay=opt.weight_decay, clip_grad=opt.clip_grad)
