@@ -89,7 +89,8 @@ if __name__ == "__main__":
     parser.add_argument("img_dir", type=str)
     parser.add_argument("output_dir", type=str)
     parser.add_argument("--model", type=str, default="deeplabv3plus",
-                        choices=["unet", "deeplabv3plus", "hrnet", "pspnet"])
+                        choices=["unet", "deeplabv3plus", "hrnet", "pspnet",
+                                 "fpn"])
     parser.add_argument("-s", "--img_size", type=int, nargs=2,
                         default=[320, 320])
     parser.add_argument("-nc", "--num-classes", type=int, default=2)

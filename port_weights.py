@@ -42,6 +42,7 @@ _BACKBONE_ARCH = {
     "unet": "mobilenetv2",
     "deeplabv3plus": "resnet50",
     "pspnet": "resnet50",
+    "fpn": "resnet50",
 }
 
 
@@ -83,7 +84,8 @@ if __name__ == "__main__":
                         help="torchvision .pth file (or a framework .ckpt "
                              "with --reverse)")
     parser.add_argument("--model", type=str, default="deeplabv3plus",
-                        choices=["unet", "deeplabv3plus", "hrnet", "pspnet"])
+                        choices=["unet", "deeplabv3plus", "hrnet", "pspnet",
+                                 "fpn"])
     parser.add_argument("-nc", "--num-classes", type=int, default=21)
     parser.add_argument("-o", "--output", type=str,
                         default="weights/pretrained.ckpt")

@@ -5,6 +5,7 @@ reference's hard-coded selection (train.py:57-59, SURVEY.md §2.2).
 """
 
 from .deeplabv3plus import DeepLabV3Plus
+from .fpn import FPN
 from .hrnet import HRNet
 from .pspnet import PSPNet
 from .unet import UNet
@@ -14,6 +15,7 @@ MODEL_REGISTRY = {
     "deeplabv3plus": DeepLabV3Plus,
     "hrnet": HRNet,
     "pspnet": PSPNet,
+    "fpn": FPN,
 }
 
 
@@ -26,5 +28,5 @@ def build_model(name: str, num_classes: int, **kwargs):
     return cls(num_classes=num_classes, **kwargs)
 
 
-__all__ = ["UNet", "DeepLabV3Plus", "HRNet", "PSPNet", "MODEL_REGISTRY",
-           "build_model"]
+__all__ = ["UNet", "DeepLabV3Plus", "HRNet", "PSPNet", "FPN",
+           "MODEL_REGISTRY", "build_model"]

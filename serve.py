@@ -19,7 +19,8 @@ import argparse
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", type=str, default="deeplabv3plus",
-                        choices=["unet", "deeplabv3plus", "hrnet", "pspnet"])
+                        choices=["unet", "deeplabv3plus", "hrnet", "pspnet",
+                                 "fpn"])
     parser.add_argument("-s", "--img_size", type=int, nargs=2,
                         default=[513, 513], metavar=("W", "H"))
     parser.add_argument("-nc", "--num-classes", type=int, default=21)

@@ -18,12 +18,13 @@ import pytest
 import torch
 import torch.nn.functional as F
 
-from pytorch_segmentation_tpu.models import DeepLabV3Plus, HRNet, PSPNet, UNet
+from pytorch_segmentation_tpu.models import (FPN, DeepLabV3Plus, HRNet,
+                                              PSPNet, UNet)
 from pytorch_segmentation_tpu.utils.port_torch import (
     _merge_checked, convert_mobilenetv2, convert_named, convert_resnet,
     jax_to_py)
 
-from torch_refs import (TDeepLabV3Plus, THRNet, TPSPNet, TUNet,
+from torch_refs import (TFPN, TDeepLabV3Plus, THRNet, TPSPNet, TUNet,
                         randomize_bn_stats)
 
 
@@ -75,6 +76,8 @@ CASES = {
               THRNet, None),
     "pspnet": (lambda nc: PSPNet(num_classes=nc, dtype=jnp.float32),
                TPSPNet, convert_resnet),
+    "fpn": (lambda nc: FPN(num_classes=nc, dtype=jnp.float32),
+            TFPN, convert_resnet),
 }
 
 

@@ -93,3 +93,22 @@ def test_pspnet_deferred_and_adaptive_pool():
             torch.from_numpy(np.transpose(a, (0, 3, 1, 2))), bins)
         ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
         np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_fpn_deferred_and_resnet34_variant():
+    """FPN: stride-4 logits under full_res_output=False; the block='basic'
+    (ResNet-34 laterals 64/128/256/512) variant builds and runs."""
+    from pytorch_segmentation_tpu.models import FPN
+
+    model = FPN(num_classes=3, dtype=jnp.float32, full_res_output=False)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (1, 16, 16, 3)  # output_stride 4
+    assert model.output_stride == 4
+    assert model.up_align_corners is False
+
+    m34 = FPN(num_classes=3, block="basic", backbone_layers=(2, 2, 2, 2),
+              dtype=jnp.float32)
+    v34 = m34.init(jax.random.PRNGKey(0), x, train=False)
+    assert m34.apply(v34, x, train=False).shape == (1, 64, 64, 3)

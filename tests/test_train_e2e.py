@@ -12,7 +12,7 @@ from pytorch_segmentation_tpu.data import (CocoDataset, DataLoader, Fetcher,
                                            PostFetch)
 from pytorch_segmentation_tpu.engine import (ModelBundle, Trainer,
                                              load_checkpoint, test)
-from pytorch_segmentation_tpu.models import DeepLabV3Plus, HRNet, UNet
+from pytorch_segmentation_tpu.models import FPN, DeepLabV3Plus, HRNet, UNet
 
 
 @pytest.fixture(scope="module")
@@ -54,7 +54,9 @@ def test_eval_miou_beats_random(trained):
     # nearly free next to the one-time 1-core compile
     (lambda nc: HRNet(num_classes=nc, base_channels=8, dtype=jnp.float32),
      16, 0.12),
-], ids=["deeplabv3plus", "hrnet"])
+    (lambda nc: FPN(num_classes=nc, backbone_layers=(1, 1, 1, 1),
+                    dtype=jnp.float32), 5, 0.15),
+], ids=["deeplabv3plus", "hrnet", "fpn"])
 def test_dlv3_hrnet_learn(build, epochs, miou_min, synthetic_coco):
     """VERDICT round-1 weak #3: DeepLabV3+/HRNet must be SHOWN to learn
     (loss drop + mIoU above random), not just compile. Shallow variants keep

@@ -464,3 +464,53 @@ class TPSPNet(nn.Module):
                                           align_corners=True))
         y = self.head(torch.cat(branches, 1))
         return _up(self.cls_conv(y), 8)
+
+
+class TFPN(nn.Module):
+    """Semantic-FPN mirror (models/fpn.py — an addition beyond the
+    reference; Kirillov et al. Panoptic-FPN semantic branch with BN in
+    place of GN, per the framework's block idiom). ResNet C2..C5 -> 1x1
+    lateral CNA (no act) to 256 -> top-down nearest + add -> 3x3 smooth
+    CNA -> per-level head stages (3x3 CNA 128 -> x2 bilinear align=False)
+    to stride 4 -> sum -> 1x1 cls conv -> x4 upsample (align=False).
+    Names mirror the flax tree (convert_named)."""
+
+    def __init__(self, num_classes, layers=(3, 4, 6, 3), block=None,
+                 fpn_channels=256, seg_channels=128):
+        super().__init__()
+        block = block or _TorchBottleneck
+        self.backbone = TResNet(block, layers)
+        chans = [64 * block.expansion * (2 ** i) for i in range(4)]
+        for i in range(4):
+            setattr(self, f"lat{i}",
+                    TConvNormAct(chans[i], fpn_channels, 1, activate=None))
+            setattr(self, f"smooth{i}",
+                    TConvNormAct(fpn_channels, fpn_channels, 3))
+        self.head0_0 = TConvNormAct(fpn_channels, seg_channels, 3)
+        for i in (1, 2, 3):
+            for j in range(i):
+                setattr(self, f"head{i}_{j}",
+                        TConvNormAct(fpn_channels if j == 0 else seg_channels,
+                                     seg_channels, 3))
+        self.cls_conv = nn.Conv2d(seg_channels, num_classes, 1)
+
+    def forward(self, x):
+        feats = self.backbone(x)[1:]  # C2..C5
+        sizes = [f.shape[-2:] for f in feats]
+        p = self.lat3(feats[3])
+        pyramid = [p]
+        for i in (2, 1, 0):
+            lat = getattr(self, f"lat{i}")(feats[i])
+            p = lat + F.interpolate(p, size=sizes[i], mode="nearest")
+            pyramid.insert(0, p)
+        pyramid = [getattr(self, f"smooth{i}")(p)
+                   for i, p in enumerate(pyramid)]
+        y = self.head0_0(pyramid[0])
+        for i in (1, 2, 3):
+            z = pyramid[i]
+            for j in range(i):
+                z = getattr(self, f"head{i}_{j}")(z)
+                z = F.interpolate(z, size=sizes[i - 1 - j], mode="bilinear",
+                                  align_corners=False)
+            y = y + z
+        return _up(self.cls_conv(y), 4, align=False)

@@ -72,7 +72,7 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
         val_fetcher = Fetcher(val_loader, PostFetch())
 
     model_kw = {}
-    if remat and model_name in ("deeplabv3plus", "pspnet"):
+    if remat and model_name in ("deeplabv3plus", "pspnet", "fpn"):
         model_kw["remat"] = True
     model = build_model(model_name, num_classes=len(train_data.classes),
                         dtype=jnp.bfloat16 if mixed_precision else jnp.float32,
@@ -130,7 +130,8 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("data", type=str, default="data/voc")
     parser.add_argument("--model", type=str, default="unet",
-                        choices=["unet", "deeplabv3plus", "hrnet", "pspnet"])
+                        choices=["unet", "deeplabv3plus", "hrnet", "pspnet",
+                                 "fpn"])
     parser.add_argument("--dataset", type=str, default="cocoinstance",
                         choices=sorted(DATASETS))
     parser.add_argument("--epochs", type=int, default=100)
