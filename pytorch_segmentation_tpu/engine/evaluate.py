@@ -28,7 +28,8 @@ _EVAL_STEP_CACHE_MAX = 16  # (num_classes, align, sharding) combos are few;
 
 def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
          mesh=None, int8: bool = False,  # noqa: PT028 — reference API name
-         quant_stats=None, tta_flip: bool = False, tta_scales=()):
+         quant_stats=None, tta_flip: bool = False, tta_scales=(),
+         report_path: str | None = None):
     """model: engine.trainer.ModelBundle. Returns mean IoU (float).
 
     Prints the per-class table (or top-5 worst classes when >=10 classes)
@@ -43,6 +44,11 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
     TTA (test.py --tta-scales 0.75 1.25; ops/tta.py) — extra forwards at
     /32-snapped scaled sizes, logits resized back and averaged; composes
     with tta_flip.
+
+    report_path writes the FULL per-class table (every class — the printed
+    table truncates to the 5 worst at >=10 classes, reference
+    test.py:59-72) plus the raw confusion sums as JSON (test.py --report),
+    for dashboards/regression tracking.
     """
     if quant_stats is not None:
         int8 = True
@@ -152,6 +158,22 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
         drain(pending)
 
     T, P, R, miou, F1 = (np.asarray(m) for m in compute_metrics(tp, fn, fp))
+    if report_path and jax.process_index() == 0:
+        import json
+        report = {
+            "miou": float(miou.mean()),
+            "val_loss": val_loss / max(1, n_read),
+            "num_classes": num_classes,
+            "per_class": [
+                {"name": str(c), "targets": int(T[ci]),
+                 "precision": float(P[ci]), "recall": float(R[ci]),
+                 "iou": float(miou[ci]), "f1": float(F1[ci]),
+                 "tp": float(tp[ci]), "fn": float(fn[ci]),
+                 "fp": float(fp[ci])}
+                for ci, c in enumerate(classes)],
+        }
+        with open(report_path, "w") as f:
+            json.dump(report, f, indent=1)
     if log and jax.process_index() == 0:
         if num_classes < 10:
             for ci, c in enumerate(classes):

@@ -24,7 +24,8 @@ def main():
     parser.add_argument("--dataset", type=str, default="coco",
                         choices=sorted(DATASETS))
     parser.add_argument("--model", type=str, default="deeplabv3plus",
-                        choices=["unet", "deeplabv3plus", "hrnet", "pspnet"])
+                        choices=["unet", "deeplabv3plus", "hrnet", "pspnet",
+                                 "fpn"])
     parser.add_argument("--weights", type=str, default="")
     parser.add_argument("--rect", action="store_true")
     parser.add_argument("-s", "--img_size", type=int, nargs=2,
@@ -51,6 +52,10 @@ def main():
     parser.add_argument("--cache-images", action="store_true",
                         help="keep decoded+resized val records in RAM "
                              "across epochs/eval passes")
+    parser.add_argument("--report", type=str, default="", metavar="FILE",
+                        help="write the full per-class metric table (all "
+                             "classes, not just the printed worst-5) + raw "
+                             "confusion sums as JSON")
     parser.add_argument("--tta-scales", type=float, nargs="+", default=[],
                         metavar="S",
                         help="multi-scale TTA, e.g. 0.75 1.0 1.25: extra "
@@ -88,7 +93,8 @@ def main():
         print(f"calibrated int8 scales on {len(calib)} val batches")
     metrics = test(bundle, val_fetcher, int8=opt.int8,
                    quant_stats=quant_stats, tta_flip=opt.tta,
-                   tta_scales=opt.tta_scales)
+                   tta_scales=opt.tta_scales,
+                   report_path=opt.report or None)
     print("metrics: %8g" % metrics)
 
 

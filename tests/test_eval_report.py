@@ -39,3 +39,35 @@ def test_top5_table_many_classes(synthetic_coco, capsys):
     assert "top error 5" in out
     assert out.count("cls:") == 5
     assert 0.0 <= miou <= 1.0
+
+
+def test_report_json(synthetic_coco, tmp_path):
+    """--report writes the FULL per-class table (all classes even when the
+    printed table truncates to worst-5) + raw confusion sums; miou in the
+    file equals the returned value."""
+    import json
+
+    import jax
+
+    ds = CocoDataset(osp.join(synthetic_coco, "val.json"), img_size=(32, 32),
+                     augments=False)
+    ds.classes = [f"c{i}" for i in range(12)]  # >=10: printed table truncates
+    fetcher = Fetcher(DataLoader(ds, batch_size=8, num_workers=1),
+                      PostFetch())
+    model = UNet(num_classes=12, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)), train=False)
+    bundle = ModelBundle(model, variables["params"],
+                         variables["batch_stats"])
+    path = str(tmp_path / "report.json")
+    miou = test(bundle, fetcher, show_first_batch=False, log=False,
+                report_path=path)
+    rep = json.load(open(path))
+    assert rep["num_classes"] == 12
+    assert len(rep["per_class"]) == 12  # full table, not worst-5
+    assert abs(rep["miou"] - miou) < 1e-9
+    assert rep["per_class"][0]["name"] == "c0"
+    for row in rep["per_class"]:
+        # tp+fn == targets (pixel count of that class in the val set)
+        assert row["targets"] == int(row["tp"] + row["fn"])
+        assert 0.0 <= row["iou"] <= 1.0
