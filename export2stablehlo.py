@@ -10,7 +10,8 @@ import argparse
 
 from pytorch_segmentation_tpu.engine.checkpoint import load_model_bundle
 from pytorch_segmentation_tpu.export import export_stablehlo, fuse_conv_bn
-from pytorch_segmentation_tpu.models import build_model
+from pytorch_segmentation_tpu.models import (MODEL_REGISTRY,
+                                              build_model)
 
 
 def export(weights, model_name, num_classes, img_size, out=None):
@@ -28,7 +29,7 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("weights", type=str)
     parser.add_argument("--model", type=str, default="unet",
-                        choices=["unet", "deeplabv3plus", "hrnet"])
+                        choices=sorted(MODEL_REGISTRY))
     parser.add_argument("-s", "--img_size", type=int, nargs=2,
                         default=[320, 320])
     parser.add_argument("-nc", "--num-classes", type=int, default=2)

@@ -16,7 +16,8 @@ from tqdm import tqdm
 from pytorch_segmentation_tpu.data import IMG_EXT, VOC_COLORMAP, colorize_mask
 from pytorch_segmentation_tpu.engine.checkpoint import load_model_bundle
 from pytorch_segmentation_tpu.inference import inference
-from pytorch_segmentation_tpu.models import build_model
+from pytorch_segmentation_tpu.models import (MODEL_REGISTRY,
+                                              build_model)
 
 
 def run(img_dir, output_dir, img_size, num_classes, weights, model_name,
@@ -89,8 +90,7 @@ if __name__ == "__main__":
     parser.add_argument("img_dir", type=str)
     parser.add_argument("output_dir", type=str)
     parser.add_argument("--model", type=str, default="deeplabv3plus",
-                        choices=["unet", "deeplabv3plus", "hrnet", "pspnet",
-                                 "fpn"])
+                        choices=sorted(MODEL_REGISTRY))
     parser.add_argument("-s", "--img_size", type=int, nargs=2,
                         default=[320, 320])
     parser.add_argument("-nc", "--num-classes", type=int, default=2)

@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 
 from pytorch_segmentation_tpu.engine.checkpoint import save_checkpoint
-from pytorch_segmentation_tpu.models import build_model
+from pytorch_segmentation_tpu.models import (MODEL_REGISTRY,
+                                              build_model)
 from pytorch_segmentation_tpu.utils.port_torch import (
     jax_to_py, load_pretrained_backbone)
 
@@ -84,8 +85,7 @@ if __name__ == "__main__":
                         help="torchvision .pth file (or a framework .ckpt "
                              "with --reverse)")
     parser.add_argument("--model", type=str, default="deeplabv3plus",
-                        choices=["unet", "deeplabv3plus", "hrnet", "pspnet",
-                                 "fpn"])
+                        choices=sorted(MODEL_REGISTRY))
     parser.add_argument("-nc", "--num-classes", type=int, default=21)
     parser.add_argument("-o", "--output", type=str,
                         default="weights/pretrained.ckpt")

@@ -114,6 +114,9 @@ class Trainer:
         else:
             tx = optax.sgd(schedule, momentum=momentum, nesterov=False)
         if weight_decay:
+            # decay ADDED TO the gradients before the optimizer = torch
+            # SGD/Adam weight_decay (coupled L2, momentum sees the decay) —
+            # NOT decoupled AdamW
             tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
         if clip_grad:
             # clip the RAW gradients' global norm before decay/optimizer

@@ -15,12 +15,13 @@ flip/multi-scale TTA.
 
 import argparse
 
+from pytorch_segmentation_tpu.models import MODEL_REGISTRY
+
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", type=str, default="deeplabv3plus",
-                        choices=["unet", "deeplabv3plus", "hrnet", "pspnet",
-                                 "fpn"])
+                        choices=sorted(MODEL_REGISTRY))
     parser.add_argument("-s", "--img_size", type=int, nargs=2,
                         default=[513, 513], metavar=("W", "H"))
     parser.add_argument("-nc", "--num-classes", type=int, default=21)

@@ -12,7 +12,8 @@ from pytorch_segmentation_tpu.data import (CocoDataset, DataLoader, Fetcher,
                                            PostFetch, SegImgDataset)
 from pytorch_segmentation_tpu.engine import test
 from pytorch_segmentation_tpu.engine.checkpoint import load_model_bundle
-from pytorch_segmentation_tpu.models import build_model
+from pytorch_segmentation_tpu.models import (MODEL_REGISTRY,
+                                              build_model)
 
 DATASETS = {"coco": CocoDataset, "segimg": SegImgDataset}
 
@@ -24,8 +25,7 @@ def main():
     parser.add_argument("--dataset", type=str, default="coco",
                         choices=sorted(DATASETS))
     parser.add_argument("--model", type=str, default="deeplabv3plus",
-                        choices=["unet", "deeplabv3plus", "hrnet", "pspnet",
-                                 "fpn"])
+                        choices=sorted(MODEL_REGISTRY))
     parser.add_argument("--weights", type=str, default="")
     parser.add_argument("--rect", action="store_true")
     parser.add_argument("-s", "--img_size", type=int, nargs=2,

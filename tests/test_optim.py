@@ -59,13 +59,21 @@ def test_clip_grad_noop_below_threshold():
     assert jnp.allclose(upd["w"], -0.1 * grads["w"], atol=1e-6)
 
 
-def test_weight_decay_decoupled():
+def test_weight_decay_coupled_torch_semantics():
+    """weight_decay adds wd*p to the GRADIENT before the optimizer (torch
+    SGD weight_decay — coupled L2): the momentum trace must see the decay
+    term, unlike decoupled SGDW/AdamW."""
     tr = _make_trainer(lr=0.1, weight_decay=0.01)
     params = {"w": jnp.array([2.0, -2.0])}
     grads = {"w": jnp.zeros((2,))}
-    upd = _first_update(tr.tx, params, grads)
-    # zero grads -> update = -lr * wd * params
+    st = tr.tx.init(params)
+    upd, st = tr.tx.update(grads, st, params)
+    # first step: update = -lr * wd * p (same for coupled and decoupled)
     assert jnp.allclose(upd["w"], -0.1 * 0.01 * params["w"], atol=1e-7)
+    # second step distinguishes them: COUPLED momentum accumulates the
+    # decay (trace = wd*p*(1+m) -> update 1.9x); decoupled would repeat -lr*wd*p
+    upd2, st = tr.tx.update(grads, st, params)
+    assert jnp.allclose(upd2["w"], 1.9 * upd["w"], atol=1e-7)
 
 
 def test_momentum_flag():

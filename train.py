@@ -19,7 +19,8 @@ from pytorch_segmentation_tpu.data import (CocoDataset, CocoInstance,
                                            SegImgDataset)
 from pytorch_segmentation_tpu.data.augment import make_augment_fn
 from pytorch_segmentation_tpu.engine import Trainer, test
-from pytorch_segmentation_tpu.models import build_model
+from pytorch_segmentation_tpu.models import (MODEL_REGISTRY,
+                                              build_model)
 from pytorch_segmentation_tpu.parallel import initialize_distributed, make_mesh
 import jax
 
@@ -130,8 +131,7 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("data", type=str, default="data/voc")
     parser.add_argument("--model", type=str, default="unet",
-                        choices=["unet", "deeplabv3plus", "hrnet", "pspnet",
-                                 "fpn"])
+                        choices=sorted(MODEL_REGISTRY))
     parser.add_argument("--dataset", type=str, default="cocoinstance",
                         choices=sorted(DATASETS))
     parser.add_argument("--epochs", type=int, default=100)
@@ -144,8 +144,10 @@ if __name__ == "__main__":
     parser.add_argument("--momentum", type=float, default=0.9,
                         help="SGD momentum (ignored with --adam)")
     parser.add_argument("--weight-decay", type=float, default=0.0,
-                        help="decoupled L2 weight decay added to the "
-                             "gradients before the optimizer")
+                        help="L2 weight decay added to the gradients before "
+                             "the optimizer (torch SGD/Adam weight_decay "
+                             "semantics — coupled, runs through the "
+                             "momentum/adaptive terms)")
     parser.add_argument("--clip-grad", type=float, default=0.0,
                         metavar="NORM",
                         help="clip the raw gradients' global L2 norm "
