@@ -25,6 +25,7 @@ __all__ = [
     "compute_loss",
     "focal_bce_loss",
     "lovasz_softmax_loss",
+    "dice_loss",
     "build_loss",
     "LOSSES",
 ]
@@ -79,7 +80,8 @@ def make_loss_fn(align_corners: bool = True, use_pallas: bool = True):
     return loss_fn
 
 
-LOSSES = ("ce", "lovasz", "ce+lovasz", "focal", "ce+rect")
+LOSSES = ("ce", "lovasz", "ce+lovasz", "focal", "ce+rect", "dice",
+          "ce+dice")
 
 
 def build_loss(name: str, align_corners: bool = True):
@@ -97,6 +99,9 @@ def build_loss(name: str, align_corners: bool = True):
                  FocalBCELoss at utils/utils.py:14 but never uses it)
       ce+rect    CE + rectangularity prior — the reference's commented-out
                  RectLoss hook (utils/utils.py:21-23, criterions.py:7-56)
+      dice       soft multi-class Dice (classes absent from the batch
+                 masked out, like lovasz)
+      ce+dice    CE + Dice (the standard medical-segmentation combination)
     """
     if name == "ce":
         return compute_loss
@@ -130,7 +135,35 @@ def build_loss(name: str, align_corners: bool = True):
             l = up(logits, targets)
             return softmax_cross_entropy(l, targets) + rect_loss(l)
         return ce_rect
+    if name == "dice":
+        return lambda logits, targets: dice_loss(up(logits, targets),
+                                                 targets)
+    if name == "ce+dice":
+        def ce_dice(logits, targets):
+            l = up(logits, targets)
+            return (softmax_cross_entropy(l, targets)
+                    + dice_loss(l, targets))
+        return ce_dice
     raise ValueError(f"unknown loss {name!r} (choose from {LOSSES})")
+
+
+def dice_loss(logits: jax.Array, targets: jax.Array,
+              smooth: float = 1.0) -> jax.Array:
+    """Soft multi-class Dice loss: 1 - mean over present classes of
+    2|P∩G|/(|P|+|G|) on softmax probabilities. Classes absent from the
+    batch are masked (static-shape; same convention as
+    lovasz_softmax_loss). logits [..., C], targets [...] int."""
+    num_classes = logits.shape[-1]
+    probas = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    probas = probas.reshape(-1, num_classes)
+    onehot = jax.nn.one_hot(targets.reshape(-1), num_classes,
+                            dtype=jnp.float32)
+    inter = jnp.sum(probas * onehot, axis=0)
+    card = jnp.sum(probas, axis=0) + jnp.sum(onehot, axis=0)
+    dice = (2.0 * inter + smooth) / (card + smooth)
+    present = jnp.sum(onehot, axis=0) > 0
+    n_present = jnp.maximum(jnp.sum(present.astype(jnp.float32)), 1.0)
+    return 1.0 - jnp.sum(jnp.where(present, dice, 0.0)) / n_present
 
 
 def focal_bce_loss(logits: jax.Array, targets_onehot: jax.Array,

@@ -92,7 +92,8 @@ def test_build_loss_named_variants(rng):
     logits = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
     targets = jnp.asarray(rng.integers(0, 3, (2, 16, 16)), jnp.int32)
 
-    for name in ("lovasz", "ce+lovasz", "focal", "ce+rect"):
+    for name in ("lovasz", "ce+lovasz", "focal", "ce+rect", "dice",
+                 "ce+dice"):
         fn = build_loss(name)
         v = float(fn(logits, targets))
         assert np.isfinite(v) and v > 0, (name, v)
@@ -143,3 +144,35 @@ def test_train_step_with_named_loss(rng):
     _s2, l2 = step(s1, x, y)
     assert np.isfinite(float(l1)) and np.isfinite(float(l2))
     assert float(l2) < float(l1)  # one SGD step on the same batch improves
+
+
+def test_dice_loss_properties(rng):
+    """Dice: ~0 on a confident correct prediction, near-max on a confident
+    wrong one; absent classes don't contribute (masked like lovasz); torch
+    cross-check of the soft-dice formula."""
+    import torch
+
+    from pytorch_segmentation_tpu.ops.loss import dice_loss
+
+    targets = jnp.asarray(rng.integers(0, 3, (2, 16, 16)), jnp.int32)
+    perfect = 50.0 * jax.nn.one_hot(targets, 3, dtype=jnp.float32)
+    assert float(dice_loss(perfect, targets)) < 1e-3
+    wrong = 50.0 * jax.nn.one_hot((targets + 1) % 3, 3, dtype=jnp.float32)
+    assert float(dice_loss(wrong, targets)) > 0.9
+
+    # absent-class masking: class 2 never appears -> mean over 2 classes
+    targets01 = jnp.asarray(rng.integers(0, 2, (1, 8, 8)), jnp.int32)
+    logits = jnp.asarray(rng.standard_normal((1, 8, 8, 3)), jnp.float32)
+    ours = float(dice_loss(logits, targets01, smooth=1.0))
+
+    # torch reference of the same formula
+    tl = torch.from_numpy(np.asarray(logits)).permute(0, 3, 1, 2)
+    p = torch.softmax(tl, 1).permute(0, 2, 3, 1).reshape(-1, 3)
+    oh = torch.nn.functional.one_hot(
+        torch.from_numpy(np.asarray(targets01)).long().reshape(-1), 3).float()
+    inter = (p * oh).sum(0)
+    card = p.sum(0) + oh.sum(0)
+    dice = (2 * inter + 1.0) / (card + 1.0)
+    present = oh.sum(0) > 0
+    want = float(1.0 - dice[present].mean())
+    np.testing.assert_allclose(ours, want, rtol=1e-5)

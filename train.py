@@ -194,13 +194,13 @@ if __name__ == "__main__":
                         help="keep host records in RAM after epoch 1 "
                              "(decode/rasterize/resize once; ~1 MB per "
                              "513^2 sample — see data/datasets.py)")
+    from pytorch_segmentation_tpu.ops.loss import LOSSES
     parser.add_argument("--loss", type=str, default="ce",
-                        choices=["ce", "lovasz", "ce+lovasz", "focal",
-                                 "ce+rect"],
+                        choices=list(LOSSES),
                         help="training loss: 'ce' = the reference's "
                              "upsample+CE (fused Pallas path); 'ce+rect' = "
                              "the reference's commented-out RectLoss hook; "
-                             "lovasz/focal per ops/loss.py")
+                             "lovasz/focal/dice per ops/loss.py")
     parser.add_argument("--ema", type=float, default=0.0, metavar="DECAY",
                         help="keep an exponential moving average of the "
                              "weights (e.g. 0.999); epoch-end val and "
