@@ -100,3 +100,22 @@ def test_checkpoint_roundtrip(trained):
     assert tr2.epoch == trainer.epoch
     m2 = test(tr2.model, fetcher, show_first_batch=False, log=False)
     assert abs(m1 - m2) < 1e-6
+
+
+def test_early_stopping_patience(synthetic_coco, tmp_path, monkeypatch):
+    """--patience N ends training after N consecutive epochs without
+    val-mIoU improvement. The eval is stubbed with a fixed mIoU sequence
+    (real eval drifts with BN batch_stats even at lr=0): best at epoch 2,
+    epochs 3 and 4 don't improve -> patience=2 stops at epoch 4 of 10."""
+    import train as train_cli
+
+    mious = iter([0.3, 0.5, 0.4, 0.5, 0.2, 0.9, 0.9, 0.9, 0.9, 0.9])
+    monkeypatch.setattr(train_cli, "test", lambda *a, **k: next(mious))
+    monkeypatch.chdir(tmp_path)  # train() writes weights/ and runs/ in cwd
+    trainer = train_cli.train(
+        synthetic_coco, "unet", epochs=10, img_size=[64, 64], batch_size=8,
+        accumulate=1, lr=0.0, adam=True, resume=False, weights="",
+        num_workers=1, multi_scale=False, rect=False, mixed_precision=False,
+        notest=False, nosave=True, dataset="coco", patience=2)
+    assert trainer.epoch == 4, trainer.epoch  # 0.4, 0.5(== best, not >) stop
+    assert trainer.metrics == 0.5

@@ -41,7 +41,7 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
           dataset="cocoinstance", remat=False, lr_schedule="constant",
           warmup_steps=0, fast_augment=False, precompile=False, qat=False,
           ema=0.0, loss="ce", cache_images=False, momentum=0.9,
-          weight_decay=0.0, clip_grad=0.0):
+          weight_decay=0.0, clip_grad=0.0, patience=0):
     ds_cls, train_file, val_file = DATASETS[dataset]
     train_coco = osp.join(data_dir, train_file)
     val_coco = osp.join(data_dir, val_file)
@@ -108,6 +108,7 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
         from pytorch_segmentation_tpu.data.resize_host import multi_scale_sizes
         sizes = (multi_scale_sizes((h, w)) if multi_scale else [(h, w)])
         trainer.warmup(sizes, batch_size)
+    epochs_since_best = 0
     while trainer.epoch < epochs:
         trainer.step()
         best = False
@@ -122,8 +123,15 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
                 best = True
                 print("save best, miou: %g" % metrics)
                 trainer.metrics = metrics
+                epochs_since_best = 0
+            else:
+                epochs_since_best += 1
         if not nosave:
             trainer.save(best)
+        if patience and epochs_since_best >= patience:
+            print("early stop: no val mIoU improvement in %d epochs "
+                  "(best %g)" % (patience, trainer.metrics))
+            break
     return trainer
 
 
@@ -161,6 +169,11 @@ if __name__ == "__main__":
                         help="bf16 compute (TPU-native AMP)")
     parser.add_argument("--notest", action="store_true")
     parser.add_argument("--nosave", action="store_true")
+    parser.add_argument("--patience", type=int, default=0, metavar="N",
+                        help="early stopping: end training when val mIoU "
+                             "has not improved for N consecutive epochs "
+                             "(0 = off; requires per-epoch val, i.e. not "
+                             "--notest)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--profile", action="store_true",
                         help="jax.profiler trace of first-epoch steps "
@@ -228,4 +241,5 @@ if __name__ == "__main__":
           fast_augment=opt.fast_augment, precompile=opt.precompile,
           qat=opt.qat, ema=opt.ema, loss=opt.loss,
           cache_images=opt.cache_images, momentum=opt.momentum,
-          weight_decay=opt.weight_decay, clip_grad=opt.clip_grad)
+          weight_decay=opt.weight_decay, clip_grad=opt.clip_grad,
+          patience=opt.patience)
