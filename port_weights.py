@@ -44,6 +44,7 @@ _BACKBONE_ARCH = {
     "deeplabv3plus": "resnet50",
     "pspnet": "resnet50",
     "fpn": "resnet50",
+    "fastfcn": "resnet50",
 }
 
 

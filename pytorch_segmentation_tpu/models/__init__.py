@@ -10,12 +10,20 @@ from .hrnet import HRNet
 from .pspnet import PSPNet
 from .unet import UNet
 
+def _fastfcn(**kw):
+    """FastFCN (Wu et al. 2019) = PSPNet head + Joint Pyramid Upsampling in
+    place of the dilated os=8 backbone — same accuracy target at a fraction
+    of the backbone FLOPs (models/pspnet.py jpu=True)."""
+    return PSPNet(jpu=True, **kw)
+
+
 MODEL_REGISTRY = {
     "unet": UNet,
     "deeplabv3plus": DeepLabV3Plus,
     "hrnet": HRNet,
     "pspnet": PSPNet,
     "fpn": FPN,
+    "fastfcn": _fastfcn,
 }
 
 

@@ -13,6 +13,10 @@ upsamples back (align_corners=True, the hszhao/semseg convention); concat
 x8 upsample. The canonical head dropout is omitted (BN provides the
 regularization here; keeps eval == train graph shape). Aux head omitted
 (train-time-only auxiliary loss).
+
+jpu=True (registered in the zoo as 'fastfcn') swaps the dilated backbone
+for a normally-strided one + FastFCN Joint Pyramid Upsampling — see the
+field comment below and PERF.md for the measured speedup.
 """
 
 from __future__ import annotations
@@ -21,7 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..nn.backbones.resnet import ResNet
-from ..nn.blocks import ConvNormAct, conv_kernel_init
+from ..nn.blocks import ConvNormAct, SeparableConvNormAct, conv_kernel_init
 from ..ops.pool import adaptive_avg_pool2d
 from ..ops.resize import resize_bilinear
 
@@ -40,15 +44,44 @@ class PSPNet(nn.Module):
     up_align_corners: bool = True
     output_stride: int = 8
     remat: bool = False
+    # jpu=True replaces the dilated os=8 backbone with a normally-strided
+    # (os=32) backbone + Joint Pyramid Upsampling (FastFCN, Wu et al. 2019,
+    # arxiv 1903.11816): layer2/3/4 taps -> 3x3 CNA 512 each -> bilinear
+    # upsample to os 8 -> concat (1536) -> four parallel 3x3 separable CNAs
+    # at dilations 1/2/4/8 -> concat (2048), a drop-in for the dilated
+    # layer4 output the PPM head consumes. Approximates the dilated
+    # feature map at a fraction of the FLOPs (layer3/4 run at 1/4 and 1/16
+    # of the dilated spatial area) — measured on-chip in PERF.md.
+    jpu: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dil = (False, False, False) if self.jpu else (False, True, True)
         features = ResNet(block="bottleneck", layers=self.backbone_layers,
-                          replace_stride_with_dilation=(False, True, True),
+                          replace_stride_with_dilation=dil,
                           dtype=self.dtype, axis_name=self.axis_name,
                           remat=self.remat,
                           name="backbone")(x, train=train)
-        y = features[-1]  # 2048ch @ stride 8 (dilated)
+        if self.jpu:
+            taps = []
+            for i, name in ((2, "jpu_conv2"), (3, "jpu_conv3"),
+                            (4, "jpu_conv4")):
+                t = ConvNormAct(512, kernel_size=3, dtype=self.dtype,
+                                axis_name=self.axis_name,
+                                name=name)(features[i], train=train)
+                taps.append(t)
+            size = (taps[0].shape[1], taps[0].shape[2])  # os 8
+            taps = [taps[0]] + [resize_bilinear(t, size, align_corners=True)
+                                for t in taps[1:]]
+            cat = jnp.concatenate(taps, axis=-1)  # 1536 @ os 8
+            y = jnp.concatenate(
+                [SeparableConvNormAct(512, kernel_size=3, dilation=d,
+                                      dtype=self.dtype,
+                                      axis_name=self.axis_name,
+                                      name=f"jpu_dil{d}")(cat, train=train)
+                 for d in (1, 2, 4, 8)], axis=-1)  # 2048 @ os 8
+        else:
+            y = features[-1]  # 2048ch @ stride 8 (dilated)
         h, w = y.shape[1], y.shape[2]
         branches = [y]
         for b in self.bins:

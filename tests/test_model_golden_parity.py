@@ -78,6 +78,9 @@ CASES = {
                TPSPNet, convert_resnet),
     "fpn": (lambda nc: FPN(num_classes=nc, dtype=jnp.float32),
             TFPN, convert_resnet),
+    "fastfcn": (lambda nc: PSPNet(num_classes=nc, jpu=True,
+                                  dtype=jnp.float32),
+                lambda nc: TPSPNet(nc, jpu=True), convert_resnet),
 }
 
 

@@ -1,7 +1,7 @@
 """TRAINING-DYNAMICS parity vs the torch-reconstructed reference.
 
 Extends the forward/gradient golden tests (test_model_golden_parity.py) to
-the full optimization loop, for ALL THREE model families: starting from
+the full optimization loop, for ALL FIVE model families: starting from
 identical ported weights, N steps of SGD+momentum on identical batches must
 produce matching per-step losses, matching parameters, and matching BN
 running statistics. This exercises everything the ±0.2 mIoU north star
@@ -26,16 +26,28 @@ import torch.nn.functional as F
 
 from pytorch_segmentation_tpu.engine.steps import (TrainState,
                                                    make_train_step)
-from pytorch_segmentation_tpu.models import DeepLabV3Plus, HRNet, UNet
+from pytorch_segmentation_tpu.models import (FPN, DeepLabV3Plus, HRNet,
+                                              PSPNet, UNet)
 from pytorch_segmentation_tpu.ops.loss import compute_loss
 from pytorch_segmentation_tpu.utils.port_torch import (convert_mobilenetv2,
                                                        convert_resnet)
 
 from test_model_golden_parity import _port
-from torch_refs import (TDeepLabV3Plus, THRNet, TUNet, randomize_bn_stats)
+from torch_refs import (TFPN, TDeepLabV3Plus, THRNet, TPSPNet, TUNet,
+                        randomize_bn_stats)
 
 LR, MOMENTUM, N_STEPS = 1e-2, 0.9, 6
 NC, BS, HW = 3, 2, 64
+
+# FPN's trajectory is chaotically sensitive: its C5-level BatchNorms see
+# only (HW/32)^2 * BS elements per channel, so f32 reduction-order noise
+# amplifies ~10x per optimizer step (measured: step-1 grads match torch to
+# 1e-5 abs across every decoder param, yet the loss gap grows 1e-7 ->
+# 5e-3 over 6 steps at 96^2). Larger input + fewer steps keep the
+# comparison inside the exact-parity regime while still exercising
+# momentum and BN running-stat dynamics.
+HW_BY = {"fpn": 96}
+N_STEPS_BY = {"fpn": 4}
 
 # (flax ctor, torch ctor, backbone converter, head param name,
 #  BN-stat module to check)
@@ -54,12 +66,26 @@ TRAJ_CASES = {
                       base_channels=16, dtype=jnp.float32),
         lambda: THRNet(NC, num_branches_list=(2,), base=16), None,
         "final_layer", "stem_conv2"),
+    "pspnet": (
+        lambda: PSPNet(num_classes=NC, backbone_layers=(1, 1, 1, 1),
+                       dtype=jnp.float32),
+        lambda: TPSPNet(NC, layers=(1, 1, 1, 1)),
+        lambda sd: convert_resnet(sd, layers=(1, 1, 1, 1)),
+        "cls_conv", "head"),
+    "fpn": (
+        lambda: FPN(num_classes=NC, backbone_layers=(1, 1, 1, 1),
+                    dtype=jnp.float32),
+        lambda: TFPN(NC, layers=(1, 1, 1, 1)),
+        lambda sd: convert_resnet(sd, layers=(1, 1, 1, 1)),
+        "cls_conv", "smooth0"),
 }
 
 
 @pytest.mark.parametrize("name", sorted(TRAJ_CASES))
 def test_sgd_trajectory_parity(name, rng):
     build, tbuild, conv, head, bn_mod = TRAJ_CASES[name]
+    hw = HW_BY.get(name, HW)
+    n_steps = N_STEPS_BY.get(name, N_STEPS)
     torch.manual_seed(0)
     tmodel = tbuild()
     randomize_bn_stats(tmodel, seed=3)
@@ -79,9 +105,9 @@ def test_sgd_trajectory_parity(name, rng):
 
     topt = torch.optim.SGD(tmodel.parameters(), lr=LR, momentum=MOMENTUM)
 
-    batches = [(rng.standard_normal((BS, HW, HW, 3)).astype(np.float32),
-                rng.integers(0, NC, (BS, HW, HW)).astype(np.int32))
-               for _ in range(N_STEPS)]
+    batches = [(rng.standard_normal((BS, hw, hw, 3)).astype(np.float32),
+                rng.integers(0, NC, (BS, hw, hw)).astype(np.int32))
+               for _ in range(n_steps)]
 
     ours, theirs = [], []
     for x, y in batches:

@@ -44,6 +44,21 @@ class TConvNormAct(nn.Module):
         return x
 
 
+class TSeparableConvNormAct(nn.Module):
+    """pytorch_modules.nn.SeparableConvNormAct mirror (nn/blocks.py):
+    depthwise kxk CNA + pointwise 1x1 CNA, children named depthwise /
+    pointwise to match the flax tree."""
+
+    def __init__(self, cin, cout, k=3, stride=1, dilation=1):
+        super().__init__()
+        self.depthwise = TConvNormAct(cin, cin, k, stride=stride,
+                                      dilation=dilation, groups=cin)
+        self.pointwise = TConvNormAct(cin, cout, 1)
+
+    def forward(self, x):
+        return self.pointwise(self.depthwise(x))
+
+
 def randomize_bn_stats(model, seed=0):
     """Give every BN non-trivial affine params + running stats so eval-mode
     parity actually tests the BN math (fresh BNs are identity)."""
@@ -442,11 +457,20 @@ class TPSPNet(nn.Module):
     upsample (align_corners=True) -> concat -> 3x3 CNA 4096->512 -> 1x1
     cls conv -> x8 upsample. Names mirror the flax tree (convert_named)."""
 
-    def __init__(self, num_classes, layers=(3, 4, 6, 3), bins=(1, 2, 3, 6)):
+    def __init__(self, num_classes, layers=(3, 4, 6, 3), bins=(1, 2, 3, 6),
+                 jpu=False):
         super().__init__()
+        dil = (False, False, False) if jpu else (False, True, True)
         self.backbone = TResNet(_TorchBottleneck, layers,
-                                replace_stride_with_dilation=(False, True,
-                                                              True))
+                                replace_stride_with_dilation=dil)
+        self.jpu = jpu
+        if jpu:  # FastFCN joint pyramid upsampling (models/pspnet.py)
+            chans = {2: 512, 3: 1024, 4: 2048}
+            for i, c in chans.items():
+                setattr(self, f"jpu_conv{i}", TConvNormAct(c, 512, 3))
+            for d in (1, 2, 4, 8):
+                setattr(self, f"jpu_dil{d}",
+                        TSeparableConvNormAct(1536, 512, 3, dilation=d))
         self.bins = bins
         for b in bins:
             setattr(self, f"ppm_conv{b}", TConvNormAct(2048, 512, 1))
@@ -454,7 +478,19 @@ class TPSPNet(nn.Module):
         self.cls_conv = nn.Conv2d(512, num_classes, 1)
 
     def forward(self, x):
-        y = self.backbone(x)[-1]
+        feats = self.backbone(x)
+        if self.jpu:
+            taps = [getattr(self, f"jpu_conv{i}")(feats[i])
+                    for i in (2, 3, 4)]
+            size = taps[0].shape[-2:]
+            taps = [taps[0]] + [
+                F.interpolate(t, size=size, mode="bilinear",
+                              align_corners=True) for t in taps[1:]]
+            cat = torch.cat(taps, 1)
+            y = torch.cat([getattr(self, f"jpu_dil{d}")(cat)
+                           for d in (1, 2, 4, 8)], 1)
+        else:
+            y = feats[-1]
         size = y.shape[-2:]
         branches = [y]
         for b in self.bins:

@@ -10,8 +10,9 @@ Same drift-proof protocol as tools/bench_ab.py: both variants in ONE
 process, alternating rounds, judge by the ratio of medians. Reps chain
 through an in-program token so the window times sequential executions.
 
-Usage: python tools/bench_serve.py [rounds] [batch]  (default 5 rounds,
-batch 32; batch 1 gives the serving latency SLO number)
+Usage: python tools/bench_serve.py [rounds] [batch] [model]  (default 5
+rounds, batch 32, deeplabv3plus; batch 1 gives the serving latency SLO
+number; model is any zoo name — fpn/hrnet upsample x4 align=False)
 """
 
 import statistics
@@ -24,7 +25,7 @@ import optax
 
 from pytorch_segmentation_tpu.data.pipeline import normalize_images
 from pytorch_segmentation_tpu.engine.steps import create_train_state
-from pytorch_segmentation_tpu.models import DeepLabV3Plus
+from pytorch_segmentation_tpu.models import build_model
 from pytorch_segmentation_tpu.ops.pallas.upsample_argmax import (
     fused_upsample_argmax)
 from pytorch_segmentation_tpu.ops.resize import resize_bilinear
@@ -39,8 +40,11 @@ def main():
     if len(sys.argv) > 2:
         B = int(sys.argv[2])
     setup_runtime()
-    model = DeepLabV3Plus(num_classes=21, dtype=jnp.bfloat16,
-                          full_res_output=False)
+    name = sys.argv[3] if len(sys.argv) > 3 else "deeplabv3plus"
+    model = build_model(name, num_classes=21, dtype=jnp.bfloat16,
+                        full_res_output=False)
+    align = getattr(model, "up_align_corners", True)
+    print(f"model: {name} @ {IMG}^2  align_corners={align}", flush=True)
     state = create_train_state(model, jax.random.PRNGKey(0),
                                jnp.zeros((1, 64, 64, 3), jnp.float32),
                                optax.sgd(1e-3))
@@ -53,10 +57,10 @@ def main():
                                "batch_stats": batch_stats}, x, train=False)
             if fused:
                 masks = fused_upsample_argmax(logits, (IMG, IMG),
-                                              align_corners=True)
+                                              align_corners=align)
             else:
                 up = resize_bilinear(logits.astype(jnp.float32), (IMG, IMG),
-                                     align_corners=True)
+                                     align_corners=align)
                 masks = jnp.argmax(up, axis=-1).astype(jnp.int32)
             return masks, (masks[0, 0, 0] * 0).astype(jnp.uint8)
         return jax.jit(serve)

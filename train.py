@@ -73,7 +73,8 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
         val_fetcher = Fetcher(val_loader, PostFetch())
 
     model_kw = {}
-    if remat and model_name in ("deeplabv3plus", "pspnet", "fpn"):
+    if remat and model_name in ("deeplabv3plus", "pspnet", "fpn",
+                                "fastfcn"):
         model_kw["remat"] = True
     model = build_model(model_name, num_classes=len(train_data.classes),
                         dtype=jnp.bfloat16 if mixed_precision else jnp.float32,
