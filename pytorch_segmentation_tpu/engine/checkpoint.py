@@ -92,9 +92,25 @@ def load_model_bundle(model, weights_path: str, sample_hw, num_channels=3,
                 raise ValueError(f"{weights_path} holds no EMA params "
                                  "(trained without --ema)")
             src = ckpt["ema"]
+
+        def drop_train_only(tree, template, what):
+            # checkpoints from train.py --aux-loss carry the train-only
+            # aux-head modules; an eval/serving model built without aux has
+            # no slot for them — drop by name (top-level modules only) and
+            # say so, rather than failing the strict restore
+            extra = [k for k in tree if k not in template]
+            if extra:
+                print(f"dropping train-only {what} modules not in the "
+                      f"eval model: {sorted(extra)}")
+                tree = {k: v for k, v in tree.items() if k in template}
+            return tree
+
+        src = drop_train_only(src, shapes["params"], "param")
+        ckpt_stats = drop_train_only(ckpt["batch_stats"],
+                                     shapes.get("batch_stats", {}), "stat")
         params = restore_into(shapes["params"], src)
         batch_stats = restore_into(shapes.get("batch_stats", {}),
-                                   ckpt["batch_stats"])
+                                   ckpt_stats)
     else:
         init_fn = jax.jit(lambda rng, x: model.init({"params": rng}, x,
                                                     train=False))

@@ -96,7 +96,7 @@ def create_train_state(model, rng, sample_input, tx,
 
 def make_train_step(loss_fn: Callable = compute_loss, accumulate: int = 1,
                     donate: bool = True, qat: bool = False,
-                    ema_decay: float = 0.0):
+                    ema_decay: float = 0.0, aux_weight: float = 0.4):
     """Returns jitted (state, images, segs) -> (state, loss) over ONE loader
     batch. With accumulate=k, grads from k consecutive calls are averaged in
     state.grad_acc and the optimizer applies on every k-th call — the
@@ -113,6 +113,10 @@ def make_train_step(loss_fn: Callable = compute_loss, accumulate: int = 1,
     once per optimizer update: ema = d*ema + (1-d)*params. The averaged
     weights typically evaluate 0.1-0.5 mIoU above the raw trajectory late in
     training (train.py --ema; eval/serving read Trainer.ema_model).
+
+    aux_weight scales the auxiliary-head CE when the model's train-mode
+    forward returns (logits, aux_logits) (models/pspnet.py aux=True; the
+    0.4 default is the hszhao/semseg convention).
 
     images: [B, H, W, 3] normalized float; segs: [B, H, W] int32.
     """
@@ -142,7 +146,13 @@ def make_train_step(loss_fn: Callable = compute_loss, accumulate: int = 1,
             logits, mutated = apply_fn(
                 {"params": params, "batch_stats": batch_stats},
                 images, train=True, mutable=["batch_stats"])
-        loss = loss_fn(logits, segs)
+        if isinstance(logits, tuple):
+            # auxiliary head (models/pspnet.py aux=True): deep-supervision
+            # CE on the layer3 branch, train-time only
+            main, aux = logits
+            loss = loss_fn(main, segs) + aux_weight * loss_fn(aux, segs)
+        else:
+            loss = loss_fn(logits, segs)
         return loss, mutated["batch_stats"]
 
     def step(state: TrainState, images, segs):

@@ -88,7 +88,8 @@ class Trainer:
                  log_dir: str = "runs", profile: bool = False,
                  defer_upsample: bool = True, lr_schedule: str = "constant",
                  warmup_steps: int = 0, total_steps: int | None = None,
-                 qat: bool = False, ema_decay: float = 0.0):
+                 qat: bool = False, ema_decay: float = 0.0,
+                 aux_weight: float = 0.4):
         self.module = model
         self.fetcher = fetcher
         self.workdir = workdir
@@ -194,7 +195,8 @@ class Trainer:
         self._train_step = make_train_step(loss_fn=loss_fn,
                                            accumulate=self.accumulate,
                                            qat=self.qat,
-                                           ema_decay=self.ema_decay)
+                                           ema_decay=self.ema_decay,
+                                           aux_weight=aux_weight)
 
     @property
     def model(self) -> ModelBundle:

@@ -53,6 +53,15 @@ class PSPNet(nn.Module):
     # feature map at a fraction of the FLOPs (layer3/4 run at 1/4 and 1/16
     # of the dilated spatial area) — measured on-chip in PERF.md.
     jpu: bool = False
+    # aux=True adds the canonical PSPNet/FastFCN auxiliary FCN head on
+    # layer3 (3x3 CNA 256 -> 1x1 class conv at the backbone's layer3
+    # stride); in train mode __call__ returns (logits, aux_logits) and the
+    # train step adds aux_weight * CE on the aux branch (train.py
+    # --aux-loss W, the hszhao/semseg 0.4 convention). Train-time only:
+    # eval/serving/export see the single-output graph, and eval CLIs that
+    # rebuild the model without aux drop the train-only params on load
+    # (engine/checkpoint.load_model_bundle).
+    aux: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -99,4 +108,16 @@ class PSPNet(nn.Module):
         if self.full_res_output:
             y = resize_bilinear(y, (8 * y.shape[1], 8 * y.shape[2]),
                                 align_corners=True)
+        if self.aux:
+            # params must exist from the train=False init, so the head is
+            # built unconditionally (tiny: one 3x3 + one 1x1 on layer3);
+            # only train mode returns it
+            a = ConvNormAct(256, kernel_size=3, dtype=self.dtype,
+                            axis_name=self.axis_name,
+                            name="aux_conv")(features[3], train=train)
+            a = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                        param_dtype=jnp.float32,
+                        kernel_init=conv_kernel_init, name="aux_cls")(a)
+            if train:
+                return y, a
         return y

@@ -1,0 +1,93 @@
+"""Auxiliary-head deep supervision (train.py --aux-loss, models/pspnet.py
+aux=True): train-mode tuple output, weighted loss composition in the train
+step, aux gradients flowing, and eval-side loading of aux-trained
+checkpoints into a no-aux model (train-only params dropped by name)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pytorch_segmentation_tpu.engine.steps import (create_train_state,
+                                                   make_train_step)
+from pytorch_segmentation_tpu.models import PSPNet
+from pytorch_segmentation_tpu.ops.loss import compute_loss
+
+NC = 3
+
+
+def _tiny(aux):
+    return PSPNet(num_classes=NC, backbone_layers=(1, 1, 1, 1),
+                  dtype=jnp.float32, aux=aux)
+
+
+def test_aux_output_contract(rng):
+    m = _tiny(aux=True)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x[:1], train=False)
+    assert "aux_conv" in v["params"] and "aux_cls" in v["params"]
+
+    out, _ = m.apply(v, x, train=True, mutable=["batch_stats"])
+    assert isinstance(out, tuple)
+    main, aux = out
+    assert main.shape == (2, 64, 64, NC)       # full-res logits
+    assert aux.shape == (2, 8, 8, NC)          # layer3 @ os8 (dilated)
+
+    y_eval = m.apply(v, x, train=False)        # eval: single output
+    assert not isinstance(y_eval, tuple)
+
+
+def test_aux_loss_composition_and_grads(rng):
+    m = _tiny(aux=True)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, NC, (2, 64, 64)), jnp.int32)
+    state = create_train_state(m, jax.random.PRNGKey(0), x[:1],
+                               optax.sgd(1e-2))
+
+    step = make_train_step(loss_fn=compute_loss, donate=False,
+                           aux_weight=0.4)
+    _s, loss = step(state, x, y)
+
+    # manual composition: loss == main CE + 0.4 * aux CE at the same params
+    (main, aux), _ = m.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        x, train=True, mutable=["batch_stats"])
+    want = compute_loss(main, y) + 0.4 * compute_loss(aux, y)
+    # jitted step vs eager recomputation: f32 reduction-order noise only
+    np.testing.assert_allclose(float(loss), float(want), rtol=1e-4)
+
+    # aux gradients flow (deep supervision reaches the aux head)
+    def loss_fn(params):
+        (mo, ao), _ = m.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            x, train=True, mutable=["batch_stats"])
+        return compute_loss(mo, y) + 0.4 * compute_loss(ao, y)
+    g = jax.grad(loss_fn)(state.params)
+    assert float(jnp.abs(g["aux_cls"]["kernel"]).max()) > 0
+    # and with weight 0 the aux head gets no gradient
+    def loss_fn0(params):
+        (mo, ao), _ = m.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            x, train=True, mutable=["batch_stats"])
+        return compute_loss(mo, y)
+    g0 = jax.grad(loss_fn0)(state.params)
+    assert float(jnp.abs(g0["aux_cls"]["kernel"]).max()) == 0
+
+
+def test_aux_ckpt_loads_into_plain_model(tmp_path, rng, capsys):
+    from pytorch_segmentation_tpu.engine.checkpoint import (
+        load_model_bundle, save_checkpoint)
+
+    m = _tiny(aux=True)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    path = str(tmp_path / "aux.ckpt")
+    save_checkpoint(path, v["params"], v["batch_stats"])
+
+    plain = _tiny(aux=False)
+    bundle = load_model_bundle(plain, path, (64, 64))
+    out = capsys.readouterr().out
+    assert "aux_cls" in out and "dropping train-only" in out
+    y = plain.apply({"params": bundle.params,
+                     "batch_stats": bundle.batch_stats}, x, train=False)
+    assert y.shape == (1, 64, 64, NC)

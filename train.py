@@ -41,7 +41,7 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
           dataset="cocoinstance", remat=False, lr_schedule="constant",
           warmup_steps=0, fast_augment=False, precompile=False, qat=False,
           ema=0.0, loss="ce", cache_images=False, momentum=0.9,
-          weight_decay=0.0, clip_grad=0.0, patience=0):
+          weight_decay=0.0, clip_grad=0.0, patience=0, aux_loss=0.0):
     ds_cls, train_file, val_file = DATASETS[dataset]
     train_coco = osp.join(data_dir, train_file)
     val_coco = osp.join(data_dir, val_file)
@@ -76,6 +76,11 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
     if remat and model_name in ("deeplabv3plus", "pspnet", "fpn",
                                 "fastfcn"):
         model_kw["remat"] = True
+    if aux_loss > 0:
+        if model_name not in ("pspnet", "fastfcn"):
+            raise SystemExit("--aux-loss is only supported by the "
+                             "pspnet/fastfcn families (layer3 aux head)")
+        model_kw["aux"] = True
     model = build_model(model_name, num_classes=len(train_data.classes),
                         dtype=jnp.bfloat16 if mixed_precision else jnp.float32,
                         **model_kw)
@@ -102,7 +107,7 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
                       # batches (reference every-k-batches accumulation)
                       total_steps=epochs * len(train_loader)
                       // max(1, accumulate),
-                      qat=qat, ema_decay=ema)
+                      qat=qat, ema_decay=ema, aux_weight=aux_loss)
     if precompile:
         # warm-up precompilation of the bounded multi-scale size set (or the
         # single base size) — no first-epoch compile stalls
@@ -170,6 +175,13 @@ if __name__ == "__main__":
                         help="bf16 compute (TPU-native AMP)")
     parser.add_argument("--notest", action="store_true")
     parser.add_argument("--nosave", action="store_true")
+    parser.add_argument("--aux-loss", type=float, default=0.0, metavar="W",
+                        help="pspnet/fastfcn: add the canonical layer3 "
+                             "auxiliary FCN head and weight its CE by W "
+                             "during training (0.4 is the hszhao/semseg "
+                             "convention; 0 = off). Train-time only — "
+                             "eval/serving/export see the single-output "
+                             "graph")
     parser.add_argument("--patience", type=int, default=0, metavar="N",
                         help="early stopping: end training when val mIoU "
                              "has not improved for N consecutive epochs "
@@ -243,4 +255,4 @@ if __name__ == "__main__":
           qat=opt.qat, ema=opt.ema, loss=opt.loss,
           cache_images=opt.cache_images, momentum=opt.momentum,
           weight_decay=opt.weight_decay, clip_grad=opt.clip_grad,
-          patience=opt.patience)
+          patience=opt.patience, aux_loss=opt.aux_loss)
