@@ -51,10 +51,37 @@ def load_checkpoint(path: str) -> dict:
         return serialization.msgpack_restore(f.read())
 
 
-def restore_into(template, restored):
+def restore_into(template, restored, allow_missing: bool = False):
     """Restore a state-dict (nested dicts from load_checkpoint) into the
     structure of `template` (any pytree, incl. namedtuple optimizer states),
-    with shape checks and dtype cast to the template's leaves."""
+    with shape checks and dtype cast to the template's leaves.
+
+    allow_missing=True fills modules the checkpoint lacks from the
+    (already-initialized) template values, printing what stayed at init —
+    the warm-start direction: e.g. `train.py --weights plain.ckpt
+    --aux-loss 0.4` loads a non-aux checkpoint into a model whose aux head
+    then trains from scratch. Without it, flax's from_state_dict raises on
+    missing keys (extra checkpoint keys it silently ignores)."""
+    if allow_missing and isinstance(restored, dict):
+        filled: list = []
+
+        def fill(tpl, res, prefix):
+            if not isinstance(res, dict) or not isinstance(tpl, dict):
+                return res
+            out = dict(res)
+            for k, v in tpl.items():
+                name = f"{prefix}{k}"
+                if k not in out:
+                    filled.append(name)
+                    out[k] = serialization.to_state_dict(v)
+                else:
+                    out[k] = fill(v, out[k], name + ".")
+            return out
+
+        restored = fill(serialization.to_state_dict(template), restored, "")
+        if filled:
+            print("checkpoint lacks these modules — kept at init "
+                  f"(training them from scratch): {sorted(filled)}")
     out = serialization.from_state_dict(template, restored)
 
     def check(t, r):
@@ -96,8 +123,9 @@ def load_model_bundle(model, weights_path: str, sample_hw, num_channels=3,
         def drop_train_only(tree, template, what):
             # checkpoints from train.py --aux-loss carry the train-only
             # aux-head modules; an eval/serving model built without aux has
-            # no slot for them — drop by name (top-level modules only) and
-            # say so, rather than failing the strict restore
+            # no slot for them. flax's from_state_dict already IGNORES
+            # extra keys silently — this exists to tell the user which
+            # modules were dropped (and to make the intent explicit)
             extra = [k for k in tree if k not in template]
             if extra:
                 print(f"dropping train-only {what} modules not in the "

@@ -114,9 +114,11 @@ def make_train_step(loss_fn: Callable = compute_loss, accumulate: int = 1,
     weights typically evaluate 0.1-0.5 mIoU above the raw trajectory late in
     training (train.py --ema; eval/serving read Trainer.ema_model).
 
-    aux_weight scales the auxiliary-head CE when the model's train-mode
-    forward returns (logits, aux_logits) (models/pspnet.py aux=True; the
-    0.4 default is the hszhao/semseg convention).
+    aux_weight scales the auxiliary branch's loss when the model's
+    train-mode forward returns (logits, aux_logits) (models/pspnet.py
+    aux=True). The aux branch uses the SAME criterion as the main branch
+    (loss_fn); with the default --loss ce this is the hszhao/semseg
+    0.4-weighted aux CE convention.
 
     images: [B, H, W, 3] normalized float; segs: [B, H, W] int32.
     """
@@ -147,8 +149,8 @@ def make_train_step(loss_fn: Callable = compute_loss, accumulate: int = 1,
                 {"params": params, "batch_stats": batch_stats},
                 images, train=True, mutable=["batch_stats"])
         if isinstance(logits, tuple):
-            # auxiliary head (models/pspnet.py aux=True): deep-supervision
-            # CE on the layer3 branch, train-time only
+            # auxiliary head (models/pspnet.py aux=True): deep supervision
+            # on the layer3 branch with the same criterion, train-time only
             main, aux = logits
             loss = loss_fn(main, segs) + aux_weight * loss_fn(aux, segs)
         else:

@@ -160,11 +160,16 @@ class Trainer:
                                         ema=self.ema_decay > 0)
 
         if weights:
+            # warm start tolerates modules the checkpoint lacks (they train
+            # from scratch): e.g. --aux-loss on a ckpt trained without it,
+            # or a ported backbone-only checkpoint
             ckpt = load_checkpoint(weights)
             self.state = self.state.replace(
-                params=restore_into(self.state.params, ckpt["model"]),
+                params=restore_into(self.state.params, ckpt["model"],
+                                    allow_missing=True),
                 batch_stats=restore_into(self.state.batch_stats,
-                                         ckpt["batch_stats"]))
+                                         ckpt["batch_stats"],
+                                         allow_missing=True))
         if resume:
             last = osp.join(workdir, "last.ckpt")
             ckpt = load_checkpoint(last)

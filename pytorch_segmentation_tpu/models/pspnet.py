@@ -56,8 +56,9 @@ class PSPNet(nn.Module):
     # aux=True adds the canonical PSPNet/FastFCN auxiliary FCN head on
     # layer3 (3x3 CNA 256 -> 1x1 class conv at the backbone's layer3
     # stride); in train mode __call__ returns (logits, aux_logits) and the
-    # train step adds aux_weight * CE on the aux branch (train.py
-    # --aux-loss W, the hszhao/semseg 0.4 convention). Train-time only:
+    # train step adds aux_weight * the selected training loss on the aux
+    # branch (train.py --aux-loss W; with the default --loss ce, W=0.4 is
+    # the hszhao/semseg convention). Train-time only:
     # eval/serving/export see the single-output graph, and eval CLIs that
     # rebuild the model without aux drop the train-only params on load
     # (engine/checkpoint.load_model_bundle).

@@ -152,16 +152,21 @@ def dice_loss(logits: jax.Array, targets: jax.Array,
     """Soft multi-class Dice loss: 1 - mean over present classes of
     2|P∩G|/(|P|+|G|) on softmax probabilities. Classes absent from the
     batch are masked (static-shape; same convention as
-    lovasz_softmax_loss). logits [..., C], targets [...] int."""
+    lovasz_softmax_loss). logits [..., C], targets [...] int.
+
+    Memory note: |P∩G| is a per-class segment-sum of the true-class
+    probabilities and |G| a bincount — no [N, C] one-hot materializes
+    (at the bench config that transient alone would be ~700 MB)."""
     num_classes = logits.shape[-1]
     probas = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     probas = probas.reshape(-1, num_classes)
-    onehot = jax.nn.one_hot(targets.reshape(-1), num_classes,
-                            dtype=jnp.float32)
-    inter = jnp.sum(probas * onehot, axis=0)
-    card = jnp.sum(probas, axis=0) + jnp.sum(onehot, axis=0)
+    t = targets.reshape(-1).astype(jnp.int32)
+    p_true = jnp.take_along_axis(probas, t[:, None], axis=-1)[:, 0]
+    inter = jax.ops.segment_sum(p_true, t, num_segments=num_classes)
+    gt_count = jnp.zeros(num_classes, jnp.float32).at[t].add(1.0)
+    card = jnp.sum(probas, axis=0) + gt_count
     dice = (2.0 * inter + smooth) / (card + smooth)
-    present = jnp.sum(onehot, axis=0) > 0
+    present = gt_count > 0
     n_present = jnp.maximum(jnp.sum(present.astype(jnp.float32)), 1.0)
     return 1.0 - jnp.sum(jnp.where(present, dice, 0.0)) / n_present
 

@@ -91,3 +91,31 @@ def test_aux_ckpt_loads_into_plain_model(tmp_path, rng, capsys):
     y = plain.apply({"params": bundle.params,
                      "batch_stats": bundle.batch_stats}, x, train=False)
     assert y.shape == (1, 64, 64, NC)
+
+
+def test_aux_warm_start_from_plain_ckpt(tmp_path, rng, capsys):
+    """--weights plain.ckpt --aux-loss W: the warm-start restore fills the
+    missing aux modules from init (training them from scratch) instead of
+    failing flax's strict missing-key restore."""
+    from pytorch_segmentation_tpu.engine.checkpoint import (
+        load_checkpoint, restore_into, save_checkpoint)
+
+    plain = _tiny(aux=False)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    vp = plain.init(jax.random.PRNGKey(1), x, train=False)
+    path = str(tmp_path / "plain.ckpt")
+    save_checkpoint(path, vp["params"], vp["batch_stats"])
+
+    m = _tiny(aux=True)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    ckpt = load_checkpoint(path)
+    params = restore_into(v["params"], ckpt["model"], allow_missing=True)
+    out = capsys.readouterr().out
+    assert "kept at init" in out and "aux_cls" in out
+    # loaded modules come from the checkpoint, aux stays at init
+    np.testing.assert_array_equal(
+        np.asarray(params["cls_conv"]["kernel"]),
+        np.asarray(vp["params"]["cls_conv"]["kernel"]))
+    np.testing.assert_array_equal(
+        np.asarray(params["aux_cls"]["kernel"]),
+        np.asarray(v["params"]["aux_cls"]["kernel"]))

@@ -31,7 +31,10 @@ from pytorch_segmentation_tpu.ops.pallas.upsample_argmax import (
 from pytorch_segmentation_tpu.ops.resize import resize_bilinear
 from pytorch_segmentation_tpu.utils.runtime import setup_runtime
 
-IMG = 513
+IMG = 513  # per-model override below: /32 models need 512 (hrnet's
+# shape-doubling fuse and unet's upsample2x+concat reject 513)
+SIZES = {"unet": 512, "deeplabv3plus": 513, "hrnet": 512, "pspnet": 513,
+         "fpn": 512, "fastfcn": 513}
 B = 32  # overridden by argv[2]
 
 
@@ -39,8 +42,10 @@ def main():
     global B
     if len(sys.argv) > 2:
         B = int(sys.argv[2])
+    global IMG
     setup_runtime()
     name = sys.argv[3] if len(sys.argv) > 3 else "deeplabv3plus"
+    IMG = SIZES.get(name, IMG)
     model = build_model(name, num_classes=21, dtype=jnp.bfloat16,
                         full_res_output=False)
     align = getattr(model, "up_align_corners", True)

@@ -81,6 +81,9 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
             raise SystemExit("--aux-loss is only supported by the "
                              "pspnet/fastfcn families (layer3 aux head)")
         model_kw["aux"] = True
+    if patience and notest:
+        raise SystemExit("--patience keys off per-epoch val mIoU; it can't "
+                         "work with --notest")
     model = build_model(model_name, num_classes=len(train_data.classes),
                         dtype=jnp.bfloat16 if mixed_precision else jnp.float32,
                         **model_kw)
@@ -177,16 +180,18 @@ if __name__ == "__main__":
     parser.add_argument("--nosave", action="store_true")
     parser.add_argument("--aux-loss", type=float, default=0.0, metavar="W",
                         help="pspnet/fastfcn: add the canonical layer3 "
-                             "auxiliary FCN head and weight its CE by W "
-                             "during training (0.4 is the hszhao/semseg "
-                             "convention; 0 = off). Train-time only — "
-                             "eval/serving/export see the single-output "
-                             "graph")
+                             "auxiliary FCN head and weight its loss by W "
+                             "during training (same criterion as --loss; "
+                             "with the default ce, W=0.4 is the "
+                             "hszhao/semseg convention; 0 = off). "
+                             "Train-time only — eval/serving/export see "
+                             "the single-output graph")
     parser.add_argument("--patience", type=int, default=0, metavar="N",
                         help="early stopping: end training when val mIoU "
                              "has not improved for N consecutive epochs "
-                             "(0 = off; requires per-epoch val, i.e. not "
-                             "--notest)")
+                             "(0 = off; requires per-epoch val — rejected "
+                             "with --notest; the no-improvement counter "
+                             "restarts from 0 on --resume)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--profile", action="store_true",
                         help="jax.profiler trace of first-epoch steps "
