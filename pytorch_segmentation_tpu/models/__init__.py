@@ -8,6 +8,7 @@ from .deeplabv3plus import DeepLabV3Plus
 from .fpn import FPN
 from .hrnet import HRNet
 from .pspnet import PSPNet
+from .segformer import SegFormer
 from .unet import UNet
 
 def _fastfcn(**kw):
@@ -24,6 +25,7 @@ MODEL_REGISTRY = {
     "pspnet": PSPNet,
     "fpn": FPN,
     "fastfcn": _fastfcn,
+    "segformer": SegFormer,  # MiT-B0; variant="b1".."b5" via kwargs
 }
 
 
@@ -36,5 +38,5 @@ def build_model(name: str, num_classes: int, **kwargs):
     return cls(num_classes=num_classes, **kwargs)
 
 
-__all__ = ["UNet", "DeepLabV3Plus", "HRNet", "PSPNet", "FPN",
+__all__ = ["UNet", "DeepLabV3Plus", "HRNet", "PSPNet", "FPN", "SegFormer",
            "MODEL_REGISTRY", "build_model"]

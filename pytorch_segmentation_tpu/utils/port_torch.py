@@ -132,10 +132,17 @@ def convert_named(sd: dict):
         elif parent == "conv" and leaf == "weight":
             ensure(params, parts[:-1])["kernel"] = _conv(v)
         else:
-            # standalone conv (e.g. cls_conv.weight / .bias)
+            # standalone module, dispatched on weight rank:
+            #   4-D = conv (OIHW -> HWIO), 2-D = nn.Linear ([out,in] ->
+            #   flax Dense kernel [in,out]), 1-D = LayerNorm (-> scale).
             node = ensure(params, parts[:-1])
             if leaf == "weight":
-                node["kernel"] = _conv(v)
+                if v.ndim == 4:
+                    node["kernel"] = _conv(v)
+                elif v.ndim == 2:
+                    node["kernel"] = np.ascontiguousarray(v.T)
+                else:
+                    node["scale"] = v
             else:
                 node["bias"] = v
     return params, stats

@@ -19,13 +19,13 @@ import torch
 import torch.nn.functional as F
 
 from pytorch_segmentation_tpu.models import (FPN, DeepLabV3Plus, HRNet,
-                                              PSPNet, UNet)
+                                              PSPNet, SegFormer, UNet)
 from pytorch_segmentation_tpu.utils.port_torch import (
     _merge_checked, convert_mobilenetv2, convert_named, convert_resnet,
     jax_to_py)
 
-from torch_refs import (TFPN, TDeepLabV3Plus, THRNet, TPSPNet, TUNet,
-                        randomize_bn_stats)
+from torch_refs import (TFPN, TDeepLabV3Plus, THRNet, TPSPNet, TSegFormer,
+                        TUNet, randomize_bn_stats)
 
 
 def _split_sd(model, prefix="backbone."):
@@ -81,6 +81,8 @@ CASES = {
     "fastfcn": (lambda nc: PSPNet(num_classes=nc, jpu=True,
                                   dtype=jnp.float32),
                 lambda nc: TPSPNet(nc, jpu=True), convert_resnet),
+    "segformer": (lambda nc: SegFormer(num_classes=nc, dtype=jnp.float32),
+                  TSegFormer, None),
 }
 
 

@@ -72,6 +72,12 @@ def randomize_bn_stats(model, seed=0):
                     0.1 * torch.randn(m.running_mean.shape, generator=g))
                 m.running_var.copy_(
                     0.5 + torch.rand(m.running_var.shape, generator=g))
+        elif isinstance(m, nn.LayerNorm):
+            # non-trivial LN affines (fresh LNs are weight=1/bias=0, which
+            # would hide scale<->bias mapping bugs in the weight port)
+            with torch.no_grad():
+                m.weight.copy_(0.5 + torch.rand(m.weight.shape, generator=g))
+                m.bias.copy_(0.1 * torch.randn(m.bias.shape, generator=g))
 
 
 # ---------------------------------------------------------------------------
@@ -550,3 +556,140 @@ class TFPN(nn.Module):
                                   align_corners=False)
             y = y + z
         return _up(self.cls_conv(y), 4, align=False)
+
+
+class TSegAttn(nn.Module):
+    """SegFormer efficient self-attention mirror (models/segformer.py
+    _Attention): K/V on a sr-strided conv reduction; child names q/kv/
+    proj/sr/srln match the flax tree for convert_named."""
+
+    def __init__(self, dim, heads, sr):
+        super().__init__()
+        self.heads, self.sr_ratio = heads, sr
+        self.q = nn.Linear(dim, dim)
+        self.kv = nn.Linear(dim, 2 * dim)
+        self.proj = nn.Linear(dim, dim)
+        if sr > 1:
+            self.sr = nn.Conv2d(dim, dim, sr, stride=sr)
+            self.srln = nn.LayerNorm(dim, eps=1e-6)
+
+    def forward(self, x, h, w):
+        b, n, c = x.shape
+        hd = c // self.heads
+        q = self.q(x).reshape(b, n, self.heads, hd).permute(0, 2, 1, 3)
+        if self.sr_ratio > 1:
+            x_ = x.permute(0, 2, 1).reshape(b, c, h, w)
+            x_ = self.sr(x_).reshape(b, c, -1).permute(0, 2, 1)
+            x_ = self.srln(x_)
+        else:
+            x_ = x
+        kv = self.kv(x_).reshape(b, -1, 2, self.heads, hd).permute(
+            2, 0, 3, 1, 4)
+        k, v = kv[0], kv[1]
+        attn = ((q @ k.transpose(-2, -1)) * hd ** -0.5).softmax(-1)
+        y = (attn @ v).transpose(1, 2).reshape(b, n, c)
+        return self.proj(y)
+
+
+class TMixFFN(nn.Module):
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.fc1 = nn.Linear(dim, hidden)
+        self.dwconv = nn.Conv2d(hidden, hidden, 3, padding=1, groups=hidden)
+        self.fc2 = nn.Linear(hidden, dim)
+
+    def forward(self, x, h, w):
+        b, n, c = x.shape
+        y = self.fc1(x)
+        y = y.permute(0, 2, 1).reshape(b, -1, h, w)
+        y = self.dwconv(y).flatten(2).transpose(1, 2)
+        return self.fc2(F.gelu(y))
+
+
+class TSegBlock(nn.Module):
+    def __init__(self, dim, heads, sr, mlp_ratio=4):
+        super().__init__()
+        self.ln1 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = TSegAttn(dim, heads, sr)
+        self.ln2 = nn.LayerNorm(dim, eps=1e-6)
+        self.ffn = TMixFFN(dim, mlp_ratio * dim)
+
+    def forward(self, x, h, w):
+        x = x + self.attn(self.ln1(x), h, w)
+        return x + self.ffn(self.ln2(x), h, w)
+
+
+class TMiT(nn.Module):
+    """Mix Transformer encoder mirror (models/segformer.py _MiT). Flat
+    child names (patch_embed{i}_proj / patch_embed{i}_ln / block{i}_{j} /
+    norm{i}) match the flax module names 1:1."""
+
+    def __init__(self, embed_dims, depths, num_heads, sr_ratios=(8, 4, 2, 1)):
+        super().__init__()
+        self.depths = depths
+        cin = 3
+        for i, (dim, depth, heads) in enumerate(
+                zip(embed_dims, depths, num_heads)):
+            k, s = (7, 4) if i == 0 else (3, 2)
+            setattr(self, f"patch_embed{i + 1}_proj",
+                    nn.Conv2d(cin, dim, k, stride=s, padding=k // 2))
+            setattr(self, f"patch_embed{i + 1}_ln",
+                    nn.LayerNorm(dim, eps=1e-6))
+            for j in range(depth):
+                setattr(self, f"block{i + 1}_{j}",
+                        TSegBlock(dim, heads, sr_ratios[i]))
+            setattr(self, f"norm{i + 1}", nn.LayerNorm(dim, eps=1e-6))
+            cin = dim
+
+    def forward(self, x):
+        feats = []
+        for i, depth in enumerate(self.depths):
+            x = getattr(self, f"patch_embed{i + 1}_proj")(x)
+            b, c, h, w = x.shape
+            x = x.flatten(2).transpose(1, 2)
+            x = getattr(self, f"patch_embed{i + 1}_ln")(x)
+            for j in range(depth):
+                x = getattr(self, f"block{i + 1}_{j}")(x, h, w)
+            x = getattr(self, f"norm{i + 1}")(x)
+            x = x.transpose(1, 2).reshape(b, c, h, w)
+            feats.append(x)
+        return feats
+
+
+class TSegFormer(nn.Module):
+    """SegFormer mirror (models/segformer.py — an addition beyond the
+    reference; Xie et al. NeurIPS'21). MiT encoder + all-MLP decoder:
+    per-stage Linear to dec_dim, bilinear (align=False) to stride 4,
+    concat c4..c1, 1x1 CNA fuse, 1x1 cls conv, upsample to input size."""
+
+    VARIANTS = {  # keep in sync with models/segformer.SEGFORMER_VARIANTS
+        "tiny": ((16, 32, 64, 128), (1, 1, 1, 1), (1, 2, 4, 8), 64),
+        "b0": ((32, 64, 160, 256), (2, 2, 2, 2), (1, 2, 5, 8), 256),
+    }
+
+    def __init__(self, num_classes, variant="b0"):
+        super().__init__()
+        dims, depths, heads, dec = self.VARIANTS[variant]
+        self.backbone = TMiT(dims, depths, heads)
+        for i, d in enumerate(dims):
+            setattr(self, f"linear_c{i + 1}", nn.Linear(d, dec))
+        self.fuse = TConvNormAct(4 * dec, dec, 1)
+        self.cls_conv = nn.Conv2d(dec, num_classes, 1)
+
+    def forward(self, x):
+        size = x.shape[-2:]
+        feats = self.backbone(x)
+        size4 = feats[0].shape[-2:]
+        outs = []
+        for i, f in enumerate(feats):
+            y = getattr(self, f"linear_c{i + 1}")(
+                f.flatten(2).transpose(1, 2))
+            y = y.transpose(1, 2).reshape(f.shape[0], -1, *f.shape[-2:])
+            if i > 0:
+                y = F.interpolate(y, size=size4, mode="bilinear",
+                                  align_corners=False)
+            outs.append(y)
+        y = self.fuse(torch.cat(outs[::-1], 1))
+        y = self.cls_conv(y)
+        return F.interpolate(y, size=size, mode="bilinear",
+                             align_corners=False)

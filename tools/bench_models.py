@@ -23,7 +23,7 @@ def main():
     # DLV3+ handles the reference's odd 513; UNet/HRNet skip-concat wants
     # multiples of 32 (reference trains them at 320/512-style sizes)
     sizes = {"unet": 512, "deeplabv3plus": 513, "hrnet": 512,
-             "pspnet": 513, "fpn": 512, "fastfcn": 513}
+             "pspnet": 513, "fpn": 512, "fastfcn": 513, "segformer": 512}
     import sys
     names = sys.argv[1:] or ("unet", "deeplabv3plus", "hrnet", "pspnet",
                              "fpn", "fastfcn")

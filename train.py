@@ -74,7 +74,7 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
 
     model_kw = {}
     if remat and model_name in ("deeplabv3plus", "pspnet", "fpn",
-                                "fastfcn"):
+                                "fastfcn", "segformer"):
         model_kw["remat"] = True
     if aux_loss > 0:
         if model_name not in ("pspnet", "fastfcn"):
