@@ -40,7 +40,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..nn.blocks import ConvNormAct, conv_kernel_init
+from ..nn.blocks import (BatchNorm2d, ConvNormAct, _Kernel,
+                         conv_kernel_init)
 from ..ops.resize import resize_bilinear
 
 __all__ = ["SegFormer", "SEGFORMER_VARIANTS"]
@@ -174,6 +175,48 @@ class _MiT(nn.Module):
         return feats
 
 
+class _SplitFuse(nn.Module):
+    """The decoder fuse ConvNormAct(dec_dim, 1x1), evaluated
+    distributively with the SAME param tree (fuse/conv/kernel
+    [1,1,4d,d] + fuse/bn):
+
+        relu(BN(conv1x1(concat(c4..c1)))) ==
+        relu(BN(sum_i resize(z_i @ K_i)))
+
+    because a 1x1 conv distributes over concat AND commutes with
+    bilinear resize (both linear in the pixel values). Each kernel
+    slice is applied at the stage's NATIVE resolution, so 3 of the 4
+    slice matmuls run at <=1/4 the pixels, and the [B,128,128,4d]
+    concat (~1 GB bf16 at bs32 @512^2 — 19% of the profiled train
+    step in pad/copy/layout ops) is never materialized. Checkpoints
+    are interchangeable with the concat formulation."""
+
+    features: int
+    dtype: jnp.dtype
+    axis_name: str | None
+
+    @nn.compact
+    def __call__(self, zs, size4, train: bool = False):
+        d = self.features
+        # concat order was c4, c3, c2, c1 -> slice i feeds z[-1-i]
+        kernel = _Kernel((1, 1, len(zs) * d, d), name="conv")()
+        acc = None
+        for i, z in enumerate(reversed(zs)):
+            ks = kernel[0, 0, i * d:(i + 1) * d, :].astype(self.dtype)
+            g = jax.lax.dot_general(
+                z.astype(self.dtype).reshape(-1, z.shape[-1]), ks,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(self.dtype)
+            g = g.reshape(z.shape[:3] + (d,))
+            if z.shape[1:3] != tuple(size4):
+                g = resize_bilinear(g, size4, align_corners=False)
+            acc = g if acc is None else acc + g
+        y = BatchNorm2d(dtype=self.dtype,
+                        axis_name=self.axis_name if train else None,
+                        name="bn")(acc, use_running_average=not train)
+        return nn.relu(y)
+
+
 class SegFormer(nn.Module):
     num_classes: int
     variant: str = "b0"
@@ -183,6 +226,7 @@ class SegFormer(nn.Module):
     up_align_corners: bool = False
     output_stride: int = 4
     remat: bool = False
+    split_fuse: bool = True  # False: literal concat+CNA (A/B / int8 PTQ)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -192,19 +236,21 @@ class SegFormer(nn.Module):
                      dtype=self.dtype, remat=self.remat,
                      name="backbone")(x, train=train)
         size4 = feats[0].shape[1:3]
-        outs = []
-        for i, f in enumerate(feats):
-            y = nn.Dense(dec_dim, dtype=self.dtype,
-                         param_dtype=jnp.float32,
-                         name=f"linear_c{i + 1}")(f)
-            if i > 0:
-                y = resize_bilinear(y, size4, align_corners=False)
-            outs.append(y)
-        # official concat order: c4, c3, c2, c1
-        y = jnp.concatenate(outs[::-1], axis=-1)
-        y = ConvNormAct(dec_dim, kernel_size=1, dtype=self.dtype,
-                        axis_name=self.axis_name, name="fuse")(
-            y, train=train)
+        zs = [nn.Dense(dec_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                       name=f"linear_c{i + 1}")(f)
+              for i, f in enumerate(feats)]
+        if self.split_fuse:
+            y = _SplitFuse(dec_dim, self.dtype, self.axis_name,
+                           name="fuse")(zs, size4, train=train)
+        else:
+            outs = [z if i == 0 else
+                    resize_bilinear(z, size4, align_corners=False)
+                    for i, z in enumerate(zs)]
+            # official concat order: c4, c3, c2, c1
+            y = jnp.concatenate(outs[::-1], axis=-1)
+            y = ConvNormAct(dec_dim, kernel_size=1, dtype=self.dtype,
+                            axis_name=self.axis_name, name="fuse")(
+                y, train=train)
         y = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
                     param_dtype=jnp.float32, kernel_init=conv_kernel_init,
                     name="cls_conv")(y)

@@ -76,19 +76,23 @@ def calibrate(module, variables, batches):
     preprocessing the quantized serving path will use — scales must see
     serving-domain values).
     """
+    # .get: a model with no quantizable ConvNormAct (e.g. SegFormer, whose
+    # split-fuse decoder distributes its only 1x1 conv) creates no
+    # quant_stats variables at all — calibration is then a valid no-op
+    # and int8 serving falls through to the bf16 path layer by layer
     @jax.jit
     def first(v, x):
         with quant_mode("calib"):
             _, mut = module.apply(v, x, train=False,
                                   mutable=["quant_stats"])
-        return mut["quant_stats"]
+        return mut.get("quant_stats", {})
 
     @jax.jit
     def update(v, qs, x):
         with quant_mode("calib"):
             _, mut = module.apply({**v, "quant_stats": qs}, x, train=False,
                                   mutable=["quant_stats"])
-        return mut["quant_stats"]
+        return mut.get("quant_stats", {})
 
     qs = None
     for x in batches:

@@ -413,3 +413,27 @@ def test_qat_train_step_e2e(rng, all_layers_quantized):
     moved = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
                          s_qat.params, s_plain.params)
     assert max(jax.tree.leaves(moved)) > 0.0
+
+
+def test_quant_noop_on_model_without_quantizable_convs(rng):
+    """A model that creates NO quant_stats variables (SegFormer: the
+    split-fuse decoder distributes its only eligible 1x1 conv, and the
+    transformer encoder has no ConvNormAct) must calibrate to an empty
+    collection and serve under int8/int8dyn as a plain bf16-path no-op
+    instead of KeyError-ing (regression: quant.calibrate returned
+    mut["quant_stats"] unconditionally)."""
+    from pytorch_segmentation_tpu.models import SegFormer
+
+    m = SegFormer(num_classes=3, variant="tiny", dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    v = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    qs = quant.calibrate(m, v, [x])
+    assert jax.tree.leaves(qs) == []
+    base = m.apply(v, x, train=False)
+    with quant.quant_mode("int8"):
+        got = m.apply({**v, "quant_stats": qs}, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base))
+    with quant.quant_mode("int8dyn"):
+        got = m.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base))

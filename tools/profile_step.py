@@ -1,9 +1,9 @@
 #!/usr/bin/env python3
-"""Capture a jax.profiler trace of the bench train step (DLV3+ 513^2 bf16
-bs32, fused Pallas loss) and print the per-op time breakdown via
+"""Capture a jax.profiler trace of a model's train step (513^2 or 512^2
+bf16 bs32, fused Pallas loss) and print the per-op time breakdown via
 tools/xplane_summary.py.
 
-Usage: python tools/profile_step.py [outdir=/tmp/pseg_trace]
+Usage: python tools/profile_step.py [outdir=/tmp/pseg_trace] [model]
 """
 
 import glob
@@ -19,20 +19,24 @@ def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/pseg_trace"
     from pytorch_segmentation_tpu.engine.steps import (create_train_state,
                                                        make_train_step)
-    from pytorch_segmentation_tpu.models import DeepLabV3Plus
+    from pytorch_segmentation_tpu.models import MODEL_REGISTRY
     from pytorch_segmentation_tpu.ops.loss import make_loss_fn
     from pytorch_segmentation_tpu.utils.runtime import setup_runtime
 
     setup_runtime()
     on_tpu = jax.devices()[0].platform == "tpu"
-    img = 513 if on_tpu else 129
+    name = sys.argv[2] if len(sys.argv) > 2 else "deeplabv3plus"
+    # /32 models reject 513 (see tools/bench_models.py)
+    img513 = name in ("deeplabv3plus", "pspnet", "fastfcn")
+    img = (513 if img513 else 512) if on_tpu else 129
     bs = 32 if on_tpu else 4
-    model = DeepLabV3Plus(num_classes=21, dtype=jnp.bfloat16,
-                          full_res_output=not on_tpu)
+    model = MODEL_REGISTRY[name](num_classes=21, dtype=jnp.bfloat16,
+                                 full_res_output=not on_tpu)
     state = create_train_state(model, jax.random.PRNGKey(0),
                                jnp.zeros((1, 64, 64, 3), jnp.float32),
                                optax.sgd(1e-3, momentum=0.9))
-    step = make_train_step(loss_fn=make_loss_fn(align_corners=True,
+    align = getattr(model, "up_align_corners", True)
+    step = make_train_step(loss_fn=make_loss_fn(align_corners=align,
                                                 use_pallas=on_tpu),
                            accumulate=1)
     images = jax.random.normal(jax.random.PRNGKey(1), (bs, img, img, 3),
