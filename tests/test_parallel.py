@@ -164,3 +164,33 @@ def test_spatial_sharding_2d_mesh():
         state, loss = step(state, bi, bs)
         losses.append(float(loss))
     assert abs(losses[0] - losses[1]) < 1e-3, losses
+
+
+def test_segformer_sharded_step_matches_single_device():
+    """The attention-based family on the 8-device data mesh: the
+    (B,H,W,C)<->(B,N,C) token reshapes and the split-fuse decoder must
+    shard over batch without cross-device batch mixing. Same
+    equivalence and tolerances as the UNet test above."""
+    from pytorch_segmentation_tpu.models import SegFormer
+
+    devs = jax.devices()
+    mesh8 = Mesh(np.asarray(devs), ("data",))
+    mesh1 = Mesh(np.asarray(devs[:1]), ("data",))
+
+    imgs, segs = _batch(jax.random.PRNGKey(3))
+    losses, params = [], []
+    for mesh in (mesh8, mesh1):
+        model = SegFormer(num_classes=3, variant="tiny", dtype=jnp.float32)
+        tx = optax.sgd(0.01, momentum=0.9)
+        state = create_train_state(model, jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 32, 32, 3)), tx)
+        state = jax.device_put(state, replicated_sharding(mesh))
+        step = make_train_step(accumulate=1, donate=False)
+        bi = jax.device_put(imgs, data_sharding(mesh))
+        bs = jax.device_put(segs, data_sharding(mesh))
+        state, loss = step(state, bi, bs)
+        losses.append(float(loss))
+        params.append(jax.tree.map(np.asarray, state.params))
+    assert abs(losses[0] - losses[1]) < 1e-3, losses
+    for a, b in zip(jax.tree.leaves(params[0]), jax.tree.leaves(params[1])):
+        np.testing.assert_allclose(a, b, rtol=0.05, atol=5e-3)
