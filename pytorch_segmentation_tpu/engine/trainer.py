@@ -192,9 +192,18 @@ class Trainer:
                 lambda p: jnp.array(p, dtype=jnp.float32, copy=True),
                 self.state.params))
 
-        # replicate over the mesh after any restore (multi-host: every
-        # process inits/loads the same state and contributes its replicas)
-        self.state = put_replicated_tree(self._repl_sharding, self.state)
+        # place over the mesh after any restore (multi-host: every process
+        # inits/loads the same state and contributes its replicas). On a
+        # tensor-parallel mesh (a 'model' axis — train.py --tp) the matched
+        # transformer weights shard over it (parallel/tp.py); otherwise
+        # everything replicates — the reference's DDP placement.
+        if "model" in getattr(self.mesh, "axis_names", ()):
+            from ..parallel.mesh import put_tree
+            from ..parallel.tp import tp_state_shardings
+            self.state = put_tree(
+                tp_state_shardings(self.state, self.mesh), self.state)
+        else:
+            self.state = put_replicated_tree(self._repl_sharding, self.state)
 
         self.qat = bool(qat)  # quantization-aware training (train.py --qat)
         self._train_step = make_train_step(loss_fn=loss_fn,

@@ -90,8 +90,15 @@ class _Attention(nn.Module):
         kv = dense(2 * self.dim, "kv")(r)
         m = r.shape[1]
         q = q.reshape(b, n, self.heads, hd).transpose(0, 2, 1, 3)
-        kv = kv.reshape(b, m, 2, self.heads, hd).transpose(2, 0, 3, 1, 4)
-        k, v = kv[0], kv[1]
+        # k/v as column slices (identical elements to the fused
+        # (2, heads, hd) reshape — k occupies columns [0:dim]). Slices keep
+        # the tensor-parallel column sharding of the kv kernel propagating
+        # cleanly (a reshape with major factor 2 would force a reshard for
+        # tp > 2 — parallel/tp.py).
+        k = kv[..., :self.dim].reshape(b, m, self.heads, hd).transpose(
+            0, 2, 1, 3)
+        v = kv[..., self.dim:].reshape(b, m, self.heads, hd).transpose(
+            0, 2, 1, 3)
         scores = jnp.einsum("bhnd,bhmd->bhnm", q, k) * (hd ** -0.5)
         attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
         y = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(self.dtype), v)

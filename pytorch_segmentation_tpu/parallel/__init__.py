@@ -1,7 +1,9 @@
 from .mesh import (data_sharding, initialize_distributed, make_mesh,
                    put_global_batch, replicated_sharding, shard_batch)
+from .tp import make_tp_mesh, shard_tp, tp_param_spec, tp_state_shardings
 
 __all__ = [
     "make_mesh", "data_sharding", "replicated_sharding", "shard_batch",
     "initialize_distributed", "put_global_batch",
+    "make_tp_mesh", "shard_tp", "tp_param_spec", "tp_state_shardings",
 ]

@@ -123,3 +123,17 @@ def put_replicated_tree(sharding: NamedSharding, tree):
     return jax.tree.map(
         lambda x: jax.make_array_from_process_local_data(
             sharding, np.asarray(x)), tree)
+
+
+def put_tree(shardings, tree):
+    """Place a pytree with PER-LEAF shardings (the tensor-parallel state
+    placement, parallel/tp.py). Multi-host assumption: every process holds
+    the full host copy of each leaf and any non-replicated param axis
+    ('model') is process-local (make_tp_mesh puts it innermost, and
+    jax.devices() is process-major), so the local portion of every leaf is
+    the full array."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+    return jax.tree.map(
+        lambda s, x: jax.make_array_from_process_local_data(
+            s, np.asarray(x)), shardings, tree)

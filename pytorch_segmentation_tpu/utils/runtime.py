@@ -70,6 +70,15 @@ def setup_runtime(cache_dir: str | None = None, debug_nans: bool = False):
             jax.config.update("jax_platforms", env_platforms)
         except Exception:
             pass
+    # PSEG_CPU_DEVICES=N: virtual CPU device count for the CLIs (e.g.
+    # driving train.py --tp 4 on a CPU mesh; tests set the equivalent in
+    # conftest). Re-applied here for the same sitecustomize reason.
+    n_cpu = os.environ.get("PSEG_CPU_DEVICES")
+    if n_cpu:
+        try:
+            jax.config.update("jax_num_cpu_devices", int(n_cpu))
+        except Exception:
+            pass
     cache_dir = cache_dir or os.environ.get(
         "PSEG_COMPILE_CACHE", os.path.expanduser("~/.cache/pseg_tpu_xla"))
     try:
