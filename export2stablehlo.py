@@ -14,8 +14,11 @@ from pytorch_segmentation_tpu.models import (MODEL_REGISTRY,
                                               build_model)
 
 
-def export(weights, model_name, num_classes, img_size, out=None):
-    model = build_model(model_name, num_classes=num_classes)
+def export(weights, model_name, num_classes, img_size, out=None,
+           variant=""):
+    from pytorch_segmentation_tpu.models import variant_kwargs
+    model = build_model(model_name, num_classes=num_classes,
+                        **variant_kwargs(model_name, variant))
     bundle = load_model_bundle(model, weights, (img_size[1], img_size[0]))
     params, batch_stats = fuse_conv_bn(bundle.params, bundle.batch_stats)
     out = out or f"{model_name}.stablehlo"
@@ -34,9 +37,12 @@ if __name__ == "__main__":
                         default=[320, 320])
     parser.add_argument("-nc", "--num-classes", type=int, default=2)
     parser.add_argument("-o", "--out", type=str, default="")
+    parser.add_argument("--variant", type=str, default="",
+                        help="model size variant (segformer: b0..b5; "
+                             "fpn: r50/r34); must match the checkpoint")
     opt = parser.parse_args()
 
     from pytorch_segmentation_tpu.utils.runtime import setup_runtime
     setup_runtime()
     export(opt.weights, opt.model, opt.num_classes, opt.img_size,
-           opt.out or None)
+           opt.out or None, variant=opt.variant)

@@ -22,10 +22,13 @@ from pytorch_segmentation_tpu.models import (MODEL_REGISTRY,
 
 def run(img_dir, output_dir, img_size, num_classes, weights, model_name,
         legacy_preproc=False, batch_size=8, show=False, int8=False,
-        calib=False, ema=False, tta=False, tile=None, tta_scales=()):
+        calib=False, ema=False, tta=False, tile=None, tta_scales=(),
+        variant=""):
     shutil.rmtree(output_dir, ignore_errors=True)
     os.makedirs(output_dir, exist_ok=True)
-    model = build_model(model_name, num_classes=num_classes)
+    from pytorch_segmentation_tpu.models import variant_kwargs
+    model = build_model(model_name, num_classes=num_classes,
+                        **variant_kwargs(model_name, variant))
     bundle = load_model_bundle(model, weights, (img_size[1], img_size[0]),
                                use_ema=ema)
     if tile is not None:
@@ -96,6 +99,9 @@ if __name__ == "__main__":
     parser.add_argument("-nc", "--num-classes", type=int, default=2)
     parser.add_argument("--weights", type=str, default="weights/best.ckpt")
     parser.add_argument("-bs", "--batch-size", type=int, default=8)
+    parser.add_argument("--variant", type=str, default="",
+                        help="model size variant (segformer: b0..b5; fpn: "
+                             "r50/r34); must match the checkpoint")
     parser.add_argument("--legacy-preproc", action="store_true",
                         help="reproduce the reference's /255 inference "
                              "normalization instead of the training contract")
@@ -131,4 +137,5 @@ if __name__ == "__main__":
     run(opt.img_dir, opt.output_dir, opt.img_size, opt.num_classes,
         opt.weights, opt.model, opt.legacy_preproc, opt.batch_size,
         show=opt.show, int8=opt.int8, calib=opt.calib, ema=opt.ema,
-        tta=opt.tta, tile=opt.tile, tta_scales=tuple(opt.tta_scales))
+        tta=opt.tta, tile=opt.tile, tta_scales=tuple(opt.tta_scales),
+        variant=opt.variant)

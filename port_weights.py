@@ -48,12 +48,17 @@ _BACKBONE_ARCH = {
 }
 
 
-def run(sd_path, model_name, num_classes, out_path, arch=None):
+def run(sd_path, model_name, num_classes, out_path, arch=None,
+        variant=""):
+    if arch is None and model_name == "fpn" and variant == "r34":
+        arch = "resnet34"  # the r34 variant ports the resnet34 backbone
     arch = arch or _BACKBONE_ARCH.get(model_name)
     if arch is None:
         raise SystemExit(f"--arch required for model {model_name!r} "
                          "(hrnet has no torchvision backbone)")
-    model = build_model(model_name, num_classes=num_classes)
+    from pytorch_segmentation_tpu.models import variant_kwargs
+    model = build_model(model_name, num_classes=num_classes,
+                        **variant_kwargs(model_name, variant))
     init_fn = jax.jit(lambda rng, x: model.init({"params": rng}, x,
                                                 train=False))
     variables = init_fn(jax.random.PRNGKey(0),
@@ -90,6 +95,9 @@ if __name__ == "__main__":
     parser.add_argument("-nc", "--num-classes", type=int, default=21)
     parser.add_argument("-o", "--output", type=str,
                         default="weights/pretrained.ckpt")
+    parser.add_argument("--variant", type=str, default="",
+                        help="model size variant (fpn: r50/r34 — sets "
+                             "the matching backbone port)")
     parser.add_argument("--arch", type=str, default=None,
                         choices=["mobilenetv2", "resnet50", "resnet34"],
                         help="backbone converter (defaults by model)")
@@ -102,4 +110,5 @@ if __name__ == "__main__":
     if opt.reverse:
         run_reverse(opt.state_dict, opt.output, use_ema=opt.ema)
     else:
-        run(opt.state_dict, opt.model, opt.num_classes, opt.output, opt.arch)
+        run(opt.state_dict, opt.model, opt.num_classes, opt.output,
+            opt.arch, variant=opt.variant)

@@ -38,5 +38,36 @@ def build_model(name: str, num_classes: int, **kwargs):
     return cls(num_classes=num_classes, **kwargs)
 
 
+# per-family size variants selectable from the CLIs (--variant)
+MODEL_VARIANTS = {
+    "segformer": {v: {"variant": v} for v in
+                  ("b0", "b1", "b2", "b3", "b4", "b5")},
+    "fpn": {
+        "r50": {},  # the default bottleneck (3,4,6,3) backbone
+        "r34": {"block": "basic", "backbone_layers": (3, 4, 6, 3)},
+    },
+}
+
+
+def variant_kwargs(name: str, variant: str) -> dict:
+    """Model-ctor kwargs for a CLI `--variant` selection; '' = defaults.
+    Raises with the valid choices when the family has none or the name is
+    unknown (the reference had no model-size axis at all — SegFormer
+    B0..B5 / FPN R50/R34 are this framework's additions)."""
+    if not variant:
+        return {}
+    table = MODEL_VARIANTS.get(name.lower())
+    if not table:
+        raise ValueError(f"model {name!r} has no variants "
+                         f"(families with variants: "
+                         f"{sorted(MODEL_VARIANTS)})")
+    try:
+        return dict(table[variant.lower()])
+    except KeyError:
+        raise ValueError(f"unknown {name} variant {variant!r}; "
+                         f"available: {sorted(table)}")
+
+
 __all__ = ["UNet", "DeepLabV3Plus", "HRNet", "PSPNet", "FPN", "SegFormer",
-           "MODEL_REGISTRY", "build_model"]
+           "MODEL_REGISTRY", "MODEL_VARIANTS", "build_model",
+           "variant_kwargs"]

@@ -26,6 +26,9 @@ def main():
                         default=[513, 513], metavar=("W", "H"))
     parser.add_argument("-nc", "--num-classes", type=int, default=21)
     parser.add_argument("--weights", type=str, default="weights/best.ckpt")
+    parser.add_argument("--variant", type=str, default="",
+                        help="model size variant (segformer: b0..b5; "
+                             "fpn: r50/r34); must match the checkpoint")
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8500)
     parser.add_argument("--max-batch", type=int, default=8,
@@ -52,7 +55,9 @@ def main():
     from pytorch_segmentation_tpu.models import build_model
     from pytorch_segmentation_tpu.serving import MaskServer
 
-    model = build_model(opt.model, num_classes=opt.num_classes)
+    from pytorch_segmentation_tpu.models import variant_kwargs
+    model = build_model(opt.model, num_classes=opt.num_classes,
+                        **variant_kwargs(opt.model, opt.variant))
     bundle = load_model_bundle(model, opt.weights,
                                (opt.img_size[1], opt.img_size[0]),
                                use_ema=opt.ema)

@@ -27,6 +27,9 @@ def main():
     parser.add_argument("--model", type=str, default="deeplabv3plus",
                         choices=sorted(MODEL_REGISTRY))
     parser.add_argument("--weights", type=str, default="")
+    parser.add_argument("--variant", type=str, default="",
+                        help="model size variant (segformer: b0..b5; fpn: "
+                             "r50/r34); must match the checkpoint")
     parser.add_argument("--rect", action="store_true")
     parser.add_argument("-s", "--img_size", type=int, nargs=2,
                         default=[320, 320])
@@ -74,7 +77,9 @@ def main():
                             num_workers=opt.num_workers)
     val_fetcher = Fetcher(val_loader, PostFetch())
 
-    model = build_model(opt.model, num_classes=len(val_data.classes))
+    from pytorch_segmentation_tpu.models import variant_kwargs
+    model = build_model(opt.model, num_classes=len(val_data.classes),
+                        **variant_kwargs(opt.model, opt.variant))
     bundle = load_model_bundle(model, opt.weights,
                                (opt.img_size[1], opt.img_size[0]),
                                use_ema=opt.ema)

@@ -41,12 +41,20 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
           dataset="cocoinstance", remat=False, lr_schedule="constant",
           warmup_steps=0, fast_augment=False, precompile=False, qat=False,
           ema=0.0, loss="ce", cache_images=False, momentum=0.9,
-          weight_decay=0.0, clip_grad=0.0, patience=0, aux_loss=0.0):
+          weight_decay=0.0, clip_grad=0.0, patience=0, aux_loss=0.0, tp=1,
+          variant=""):
     ds_cls, train_file, val_file = DATASETS[dataset]
     train_coco = osp.join(data_dir, train_file)
     val_coco = osp.join(data_dir, val_file)
 
-    mesh = make_mesh()
+    if tp > 1:
+        # (data, model) mesh: Megatron-style tensor parallelism for the
+        # transformer family (parallel/tp.py) x data parallelism — a scaling
+        # axis beyond the reference's DDP-only strategy
+        from pytorch_segmentation_tpu.parallel import make_tp_mesh
+        mesh = make_tp_mesh(tp)
+    else:
+        mesh = make_mesh()
     rank = jax.process_index()
     world = jax.process_count()
 
@@ -72,7 +80,8 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
                                 rank=rank, world_size=world)
         val_fetcher = Fetcher(val_loader, PostFetch())
 
-    model_kw = {}
+    from pytorch_segmentation_tpu.models import variant_kwargs
+    model_kw = variant_kwargs(model_name, variant)
     if remat and model_name in ("deeplabv3plus", "pspnet", "fpn",
                                 "fastfcn", "segformer"):
         model_kw["remat"] = True
@@ -232,6 +241,15 @@ if __name__ == "__main__":
                              "upsample+CE (fused Pallas path); 'ce+rect' = "
                              "the reference's commented-out RectLoss hook; "
                              "lovasz/focal/dice per ops/loss.py")
+    parser.add_argument("--variant", type=str, default="",
+                        help="model size variant (segformer: b0..b5; fpn: "
+                             "r50/r34); empty = the family default")
+    parser.add_argument("--tp", type=int, default=1, metavar="N",
+                        help="tensor-parallel degree: shard the transformer "
+                             "family's attention/FFN weights over an inner "
+                             "'model' mesh axis (Megatron-style, "
+                             "parallel/tp.py), batch over the outer 'data' "
+                             "axis; devices must be divisible by N")
     parser.add_argument("--ema", type=float, default=0.0, metavar="DECAY",
                         help="keep an exponential moving average of the "
                              "weights (e.g. 0.999); epoch-end val and "
@@ -260,4 +278,5 @@ if __name__ == "__main__":
           qat=opt.qat, ema=opt.ema, loss=opt.loss,
           cache_images=opt.cache_images, momentum=opt.momentum,
           weight_decay=opt.weight_decay, clip_grad=opt.clip_grad,
-          patience=opt.patience, aux_loss=opt.aux_loss)
+          patience=opt.patience, aux_loss=opt.aux_loss, tp=opt.tp,
+          variant=opt.variant)
