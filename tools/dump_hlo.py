@@ -12,6 +12,8 @@ import sys
 os.environ.setdefault(
     "XLA_FLAGS",
     "--xla_dump_to=/tmp/hlo_dump --xla_dump_hlo_as_text")
+# plain jax.jit (has .lower) instead of the jit_with_options wrapper
+os.environ["PSEG_XLA_OPTS"] = ""
 
 import jax
 import jax.numpy as jnp
