@@ -15,10 +15,13 @@ from pytorch_segmentation_tpu.models import (MODEL_REGISTRY,
 
 
 def export(weights, model_name, num_classes, img_size, out=None,
-           variant=""):
-    from pytorch_segmentation_tpu.models import variant_kwargs
-    model = build_model(model_name, num_classes=num_classes,
-                        **variant_kwargs(model_name, variant))
+           variant="", scan_blocks=False):
+    from pytorch_segmentation_tpu.models import (apply_scan_blocks,
+                                                 variant_kwargs)
+    model_kw = apply_scan_blocks(model_name,
+                                 variant_kwargs(model_name, variant),
+                                 scan_blocks)
+    model = build_model(model_name, num_classes=num_classes, **model_kw)
     bundle = load_model_bundle(model, weights, (img_size[1], img_size[0]))
     params, batch_stats = fuse_conv_bn(bundle.params, bundle.batch_stats)
     out = out or f"{model_name}.stablehlo"
@@ -40,9 +43,13 @@ if __name__ == "__main__":
     parser.add_argument("--variant", type=str, default="",
                         help="model size variant (segformer: b0..b5; "
                              "fpn: r50/r34); must match the checkpoint")
+    parser.add_argument("--scan-blocks", action="store_true",
+                        help="consume a stacked-params checkpoint trained "
+                             "with train.py --scan-blocks/--pp (segformer)")
     opt = parser.parse_args()
 
     from pytorch_segmentation_tpu.utils.runtime import setup_runtime
     setup_runtime()
     export(opt.weights, opt.model, opt.num_classes, opt.img_size,
-           opt.out or None, variant=opt.variant)
+           opt.out or None, variant=opt.variant,
+           scan_blocks=opt.scan_blocks)

@@ -202,6 +202,13 @@ class Trainer:
             from ..parallel.tp import tp_state_shardings
             self.state = put_tree(
                 tp_state_shardings(self.state, self.mesh), self.state)
+        elif "pipe" in getattr(self.mesh, "axis_names", ()):
+            # pipeline-parallel mesh (train.py --pp): stacked block params
+            # shard layer-wise over 'pipe' (parallel/pp.py)
+            from ..parallel.mesh import put_tree
+            from ..parallel.pp import pp_state_shardings
+            self.state = put_tree(
+                pp_state_shardings(self.state, self.mesh), self.state)
         else:
             self.state = put_replicated_tree(self._repl_sharding, self.state)
 

@@ -40,8 +40,10 @@ def build_model(name: str, num_classes: int, **kwargs):
 
 # per-family size variants selectable from the CLIs (--variant)
 MODEL_VARIANTS = {
+    # tiny/tiny-d4 are NOT paper variants: 1-block (resp. 4-deep stage-3)
+    # stages for affordable test/CPU-drive compiles (segformer.py)
     "segformer": {v: {"variant": v} for v in
-                  ("b0", "b1", "b2", "b3", "b4", "b5")},
+                  ("b0", "b1", "b2", "b3", "b4", "b5", "tiny", "tiny-d4")},
     "fpn": {
         "r50": {},  # the default bottleneck (3,4,6,3) backbone
         "r34": {"block": "basic", "backbone_layers": (3, 4, 6, 3)},
@@ -68,6 +70,19 @@ def variant_kwargs(name: str, variant: str) -> dict:
                          f"available: {sorted(table)}")
 
 
+def apply_scan_blocks(name: str, model_kw: dict, enabled: bool) -> dict:
+    """CLI helper for `--scan-blocks`: stacked-params block stages
+    (models/segformer.py _BlockStack) are a transformer-family feature;
+    reject other families with a CLI-grade error so every entry point
+    gates identically."""
+    if enabled:
+        if name.lower() != "segformer":
+            raise SystemExit("--scan-blocks targets the transformer "
+                             "family's stacked block stages (segformer)")
+        model_kw["scan_blocks"] = True
+    return model_kw
+
+
 __all__ = ["UNet", "DeepLabV3Plus", "HRNet", "PSPNet", "FPN", "SegFormer",
            "MODEL_REGISTRY", "MODEL_VARIANTS", "build_model",
-           "variant_kwargs"]
+           "variant_kwargs", "apply_scan_blocks"]

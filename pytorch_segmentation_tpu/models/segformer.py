@@ -44,13 +44,17 @@ from ..nn.blocks import (BatchNorm2d, ConvNormAct, _Kernel,
                          conv_kernel_init)
 from ..ops.resize import resize_bilinear
 
-__all__ = ["SegFormer", "SEGFORMER_VARIANTS"]
+__all__ = ["SegFormer", "SEGFORMER_VARIANTS", "stack_block_params",
+           "unstack_block_params"]
 
 # embed_dims, depths, num_heads, decoder_dim (paper Table 6)
 SEGFORMER_VARIANTS = {
     # "tiny" is NOT a paper variant: 1-block stages for affordable 1-core
     # test compiles (all four stages / sr ratios / block types intact)
     "tiny": ((16, 32, 64, 128), (1, 1, 1, 1), (1, 2, 4, 8), 64),
+    # "tiny-d4" is the pipeline-parallel test variant: a 4-deep stage 3
+    # (divisible by pipe degrees 2 and 4) at tiny's widths
+    "tiny-d4": ((16, 32, 64, 128), (1, 1, 4, 1), (1, 2, 4, 8), 64),
     "b0": ((32, 64, 160, 256), (2, 2, 2, 2), (1, 2, 5, 8), 256),
     "b1": ((64, 128, 320, 512), (2, 2, 2, 2), (1, 2, 5, 8), 256),
     "b2": ((64, 128, 320, 512), (3, 4, 6, 3), (1, 2, 5, 8), 768),
@@ -144,6 +148,62 @@ class _Block(nn.Module):
         return x
 
 
+class _BlockStack(nn.Module):
+    """`depth` identical blocks with parameters STACKED along a leading
+    layer axis (one param tree leaf per block leaf, shape [L, ...]) and
+    applied via `lax.scan` — one compiled block body instead of `depth`
+    unrolled copies (b5's 40-block stage 3 compiles ~40x less HLO), and
+    the layer axis becomes shardable for pipeline parallelism
+    (parallel/pp.py). Checkpoints convert to/from the unrolled
+    `block{i}_{j}` layout with stack_block_params/unstack_block_params."""
+
+    dim: int
+    heads: int
+    sr: int
+    mlp_ratio: int
+    depth: int
+    dtype: jnp.dtype
+    remat: bool = False
+    pp_mesh: object = None  # jax.sharding.Mesh with a 'pipe' axis
+    pp_microbatches: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        block = _Block(self.dim, self.heads, self.sr, self.mlp_ratio,
+                       self.dtype)
+
+        def init_stacked(rng):
+            # param shapes are spatial-size independent; 8x8 covers every
+            # sr ratio's VALID reduction conv
+            dummy = jnp.zeros((1, 8, 8, self.dim), jnp.float32)
+            rngs = jax.random.split(rng, self.depth)
+            return jax.vmap(
+                lambda r: block.init(r, dummy)["params"])(rngs)
+
+        stacked = self.param("stack", init_stacked)
+        fn = lambda p, h: block.apply({"params": p}, h)
+        if self.remat:
+            fn = jax.checkpoint(fn)
+        pp = (self.pp_mesh.shape["pipe"]
+              if self.pp_mesh is not None and
+              "pipe" in getattr(self.pp_mesh, "axis_names", ()) else 1)
+        if pp > 1 and self.depth % pp == 0:
+            dp = self.pp_mesh.shape.get("data", 1)
+            m = self.pp_microbatches or 2 * pp
+            # batches that can't be microbatched (e.g. the batch-1 init
+            # trace) take the sequential path — identical math and params
+            if x.shape[0] % (dp * m) == 0:
+                from ..parallel.pp import pipeline_blocks
+                return pipeline_blocks(fn, stacked, x, self.pp_mesh,
+                                       microbatches=m)
+
+        def body(h, p):
+            return fn(p, h), None
+
+        y, _ = jax.lax.scan(body, x, stacked)
+        return y
+
+
 class _MiT(nn.Module):
     """Mix Transformer encoder: 4 stages of overlap patch embedding
     (k7s4 / k3s2) + transformer blocks; returns stride 4/8/16/32 maps."""
@@ -155,6 +215,9 @@ class _MiT(nn.Module):
     mlp_ratio: int = 4
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
+    scan_blocks: bool = False
+    pp_mesh: object = None
+    pp_microbatches: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -171,10 +234,17 @@ class _MiT(nn.Module):
             x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                              param_dtype=jnp.float32,
                              name=f"patch_embed{i + 1}_ln")(x)
-            for j in range(depth):
-                x = block_cls(dim, heads, self.sr_ratios[i],
-                              self.mlp_ratio, self.dtype,
-                              name=f"block{i + 1}_{j}")(x)
+            if self.scan_blocks and depth > 1:
+                x = _BlockStack(dim, heads, self.sr_ratios[i],
+                                self.mlp_ratio, depth, self.dtype,
+                                remat=self.remat, pp_mesh=self.pp_mesh,
+                                pp_microbatches=self.pp_microbatches,
+                                name=f"blocks{i + 1}")(x)
+            else:
+                for j in range(depth):
+                    x = block_cls(dim, heads, self.sr_ratios[i],
+                                  self.mlp_ratio, self.dtype,
+                                  name=f"block{i + 1}_{j}")(x)
             x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                              param_dtype=jnp.float32,
                              name=f"norm{i + 1}")(x)
@@ -234,6 +304,12 @@ class SegFormer(nn.Module):
     output_stride: int = 4
     remat: bool = False
     split_fuse: bool = True  # False: literal concat+CNA (A/B / int8 PTQ)
+    # stacked-params block stacks (lax.scan; ~depth-x less HLO for b2..b5)
+    scan_blocks: bool = False
+    # GPipe pipeline parallelism over a (data, pipe) mesh (parallel/pp.py);
+    # implies scan_blocks for the stages whose depth the pipe degree divides
+    pp_mesh: object = None
+    pp_microbatches: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -241,6 +317,9 @@ class SegFormer(nn.Module):
         dims, depths, heads, dec_dim = SEGFORMER_VARIANTS[self.variant]
         feats = _MiT(embed_dims=dims, depths=depths, num_heads=heads,
                      dtype=self.dtype, remat=self.remat,
+                     scan_blocks=self.scan_blocks or self.pp_mesh is not None,
+                     pp_mesh=self.pp_mesh,
+                     pp_microbatches=self.pp_microbatches,
                      name="backbone")(x, train=train)
         size4 = feats[0].shape[1:3]
         zs = [nn.Dense(dec_dim, dtype=self.dtype, param_dtype=jnp.float32,
@@ -264,3 +343,37 @@ class SegFormer(nn.Module):
         if self.full_res_output:
             y = resize_bilinear(y, (in_h, in_w), align_corners=False)
         return y
+
+
+def stack_block_params(params, variant: str):
+    """Convert an UNROLLED SegFormer param tree (backbone/block{i}_{j})
+    to the stacked scan_blocks layout (backbone/blocks{i}/stack with a
+    leading layer axis). Stages of depth 1 keep the unrolled name in
+    both layouts. Pure-numpy-safe (works on checkpoints)."""
+    _, depths, _, _ = SEGFORMER_VARIANTS[variant]
+    bb = dict(params["backbone"])
+    for i, depth in enumerate(depths):
+        if depth <= 1:
+            continue
+        blocks = [bb.pop(f"block{i + 1}_{j}") for j in range(depth)]
+        bb[f"blocks{i + 1}"] = {"stack": jax.tree.map(
+            lambda *ls: jnp.stack(ls, axis=0), *blocks)}
+    out = dict(params)
+    out["backbone"] = bb
+    return out
+
+
+def unstack_block_params(params, variant: str):
+    """Inverse of stack_block_params (stacked -> unrolled layout)."""
+    _, depths, _, _ = SEGFORMER_VARIANTS[variant]
+    bb = dict(params["backbone"])
+    for i, depth in enumerate(depths):
+        key = f"blocks{i + 1}"
+        if key not in bb:
+            continue
+        stack = bb.pop(key)["stack"]
+        for j in range(depth):
+            bb[f"block{i + 1}_{j}"] = jax.tree.map(lambda a: a[j], stack)
+    out = dict(params)
+    out["backbone"] = bb
+    return out

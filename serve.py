@@ -47,6 +47,9 @@ def main():
                         help="flip TTA (~2x cost per request)")
     parser.add_argument("--tta-scales", type=float, nargs="+", default=[],
                         metavar="S", help="multi-scale TTA")
+    parser.add_argument("--scan-blocks", action="store_true",
+                        help="consume a stacked-params checkpoint trained "
+                             "with train.py --scan-blocks/--pp (segformer)")
     opt = parser.parse_args()
 
     from pytorch_segmentation_tpu.utils.runtime import setup_runtime
@@ -55,9 +58,12 @@ def main():
     from pytorch_segmentation_tpu.models import build_model
     from pytorch_segmentation_tpu.serving import MaskServer
 
-    from pytorch_segmentation_tpu.models import variant_kwargs
-    model = build_model(opt.model, num_classes=opt.num_classes,
-                        **variant_kwargs(opt.model, opt.variant))
+    from pytorch_segmentation_tpu.models import (apply_scan_blocks,
+                                                 variant_kwargs)
+    model_kw = apply_scan_blocks(opt.model,
+                                 variant_kwargs(opt.model, opt.variant),
+                                 opt.scan_blocks)
+    model = build_model(opt.model, num_classes=opt.num_classes, **model_kw)
     bundle = load_model_bundle(model, opt.weights,
                                (opt.img_size[1], opt.img_size[0]),
                                use_ema=opt.ema)

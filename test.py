@@ -52,6 +52,9 @@ def main():
                         help="flip test-time augmentation: average logits "
                              "with a horizontally-flipped second forward "
                              "(~2x eval cost)")
+    parser.add_argument("--scan-blocks", action="store_true",
+                        help="consume a stacked-params checkpoint trained "
+                             "with train.py --scan-blocks/--pp (segformer)")
     parser.add_argument("--cache-images", action="store_true",
                         help="keep decoded+resized val records in RAM "
                              "across epochs/eval passes")
@@ -77,9 +80,13 @@ def main():
                             num_workers=opt.num_workers)
     val_fetcher = Fetcher(val_loader, PostFetch())
 
-    from pytorch_segmentation_tpu.models import variant_kwargs
+    from pytorch_segmentation_tpu.models import (apply_scan_blocks,
+                                                 variant_kwargs)
+    model_kw = apply_scan_blocks(opt.model,
+                                 variant_kwargs(opt.model, opt.variant),
+                                 opt.scan_blocks)
     model = build_model(opt.model, num_classes=len(val_data.classes),
-                        **variant_kwargs(opt.model, opt.variant))
+                        **model_kw)
     bundle = load_model_bundle(model, opt.weights,
                                (opt.img_size[1], opt.img_size[0]),
                                use_ema=opt.ema)

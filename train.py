@@ -42,17 +42,26 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
           warmup_steps=0, fast_augment=False, precompile=False, qat=False,
           ema=0.0, loss="ce", cache_images=False, momentum=0.9,
           weight_decay=0.0, clip_grad=0.0, patience=0, aux_loss=0.0, tp=1,
-          variant=""):
+          variant="", pp=1, pp_microbatches=0, scan_blocks=False):
     ds_cls, train_file, val_file = DATASETS[dataset]
     train_coco = osp.join(data_dir, train_file)
     val_coco = osp.join(data_dir, val_file)
 
+    if tp > 1 and pp > 1:
+        raise SystemExit("--tp and --pp are separate inner mesh axes; "
+                         "combine either with data parallelism, not with "
+                         "each other")
     if tp > 1:
         # (data, model) mesh: Megatron-style tensor parallelism for the
         # transformer family (parallel/tp.py) x data parallelism — a scaling
         # axis beyond the reference's DDP-only strategy
         from pytorch_segmentation_tpu.parallel import make_tp_mesh
         mesh = make_tp_mesh(tp)
+    elif pp > 1:
+        # (data, pipe) mesh: GPipe pipeline parallelism over the deep
+        # transformer block stacks (parallel/pp.py)
+        from pytorch_segmentation_tpu.parallel import make_pp_mesh
+        mesh = make_pp_mesh(pp)
     else:
         mesh = make_mesh()
     rank = jax.process_index()
@@ -90,6 +99,13 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
             raise SystemExit("--aux-loss is only supported by the "
                              "pspnet/fastfcn families (layer3 aux head)")
         model_kw["aux"] = True
+    if scan_blocks or pp > 1:
+        from pytorch_segmentation_tpu.models import apply_scan_blocks
+        apply_scan_blocks(model_name, model_kw, True)
+    if pp > 1:
+        model_kw["pp_mesh"] = mesh
+        if pp_microbatches:
+            model_kw["pp_microbatches"] = pp_microbatches
     if patience and notest:
         raise SystemExit("--patience keys off per-epoch val mIoU; it can't "
                          "work with --notest")
@@ -250,6 +266,25 @@ if __name__ == "__main__":
                              "'model' mesh axis (Megatron-style, "
                              "parallel/tp.py), batch over the outer 'data' "
                              "axis; devices must be divisible by N")
+    parser.add_argument("--pp", type=int, default=1, metavar="N",
+                        help="pipeline-parallel degree: shard the deep "
+                             "transformer block stacks layer-wise over an "
+                             "inner 'pipe' mesh axis and stream "
+                             "microbatches through the GPipe schedule "
+                             "(parallel/pp.py); the stage depth must be "
+                             "divisible by N (segformer b3/b5 stage 3: "
+                             "18/40 layers); implies --scan-blocks")
+    parser.add_argument("--pp-microbatches", type=int, default=0,
+                        metavar="M",
+                        help="GPipe microbatches per step (0 = 2*pp); the "
+                             "per-data-shard batch must be divisible by M")
+    parser.add_argument("--scan-blocks", action="store_true",
+                        help="stack each transformer stage's blocks along "
+                             "a leading layer axis and apply them with "
+                             "lax.scan: one compiled block body instead of "
+                             "depth unrolled copies (b2..b5 compile-time "
+                             "saver; checkpoints convert with "
+                             "models.segformer.stack_block_params)")
     parser.add_argument("--ema", type=float, default=0.0, metavar="DECAY",
                         help="keep an exponential moving average of the "
                              "weights (e.g. 0.999); epoch-end val and "
@@ -279,4 +314,6 @@ if __name__ == "__main__":
           cache_images=opt.cache_images, momentum=opt.momentum,
           weight_decay=opt.weight_decay, clip_grad=opt.clip_grad,
           patience=opt.patience, aux_loss=opt.aux_loss, tp=opt.tp,
-          variant=opt.variant)
+          variant=opt.variant, pp=opt.pp,
+          pp_microbatches=opt.pp_microbatches,
+          scan_blocks=opt.scan_blocks)
