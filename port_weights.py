@@ -15,6 +15,14 @@ ready for `train.py --weights`.
     python port_weights.py resnet50.pth --model deeplabv3plus -nc 21 \
         -o weights/dlv3p_imagenet.ckpt
 
+SegFormer ports from the HuggingFace `transformers` zoo instead
+(nvidia/mit-b0..b5 encoder checkpoints, or full
+SegformerForSemanticSegmentation finetunes — the decode head ports too,
+and the classifier only when the class count matches):
+
+    python port_weights.py mit_b0.pth --model segformer --variant b0 \
+        -nc 21 -o weights/segformer_imagenet.ckpt
+
 The converters are numerically validated against torch-reconstructed
 reference models in tests/test_model_golden_parity.py (<1e-3 max-abs at
 320x320 through the full forward).
@@ -53,7 +61,7 @@ def run(sd_path, model_name, num_classes, out_path, arch=None,
     if arch is None and model_name == "fpn" and variant == "r34":
         arch = "resnet34"  # the r34 variant ports the resnet34 backbone
     arch = arch or _BACKBONE_ARCH.get(model_name)
-    if arch is None:
+    if arch is None and model_name != "segformer":
         raise SystemExit(f"--arch required for model {model_name!r} "
                          "(hrnet has no torchvision backbone)")
     from pytorch_segmentation_tpu.models import variant_kwargs
@@ -65,7 +73,17 @@ def run(sd_path, model_name, num_classes, out_path, arch=None,
                         jnp.zeros((1, 64, 64, 3), jnp.float32))
     params = jax_to_py(variables["params"])
     stats = jax_to_py(variables.get("batch_stats", {}))
-    params, stats = load_pretrained_backbone(params, stats, sd_path, arch)
+    if model_name == "segformer":
+        # HuggingFace transformers checkpoint: SegformerModel (MiT
+        # encoder, nvidia/mit-b*) or SegformerForSemanticSegmentation
+        # (full model, ADE/Cityscapes zoo) — port_torch.py
+        from pytorch_segmentation_tpu.utils.port_torch import \
+            load_pretrained_segformer
+        params, stats = load_pretrained_segformer(params, stats, sd_path)
+        arch = f"mit-{variant or 'b0'} (huggingface)"
+    else:
+        params, stats = load_pretrained_backbone(params, stats, sd_path,
+                                                 arch)
     save_checkpoint(out_path, params, stats)
     print(f"wrote {out_path} ({model_name}, backbone={arch}, "
           f"nc={num_classes})")
@@ -97,7 +115,8 @@ if __name__ == "__main__":
                         default="weights/pretrained.ckpt")
     parser.add_argument("--variant", type=str, default="",
                         help="model size variant (fpn: r50/r34 — sets "
-                             "the matching backbone port)")
+                             "the matching backbone port; segformer: "
+                             "b0..b5, must match the HF checkpoint)")
     parser.add_argument("--arch", type=str, default=None,
                         choices=["mobilenetv2", "resnet50", "resnet34"],
                         help="backbone converter (defaults by model)")

@@ -18,7 +18,8 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["convert_mobilenetv2", "convert_resnet", "convert_named",
-           "load_pretrained_backbone", "export_torch_state_dict",
+           "convert_hf_segformer", "load_pretrained_backbone",
+           "load_pretrained_segformer", "export_torch_state_dict",
            "save_torch_checkpoint"]
 
 # standard MobileNetV2 stage layout: (expand_ratio, repeats)
@@ -145,6 +146,124 @@ def convert_named(sd: dict):
                     node["scale"] = v
             else:
                 node["bias"] = v
+    return params, stats
+
+
+def convert_hf_segformer(sd: dict):
+    """HuggingFace `transformers` Segformer state_dict -> (params,
+    batch_stats) trees in this framework's SegFormer naming
+    (models/segformer.py). Accepts both `SegformerModel` (MiT encoder
+    only — e.g. the nvidia/mit-b0..b5 ImageNet checkpoints; yields the
+    `backbone` subtree) and `SegformerForSemanticSegmentation`
+    (encoder + all-MLP decode head, e.g. the ADE/Cityscapes-finetuned
+    zoo; yields the full model tree incl. `fuse` conv+BN and
+    `cls_conv`).
+
+    Layout notes: HF's separate key/value Linears fuse into our `kv`
+    Dense (k occupies output columns [0:dim] — segformer.py _Attention);
+    HF concatenates decoder stages c4-first, matching our fuse slice
+    order, so `linear_fuse.weight` ports as-is; the torch checkpoint's
+    NCHW convs transpose OIHW->HWIO (depthwise (C,1,3,3)->(3,3,1,C))."""
+    sd = {k[len("segformer."):] if k.startswith("segformer.") else k:
+          np.asarray(v) for k, v in sd.items()}
+    params: dict = {"backbone": {}}
+    stats: dict = {}
+    bb = params["backbone"]
+
+    def dense(prefix):
+        return {"kernel": np.ascontiguousarray(
+                    np.asarray(sd[prefix + ".weight"], np.float32).T),
+                "bias": np.asarray(sd[prefix + ".bias"], np.float32)}
+
+    def ln(prefix):
+        return {"scale": np.asarray(sd[prefix + ".weight"], np.float32),
+                "bias": np.asarray(sd[prefix + ".bias"], np.float32)}
+
+    def conv(prefix, bias=True):
+        out = {"kernel": _conv(sd[prefix + ".weight"])}
+        if bias:
+            out["bias"] = np.asarray(sd[prefix + ".bias"], np.float32)
+        return out
+
+    n_stages = 1 + max(int(k.split(".")[2]) for k in sd
+                       if k.startswith("encoder.patch_embeddings."))
+    for i in range(n_stages):
+        pe = f"encoder.patch_embeddings.{i}"
+        bb[f"patch_embed{i + 1}_proj"] = conv(pe + ".proj")
+        bb[f"patch_embed{i + 1}_ln"] = ln(pe + ".layer_norm")
+        bb[f"norm{i + 1}"] = ln(f"encoder.layer_norm.{i}")
+        depth = 1 + max(int(k.split(".")[3]) for k in sd
+                        if k.startswith(f"encoder.block.{i}."))
+        for j in range(depth):
+            b = f"encoder.block.{i}.{j}"
+            attn = {"q": dense(b + ".attention.self.query"),
+                    "proj": dense(b + ".attention.output.dense")}
+            kw = dense(b + ".attention.self.key")
+            vw = dense(b + ".attention.self.value")
+            attn["kv"] = {
+                "kernel": np.concatenate([kw["kernel"], vw["kernel"]], 1),
+                "bias": np.concatenate([kw["bias"], vw["bias"]])}
+            if b + ".attention.self.sr.weight" in sd:  # sr > 1 stages
+                attn["sr"] = conv(b + ".attention.self.sr")
+                attn["srln"] = ln(b + ".attention.self.layer_norm")
+            bb[f"block{i + 1}_{j}"] = {
+                "ln1": ln(b + ".layer_norm_1"),
+                "ln2": ln(b + ".layer_norm_2"),
+                "attn": attn,
+                "ffn": {"fc1": dense(b + ".mlp.dense1"),
+                        "dwconv": conv(b + ".mlp.dwconv.dwconv"),
+                        "fc2": dense(b + ".mlp.dense2")},
+            }
+
+    if "decode_head.linear_fuse.weight" in sd:
+        for i in range(n_stages):
+            params[f"linear_c{i + 1}"] = dense(
+                f"decode_head.linear_c.{i}.proj")
+        params["fuse"] = {
+            "conv": {"kernel": _conv(sd["decode_head.linear_fuse.weight"])},
+            "bn": {"scale": np.asarray(
+                       sd["decode_head.batch_norm.weight"], np.float32),
+                   "bias": np.asarray(
+                       sd["decode_head.batch_norm.bias"], np.float32)}}
+        stats["fuse"] = {"bn": {
+            "mean": np.asarray(
+                sd["decode_head.batch_norm.running_mean"], np.float32),
+            "var": np.asarray(
+                sd["decode_head.batch_norm.running_var"], np.float32)}}
+        params["cls_conv"] = conv("decode_head.classifier")
+    return params, stats
+
+
+def load_pretrained_segformer(model_params, model_stats, path_or_sd):
+    """Merge a HuggingFace Segformer checkpoint into a SegFormer model's
+    trees. The MiT backbone always ports; the decode head ports when the
+    checkpoint has one (SegformerForSemanticSegmentation); the classifier
+    ports only when its class count matches the model (a zoo checkpoint
+    finetuned on a different label set keeps the model's fresh head)."""
+    import copy
+
+    if isinstance(path_or_sd, (str, bytes)):
+        import torch
+        sd = torch.load(path_or_sd, map_location="cpu", weights_only=True)
+        sd = {k: v.numpy() for k, v in sd.items()}
+    else:
+        sd = {k: np.asarray(v) for k, v in path_or_sd.items()}
+    hp, hs = convert_hf_segformer(sd)
+
+    params = copy.deepcopy(jax_to_py(model_params))
+    stats = copy.deepcopy(jax_to_py(model_stats))
+    if "cls_conv" in hp and (hp["cls_conv"]["kernel"].shape !=
+                             tuple(params["cls_conv"]["kernel"].shape)):
+        print(f"note: checkpoint classifier "
+              f"{hp['cls_conv']['kernel'].shape[-1]} classes != model "
+              f"{params['cls_conv']['kernel'].shape[-1]}; keeping the "
+              "model's fresh cls_conv")
+        del hp["cls_conv"]
+    _merge_checked(params["backbone"], hp.pop("backbone"), "params.backbone")
+    for key, sub in hp.items():
+        _merge_checked(params[key], sub, f"params.{key}")
+    for key, sub in hs.items():
+        _merge_checked(stats[key], sub, f"stats.{key}")
     return params, stats
 
 

@@ -290,3 +290,135 @@ def test_reverse_port_cli(tmp_path):
     # --ema on an EMA-less checkpoint must fail loudly
     with pytest.raises(SystemExit):
         port_weights.run_reverse(str(ckpt), str(out), use_ema=True)
+
+
+# ---------------------------------------------------------------------------
+# HuggingFace Segformer porting (models/segformer.py is a beyond-reference
+# family; its pretrained zoo lives in `transformers`, not torchvision).
+# The HF implementation is the INDEPENDENT oracle here: a randomized
+# SegformerForSemanticSegmentation forward must match our flax forward
+# through the ported weights.
+
+def _hf_tiny_segformer(rng, num_labels=3):
+    import torch
+    from transformers import (SegformerConfig,
+                              SegformerForSemanticSegmentation)
+
+    cfg = SegformerConfig(
+        num_channels=3, num_encoder_blocks=4, depths=[1, 1, 1, 1],
+        sr_ratios=[8, 4, 2, 1], hidden_sizes=[16, 32, 64, 128],
+        num_attention_heads=[1, 2, 4, 8], mlp_ratios=[4, 4, 4, 4],
+        decoder_hidden_size=64, num_labels=num_labels,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        classifier_dropout_prob=0.0, drop_path_rate=0.0,
+        layer_norm_eps=1e-6)
+    m = SegformerForSemanticSegmentation(cfg)
+    sd = m.state_dict()
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        if k.endswith("running_var"):
+            sd[k] = torch.from_numpy(
+                rng.uniform(0.5, 1.5, v.shape).astype(np.float32))
+        else:
+            sd[k] = torch.from_numpy(
+                (rng.standard_normal(v.shape) * 0.2).astype(np.float32))
+    m.load_state_dict(sd)
+    m.eval()
+    return m
+
+
+def test_hf_segformer_port_forward_parity(rng):
+    """Full SegformerForSemanticSegmentation (encoder + decode head +
+    classifier) ports and matches the HF forward (stride-4 logits) to
+    f32 precision."""
+    import torch
+
+    from pytorch_segmentation_tpu.models import SegFormer
+    from pytorch_segmentation_tpu.utils.port_torch import \
+        load_pretrained_segformer
+
+    hf = _hf_tiny_segformer(rng)
+    model = SegFormer(num_classes=3, variant="tiny", dtype=jnp.float32,
+                      full_res_output=False)
+    v = model.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+    sd = {k: t.numpy() for k, t in hf.state_dict().items()}
+    params, stats = load_pretrained_segformer(v["params"],
+                                              v["batch_stats"], sd)
+
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(x.transpose(0, 3, 1, 2))).logits
+    ref = ref.numpy().transpose(0, 2, 3, 1)  # NCHW -> NHWC, stride 4
+    out = np.asarray(model.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x),
+        train=False))
+    assert out.shape == ref.shape
+    assert np.abs(out - ref).max() < 1e-3, np.abs(out - ref).max()
+
+
+def test_hf_segformer_encoder_only_and_class_mismatch(rng):
+    """A SegformerModel checkpoint (encoder only, the nvidia/mit-b* zoo
+    layout) ports the backbone and leaves the decoder at init; a full
+    checkpoint with a different label count keeps the model's fresh
+    classifier but ports the rest of the head."""
+    from pytorch_segmentation_tpu.models import SegFormer
+    from pytorch_segmentation_tpu.utils.port_torch import \
+        load_pretrained_segformer
+
+    hf = _hf_tiny_segformer(rng, num_labels=7)
+    full_sd = {k: t.numpy() for k, t in hf.state_dict().items()}
+    # nvidia/mit-b* layout: encoder only, keys prefixed "segformer."
+    enc_sd = {k: v for k, v in full_sd.items()
+              if not k.startswith("decode_head.")}
+    assert any(k.startswith("segformer.") for k in enc_sd)
+
+    model = SegFormer(num_classes=3, variant="tiny", dtype=jnp.float32)
+    v = model.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+
+    p_enc, s_enc = load_pretrained_segformer(v["params"], v["batch_stats"],
+                                             enc_sd)
+    q = full_sd["segformer.encoder.block.0.0.attention.self.query.weight"]
+    np.testing.assert_array_equal(
+        p_enc["backbone"]["block1_0"]["attn"]["q"]["kernel"], q.T)
+    # decoder untouched by an encoder-only port
+    np.testing.assert_array_equal(p_enc["linear_c1"]["kernel"],
+                                  np.asarray(v["params"]["linear_c1"]
+                                             ["kernel"]))
+
+    # full checkpoint, 7 labels into a 3-class model: head ports,
+    # classifier stays fresh
+    p_full, _ = load_pretrained_segformer(v["params"], v["batch_stats"],
+                                          full_sd)
+    np.testing.assert_array_equal(
+        p_full["cls_conv"]["kernel"],
+        np.asarray(v["params"]["cls_conv"]["kernel"]))
+    fuse = full_sd["decode_head.linear_fuse.weight"]
+    np.testing.assert_array_equal(
+        p_full["fuse"]["conv"]["kernel"],
+        fuse.transpose(2, 3, 1, 0))
+
+
+def test_hf_segformer_port_cli(rng, tmp_path):
+    """port_weights.py --model segformer end to end: HF .pth ->
+    framework checkpoint that loads and runs."""
+    import torch
+
+    from pytorch_segmentation_tpu.engine.checkpoint import load_checkpoint
+
+    hf = _hf_tiny_segformer(rng)
+    pth = tmp_path / "hf_segformer.pth"
+    torch.save(hf.state_dict(), str(pth))
+
+    import port_weights
+    out = tmp_path / "segformer_ported.ckpt"
+    port_weights.run(str(pth), "segformer", 3, str(out), variant="tiny")
+    ckpt = load_checkpoint(str(out))
+    k = ckpt["model"]["backbone"]["patch_embed1_proj"]["kernel"]
+    assert tuple(k.shape) == (7, 7, 3, 16)
+    np.testing.assert_allclose(
+        np.asarray(k),
+        hf.state_dict()["segformer.encoder.patch_embeddings.0.proj.weight"]
+        .numpy().transpose(2, 3, 1, 0))
