@@ -53,12 +53,14 @@ _BACKBONE_ARCH = {
     "pspnet": "resnet50",
     "fpn": "resnet50",
     "fastfcn": "resnet50",
+    "upernet": "resnet50",  # variant r34 / mit-b* switch the converter
 }
 
 
 def run(sd_path, model_name, num_classes, out_path, arch=None,
         variant=""):
-    if arch is None and model_name == "fpn" and variant == "r34":
+    if arch is None and variant == "r34" and model_name in ("fpn",
+                                                            "upernet"):
         arch = "resnet34"  # the r34 variant ports the resnet34 backbone
     arch = arch or _BACKBONE_ARCH.get(model_name)
     if arch is None and model_name != "segformer":
@@ -73,14 +75,19 @@ def run(sd_path, model_name, num_classes, out_path, arch=None,
                         jnp.zeros((1, 64, 64, 3), jnp.float32))
     params = jax_to_py(variables["params"])
     stats = jax_to_py(variables.get("batch_stats", {}))
-    if model_name == "segformer":
+    hf_mit = (model_name == "segformer" or
+              (model_name == "upernet" and variant.startswith("mit")))
+    if hf_mit:
         # HuggingFace transformers checkpoint: SegformerModel (MiT
         # encoder, nvidia/mit-b*) or SegformerForSemanticSegmentation
-        # (full model, ADE/Cityscapes zoo) — port_torch.py
+        # (full model, ADE/Cityscapes zoo) — port_torch.py. UPerNet
+        # shares the MiT encoder but not the head: backbone only.
         from pytorch_segmentation_tpu.utils.port_torch import \
             load_pretrained_segformer
-        params, stats = load_pretrained_segformer(params, stats, sd_path)
-        arch = f"mit-{variant or 'b0'} (huggingface)"
+        params, stats = load_pretrained_segformer(
+            params, stats, sd_path,
+            backbone_only=model_name == "upernet")
+        arch = f"mit ({variant or 'b0'}, huggingface)"
     else:
         params, stats = load_pretrained_backbone(params, stats, sd_path,
                                                  arch)

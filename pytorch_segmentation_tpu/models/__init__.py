@@ -10,6 +10,7 @@ from .hrnet import HRNet
 from .pspnet import PSPNet
 from .segformer import SegFormer
 from .unet import UNet
+from .upernet import UPerNet
 
 def _fastfcn(**kw):
     """FastFCN (Wu et al. 2019) = PSPNet head + Joint Pyramid Upsampling in
@@ -26,6 +27,7 @@ MODEL_REGISTRY = {
     "fpn": FPN,
     "fastfcn": _fastfcn,
     "segformer": SegFormer,  # MiT-B0; variant="b1".."b5" via kwargs
+    "upernet": UPerNet,  # ResNet-50; variant="mit-b0".. for the MiT encoder
 }
 
 
@@ -47,6 +49,12 @@ MODEL_VARIANTS = {
     "fpn": {
         "r50": {},  # the default bottleneck (3,4,6,3) backbone
         "r34": {"block": "basic", "backbone_layers": (3, 4, 6, 3)},
+    },
+    "upernet": {
+        "r50": {},  # the default bottleneck (3,4,6,3) backbone
+        "r34": {"block": "basic", "backbone_layers": (3, 4, 6, 3)},
+        **{f"mit-{v}": {"encoder": "mit", "mit_variant": v}
+           for v in ("b0", "b1", "b2", "b3", "b4", "b5", "tiny")},
     },
 }
 
@@ -84,5 +92,6 @@ def apply_scan_blocks(name: str, model_kw: dict, enabled: bool) -> dict:
 
 
 __all__ = ["UNet", "DeepLabV3Plus", "HRNet", "PSPNet", "FPN", "SegFormer",
+           "UPerNet",
            "MODEL_REGISTRY", "MODEL_VARIANTS", "build_model",
            "variant_kwargs", "apply_scan_blocks"]

@@ -152,9 +152,11 @@ class _BlockStack(nn.Module):
     """`depth` identical blocks with parameters STACKED along a leading
     layer axis (one param tree leaf per block leaf, shape [L, ...]) and
     applied via `lax.scan` — one compiled block body instead of `depth`
-    unrolled copies (b5's 40-block stage 3 compiles ~40x less HLO), and
-    the layer axis becomes shardable for pipeline parallelism
-    (parallel/pp.py). Checkpoints convert to/from the unrolled
+    unrolled copies (b5 fwd HLO 1.00 -> 0.16 MB, 6.2x; but a measured
+    1.55x step-time COST at b2 @512² since XLA can't fuse across the
+    scan boundary — PERF.md), and the layer axis becomes shardable for
+    pipeline parallelism (parallel/pp.py, the feature's real point).
+    Checkpoints convert to/from the unrolled
     `block{i}_{j}` layout with stack_block_params/unstack_block_params."""
 
     dim: int
@@ -304,7 +306,8 @@ class SegFormer(nn.Module):
     output_stride: int = 4
     remat: bool = False
     split_fuse: bool = True  # False: literal concat+CNA (A/B / int8 PTQ)
-    # stacked-params block stacks (lax.scan; ~depth-x less HLO for b2..b5)
+    # stacked-params block stacks (lax.scan; 6.2x less HLO at b5, 1.55x
+    # step-time cost — PERF.md; the --pp prerequisite)
     scan_blocks: bool = False
     # GPipe pipeline parallelism over a (data, pipe) mesh (parallel/pp.py);
     # implies scan_blocks for the stages whose depth the pipe degree divides

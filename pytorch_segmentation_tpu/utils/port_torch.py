@@ -234,12 +234,15 @@ def convert_hf_segformer(sd: dict):
     return params, stats
 
 
-def load_pretrained_segformer(model_params, model_stats, path_or_sd):
+def load_pretrained_segformer(model_params, model_stats, path_or_sd,
+                              backbone_only=False):
     """Merge a HuggingFace Segformer checkpoint into a SegFormer model's
     trees. The MiT backbone always ports; the decode head ports when the
     checkpoint has one (SegformerForSemanticSegmentation); the classifier
     ports only when its class count matches the model (a zoo checkpoint
-    finetuned on a different label set keeps the model's fresh head)."""
+    finetuned on a different label set keeps the model's fresh head).
+    backbone_only=True ports just the MiT encoder — for models that embed
+    it under a different head (UPerNet encoder='mit')."""
     import copy
 
     if isinstance(path_or_sd, (str, bytes)):
@@ -249,6 +252,9 @@ def load_pretrained_segformer(model_params, model_stats, path_or_sd):
     else:
         sd = {k: np.asarray(v) for k, v in path_or_sd.items()}
     hp, hs = convert_hf_segformer(sd)
+    if backbone_only:
+        hp = {"backbone": hp["backbone"]}
+        hs = {}
 
     params = copy.deepcopy(jax_to_py(model_params))
     stats = copy.deepcopy(jax_to_py(model_stats))

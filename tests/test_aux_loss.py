@@ -119,3 +119,21 @@ def test_aux_warm_start_from_plain_ckpt(tmp_path, rng, capsys):
     np.testing.assert_array_equal(
         np.asarray(params["aux_cls"]["kernel"]),
         np.asarray(v["params"]["aux_cls"]["kernel"]))
+
+
+def test_upernet_aux_contract(rng):
+    """UPerNet aux=True (train.py --aux-loss on upernet): the mmseg-style
+    FCN aux head sits on C4 (stride 16); train mode returns the tuple,
+    eval mode the single full-res output."""
+    from pytorch_segmentation_tpu.models import UPerNet
+
+    m = UPerNet(num_classes=NC, backbone_layers=(1, 1, 1, 1), channels=64,
+                dtype=jnp.float32, aux=True)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x[:1], train=False)
+    assert "aux_conv" in v["params"] and "aux_cls" in v["params"]
+    out, _ = m.apply(v, x, train=True, mutable=["batch_stats"])
+    main, aux = out
+    assert main.shape == (2, 64, 64, NC)
+    assert aux.shape == (2, 4, 4, NC)  # C4 @ stride 16
+    assert not isinstance(m.apply(v, x, train=False), tuple)

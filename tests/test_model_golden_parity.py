@@ -19,13 +19,14 @@ import torch
 import torch.nn.functional as F
 
 from pytorch_segmentation_tpu.models import (FPN, DeepLabV3Plus, HRNet,
-                                              PSPNet, SegFormer, UNet)
+                                              PSPNet, SegFormer, UNet,
+                                              UPerNet)
 from pytorch_segmentation_tpu.utils.port_torch import (
     _merge_checked, convert_mobilenetv2, convert_named, convert_resnet,
     jax_to_py)
 
 from torch_refs import (TFPN, TDeepLabV3Plus, THRNet, TPSPNet, TSegFormer,
-                        TUNet, randomize_bn_stats)
+                        TUNet, TUPerNet, randomize_bn_stats)
 
 
 def _split_sd(model, prefix="backbone."):
@@ -83,6 +84,16 @@ CASES = {
                 lambda nc: TPSPNet(nc, jpu=True), convert_resnet),
     "segformer": (lambda nc: SegFormer(num_classes=nc, dtype=jnp.float32),
                   TSegFormer, None),
+    "upernet": (lambda nc: UPerNet(num_classes=nc, dtype=jnp.float32),
+                TUPerNet, convert_resnet),
+    # MiT-encoder UPerNet at the 1-block 'tiny' dims (affordable compile;
+    # the encoder itself carries full golden parity via 'segformer')
+    "upernet-mit": (
+        lambda nc: UPerNet(num_classes=nc, encoder="mit",
+                           mit_variant="tiny", dtype=jnp.float32),
+        lambda nc: TUPerNet(nc, encoder="mit", mit_dims=(16, 32, 64, 128),
+                            mit_depths=(1, 1, 1, 1), mit_heads=(1, 2, 4, 8)),
+        None),
 }
 
 

@@ -422,3 +422,25 @@ def test_hf_segformer_port_cli(rng, tmp_path):
         np.asarray(k),
         hf.state_dict()["segformer.encoder.patch_embeddings.0.proj.weight"]
         .numpy().transpose(2, 3, 1, 0))
+
+
+def test_hf_mit_port_into_upernet(rng, tmp_path):
+    """The HF MiT encoder ports into UPerNet (encoder='mit') — backbone
+    only; the UPerHead stays at init (it has no HF counterpart)."""
+    import torch
+
+    from pytorch_segmentation_tpu.engine.checkpoint import load_checkpoint
+
+    hf = _hf_tiny_segformer(rng)
+    pth = tmp_path / "hf_mit.pth"
+    torch.save(hf.segformer.state_dict(), str(pth))  # encoder-only layout
+
+    import port_weights
+    out = tmp_path / "upernet_mit.ckpt"
+    port_weights.run(str(pth), "upernet", 3, str(out), variant="mit-tiny")
+    ckpt = load_checkpoint(str(out))
+    np.testing.assert_allclose(
+        np.asarray(ckpt["model"]["backbone"]["patch_embed1_proj"]["kernel"]),
+        hf.state_dict()["segformer.encoder.patch_embeddings.0.proj.weight"]
+        .numpy().transpose(2, 3, 1, 0))
+    assert "ppm_bottleneck" in ckpt["model"]  # head present, at init

@@ -12,7 +12,8 @@ from pytorch_segmentation_tpu.data import (CocoDataset, DataLoader, Fetcher,
                                            PostFetch)
 from pytorch_segmentation_tpu.engine import (ModelBundle, Trainer,
                                              load_checkpoint, test)
-from pytorch_segmentation_tpu.models import FPN, DeepLabV3Plus, HRNet, UNet
+from pytorch_segmentation_tpu.models import (FPN, DeepLabV3Plus, HRNet,
+                                             UNet, UPerNet)
 
 
 @pytest.fixture(scope="module")
@@ -56,7 +57,9 @@ def test_eval_miou_beats_random(trained):
      16, 0.12),
     (lambda nc: FPN(num_classes=nc, backbone_layers=(1, 1, 1, 1),
                     dtype=jnp.float32), 5, 0.15),
-], ids=["deeplabv3plus", "hrnet", "fpn"])
+    (lambda nc: UPerNet(num_classes=nc, backbone_layers=(1, 1, 1, 1),
+                        channels=64, dtype=jnp.float32), 5, 0.15),
+], ids=["deeplabv3plus", "hrnet", "fpn", "upernet"])
 def test_models_learn(build, epochs, miou_min, synthetic_coco):
     """Every non-default model family must be SHOWN to learn (loss drop +
     mIoU above random), not just compile (VERDICT round-1 weak #3; UNet is

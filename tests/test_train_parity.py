@@ -1,7 +1,7 @@
 """TRAINING-DYNAMICS parity vs the torch-reconstructed reference.
 
 Extends the forward/gradient golden tests (test_model_golden_parity.py) to
-the full optimization loop, for ALL FIVE model families: starting from
+the full optimization loop, for EVERY model family: starting from
 identical ported weights, N steps of SGD+momentum on identical batches must
 produce matching per-step losses, matching parameters, and matching BN
 running statistics. This exercises everything the ±0.2 mIoU north star
@@ -27,14 +27,15 @@ import torch.nn.functional as F
 from pytorch_segmentation_tpu.engine.steps import (TrainState,
                                                    make_train_step)
 from pytorch_segmentation_tpu.models import (FPN, DeepLabV3Plus, HRNet,
-                                              PSPNet, SegFormer, UNet)
+                                              PSPNet, SegFormer, UNet,
+                                              UPerNet)
 from pytorch_segmentation_tpu.ops.loss import compute_loss
 from pytorch_segmentation_tpu.utils.port_torch import (convert_mobilenetv2,
                                                        convert_resnet)
 
 from test_model_golden_parity import _port
 from torch_refs import (TFPN, TDeepLabV3Plus, THRNet, TPSPNet, TSegFormer,
-                        TUNet, randomize_bn_stats)
+                        TUNet, TUPerNet, randomize_bn_stats)
 
 LR, MOMENTUM, N_STEPS = 1e-2, 0.9, 6
 NC, BS, HW = 3, 2, 64
@@ -83,6 +84,12 @@ TRAJ_CASES = {
                           dtype=jnp.float32),
         lambda: TSegFormer(NC, variant="tiny"), None,
         "cls_conv", "fuse"),
+    "upernet": (
+        lambda: UPerNet(num_classes=NC, backbone_layers=(1, 1, 1, 1),
+                        channels=64, dtype=jnp.float32),
+        lambda: TUPerNet(NC, layers=(1, 1, 1, 1), channels=64),
+        lambda sd: convert_resnet(sd, layers=(1, 1, 1, 1)),
+        "cls_conv", "fpn_bottleneck"),
 }
 
 

@@ -693,3 +693,65 @@ class TSegFormer(nn.Module):
         y = self.cls_conv(y)
         return F.interpolate(y, size=size, mode="bilinear",
                              align_corners=False)
+
+
+class TUPerNet(nn.Module):
+    """UPerNet mirror (models/upernet.py — an addition beyond the
+    reference; Xiao et al. unified perceptual parsing head, mmseg
+    UPerHead conventions). PPM-capped C5 -> FPN with BN+ReLU laterals ->
+    stride-4 concat fuse -> 1x1 cls conv -> x4 upsample, bilinear
+    align_corners=False throughout. encoder='mit' swaps the ResNet
+    pyramid for the Mix Transformer encoder (TMiT). Names mirror the
+    flax tree (convert_named)."""
+
+    def __init__(self, num_classes, layers=(3, 4, 6, 3), block=None,
+                 encoder="resnet", mit_dims=(32, 64, 160, 256),
+                 mit_depths=(2, 2, 2, 2), mit_heads=(1, 2, 5, 8),
+                 channels=512, pool_scales=(1, 2, 3, 6)):
+        super().__init__()
+        self.encoder = encoder
+        if encoder == "mit":
+            self.backbone = TMiT(mit_dims, mit_depths, mit_heads)
+            chans = list(mit_dims)
+        else:
+            block = block or _TorchBottleneck
+            self.backbone = TResNet(block, layers)
+            chans = [64 * block.expansion * (2 ** i) for i in range(4)]
+        self.pool_scales = pool_scales
+        for s in pool_scales:
+            setattr(self, f"ppm_conv{s}",
+                    TConvNormAct(chans[3], channels, 1))
+        self.ppm_bottleneck = TConvNormAct(
+            chans[3] + channels * len(pool_scales), channels, 3)
+        for i in range(3):
+            setattr(self, f"lat{i}", TConvNormAct(chans[i], channels, 1))
+            setattr(self, f"fpn_conv{i}",
+                    TConvNormAct(channels, channels, 3))
+        self.fpn_bottleneck = TConvNormAct(4 * channels, channels, 3)
+        self.cls_conv = nn.Conv2d(channels, num_classes, 1)
+
+    def forward(self, x):
+        feats = self.backbone(x)
+        if self.encoder != "mit":
+            feats = feats[1:]  # C2..C5
+        sizes = [f.shape[-2:] for f in feats]
+        c5 = feats[3]
+        branches = [c5]
+        for s in self.pool_scales:
+            p = getattr(self, f"ppm_conv{s}")(F.adaptive_avg_pool2d(c5, s))
+            branches.append(F.interpolate(p, size=sizes[3], mode="bilinear",
+                                          align_corners=False))
+        top = self.ppm_bottleneck(torch.cat(branches, 1))
+        laterals = [getattr(self, f"lat{i}")(feats[i])
+                    for i in range(3)] + [top]
+        for i in (2, 1, 0):
+            laterals[i] = laterals[i] + F.interpolate(
+                laterals[i + 1], size=sizes[i], mode="bilinear",
+                align_corners=False)
+        pyramid = [getattr(self, f"fpn_conv{i}")(laterals[i])
+                   for i in range(3)] + [top]
+        outs = [pyramid[0]] + [
+            F.interpolate(p, size=sizes[0], mode="bilinear",
+                          align_corners=False) for p in pyramid[1:]]
+        y = self.fpn_bottleneck(torch.cat(outs, 1))
+        return _up(self.cls_conv(y), 4, align=False)

@@ -23,10 +23,11 @@ def main():
     # DLV3+ handles the reference's odd 513; UNet/HRNet skip-concat wants
     # multiples of 32 (reference trains them at 320/512-style sizes)
     sizes = {"unet": 512, "deeplabv3plus": 513, "hrnet": 512,
-             "pspnet": 513, "fpn": 512, "fastfcn": 513, "segformer": 512}
+             "pspnet": 513, "fpn": 512, "fastfcn": 513, "segformer": 512,
+             "upernet": 512}
     import sys
     names = sys.argv[1:] or ("unet", "deeplabv3plus", "hrnet", "pspnet",
-                             "fpn", "fastfcn")
+                             "fpn", "fastfcn", "upernet")
     for name in names:
         img = sizes[name] if on_tpu else 128
         images = jax.random.normal(jax.random.PRNGKey(1),

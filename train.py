@@ -94,10 +94,12 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
     if remat and model_name in ("deeplabv3plus", "pspnet", "fpn",
                                 "fastfcn", "segformer"):
         model_kw["remat"] = True
-    if aux_loss > 0:
+    if aux_loss > 0 and model_name == "upernet":
+        model_kw["aux"] = True  # FCN aux on C4 (models/upernet.py)
+    elif aux_loss > 0:
         if model_name not in ("pspnet", "fastfcn"):
             raise SystemExit("--aux-loss is only supported by the "
-                             "pspnet/fastfcn families (layer3 aux head)")
+                             "pspnet/fastfcn/upernet families")
         model_kw["aux"] = True
     if scan_blocks or pp > 1:
         from pytorch_segmentation_tpu.models import apply_scan_blocks
@@ -204,8 +206,9 @@ if __name__ == "__main__":
     parser.add_argument("--notest", action="store_true")
     parser.add_argument("--nosave", action="store_true")
     parser.add_argument("--aux-loss", type=float, default=0.0, metavar="W",
-                        help="pspnet/fastfcn: add the canonical layer3 "
-                             "auxiliary FCN head and weight its loss by W "
+                        help="pspnet/fastfcn/upernet: add the canonical "
+                             "auxiliary FCN head (layer3 / C4) and weight "
+                             "its loss by W "
                              "during training (same criterion as --loss; "
                              "with the default ce, W=0.4 is the "
                              "hszhao/semseg convention; 0 = off). "
@@ -282,9 +285,13 @@ if __name__ == "__main__":
                         help="stack each transformer stage's blocks along "
                              "a leading layer axis and apply them with "
                              "lax.scan: one compiled block body instead of "
-                             "depth unrolled copies (b2..b5 compile-time "
-                             "saver; checkpoints convert with "
-                             "models.segformer.stack_block_params)")
+                             "depth unrolled copies. NOTE: costs ~1.55x "
+                             "step time on-chip (XLA can't fuse across the "
+                             "scan boundary — PERF.md); use as the --pp "
+                             "prerequisite or when a b4/b5-scale program "
+                             "blows compile budgets (b5 HLO is 6.2x "
+                             "smaller). Checkpoints convert with "
+                             "tools/convert_ckpt_layout.py")
     parser.add_argument("--ema", type=float, default=0.0, metavar="DECAY",
                         help="keep an exponential moving average of the "
                              "weights (e.g. 0.999); epoch-end val and "
