@@ -94,9 +94,30 @@ def create_train_state(model, rng, sample_input, tx,
     )
 
 
+def distill_loss(student_logits, teacher_logits, temp: float = 2.0):
+    """Hinton et al. KD: T^2-scaled KL(softmax(t/T) || softmax(s/T)),
+    mean over pixels. Logits are [B, h, w, C]; the teacher's grid is
+    bilinearly resized to the student's when output strides differ
+    (logits are pre-softmax scores — resizing them is the standard
+    dense-distillation practice). f32 softmaxes for stability."""
+    from ..ops.resize import resize_bilinear
+    if teacher_logits.shape[1:3] != student_logits.shape[1:3]:
+        teacher_logits = resize_bilinear(
+            teacher_logits.astype(jnp.float32), student_logits.shape[1:3],
+            align_corners=False)
+    t = teacher_logits.astype(jnp.float32) / temp
+    s = student_logits.astype(jnp.float32) / temp
+    pt = jax.nn.softmax(t, axis=-1)
+    kl = jnp.sum(pt * (jax.nn.log_softmax(t, -1)
+                       - jax.nn.log_softmax(s, -1)), axis=-1)
+    return (temp * temp) * jnp.mean(kl)
+
+
 def make_train_step(loss_fn: Callable = compute_loss, accumulate: int = 1,
                     donate: bool = True, qat: bool = False,
-                    ema_decay: float = 0.0, aux_weight: float = 0.4):
+                    ema_decay: float = 0.0, aux_weight: float = 0.4,
+                    distill_fn: Callable | None = None,
+                    distill_weight: float = 0.0, distill_temp: float = 2.0):
     """Returns jitted (state, images, segs) -> (state, loss) over ONE loader
     batch. With accumulate=k, grads from k consecutive calls are averaged in
     state.grad_acc and the optimizer applies on every k-th call — the
@@ -119,6 +140,12 @@ def make_train_step(loss_fn: Callable = compute_loss, accumulate: int = 1,
     aux=True). The aux branch uses the SAME criterion as the main branch
     (loss_fn); with the default --loss ce this is the hszhao/semseg
     0.4-weighted aux CE convention.
+
+    distill_fn(images) -> frozen-teacher logits enables knowledge
+    distillation (train.py --distill): total = loss_fn + distill_weight *
+    T^2 * KL(teacher || student) at temperature distill_temp. The teacher
+    closure runs eval-mode inside the SAME jitted program (its params are
+    captured constants — no second dispatch, no grads through it).
 
     images: [B, H, W, 3] normalized float; segs: [B, H, W] int32.
     """
@@ -154,7 +181,12 @@ def make_train_step(loss_fn: Callable = compute_loss, accumulate: int = 1,
             main, aux = logits
             loss = loss_fn(main, segs) + aux_weight * loss_fn(aux, segs)
         else:
+            main = logits
             loss = loss_fn(logits, segs)
+        if distill_fn is not None and distill_weight > 0:
+            teacher = jax.lax.stop_gradient(distill_fn(images))
+            loss = loss + distill_weight * distill_loss(
+                main, teacher, distill_temp)
         return loss, mutated["batch_stats"]
 
     def step(state: TrainState, images, segs):

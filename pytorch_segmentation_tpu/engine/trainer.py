@@ -89,7 +89,8 @@ class Trainer:
                  defer_upsample: bool = True, lr_schedule: str = "constant",
                  warmup_steps: int = 0, total_steps: int | None = None,
                  qat: bool = False, ema_decay: float = 0.0,
-                 aux_weight: float = 0.4):
+                 aux_weight: float = 0.4, distill_fn=None,
+                 distill_weight: float = 0.0, distill_temp: float = 2.0):
         self.module = model
         self.fetcher = fetcher
         self.workdir = workdir
@@ -217,7 +218,10 @@ class Trainer:
                                            accumulate=self.accumulate,
                                            qat=self.qat,
                                            ema_decay=self.ema_decay,
-                                           aux_weight=aux_weight)
+                                           aux_weight=aux_weight,
+                                           distill_fn=distill_fn,
+                                           distill_weight=distill_weight,
+                                           distill_temp=distill_temp)
 
     @property
     def model(self) -> ModelBundle:

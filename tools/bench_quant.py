@@ -14,7 +14,7 @@ mask agreement and logits cosine of int8 vs bf16 — the accuracy side of
 the PTQ trade.
 
 Usage: python tools/bench_quant.py [rounds] [batch] [model]
-(model in unet|deeplabv3plus|hrnet, default deeplabv3plus)
+(model is any zoo name, default deeplabv3plus)
 """
 
 import statistics

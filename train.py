@@ -42,7 +42,9 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
           warmup_steps=0, fast_augment=False, precompile=False, qat=False,
           ema=0.0, loss="ce", cache_images=False, momentum=0.9,
           weight_decay=0.0, clip_grad=0.0, patience=0, aux_loss=0.0, tp=1,
-          variant="", pp=1, pp_microbatches=0, scan_blocks=False):
+          variant="", pp=1, pp_microbatches=0, scan_blocks=False,
+          distill="", distill_model="", distill_variant="",
+          distill_weight=1.0, distill_temp=2.0):
     ds_cls, train_file, val_file = DATASETS[dataset]
     train_coco = osp.join(data_dir, train_file)
     val_coco = osp.join(data_dir, val_file)
@@ -115,10 +117,33 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
                         dtype=jnp.bfloat16 if mixed_precision else jnp.float32,
                         **model_kw)
 
+    distill_fn = None
+    if distill:
+        # knowledge distillation (engine/steps.distill_loss): a frozen
+        # teacher (any zoo family/variant, e.g. a trained segformer-b5)
+        # runs eval-mode inside the student's train step; the student
+        # adds distill_weight * T^2 * KL(teacher || student) to its loss
+        from pytorch_segmentation_tpu.engine.checkpoint import \
+            load_model_bundle
+        tname = distill_model or model_name
+        teacher = build_model(
+            tname, num_classes=len(train_data.classes),
+            dtype=jnp.bfloat16 if mixed_precision else jnp.float32,
+            full_res_output=False,
+            **variant_kwargs(tname, distill_variant))
+        tbundle = load_model_bundle(teacher, distill, (h, w))
+
+        def distill_fn(imgs):
+            return teacher.apply(
+                {"params": tbundle.params,
+                 "batch_stats": tbundle.batch_stats}, imgs, train=False)
+
     from pytorch_segmentation_tpu.ops.loss import build_loss
     loss_fn = build_loss(loss, align_corners=getattr(
         model, "up_align_corners", True))
     trainer = Trainer(model, train_fetcher, loss_fn=loss_fn,
+                      distill_fn=distill_fn, distill_weight=distill_weight,
+                      distill_temp=distill_temp,
                       workdir="weights",
                       accumulate=accumulate, adam=adam, lr=lr,
                       weights=weights, resume=resume,
@@ -292,6 +317,21 @@ if __name__ == "__main__":
                              "blows compile budgets (b5 HLO is 6.2x "
                              "smaller). Checkpoints convert with "
                              "tools/convert_ckpt_layout.py")
+    parser.add_argument("--distill", type=str, default="", metavar="CKPT",
+                        help="knowledge distillation: framework checkpoint "
+                             "of a frozen teacher; adds T^2-scaled "
+                             "KL(teacher||student) to the training loss "
+                             "(runs inside the same jitted train step)")
+    parser.add_argument("--distill-model", type=str, default="",
+                        help="teacher family (default: same as --model)")
+    parser.add_argument("--distill-variant", type=str, default="",
+                        help="teacher size variant (e.g. b5 for a "
+                             "segformer teacher)")
+    parser.add_argument("--distill-weight", type=float, default=1.0,
+                        metavar="W", help="weight of the KD term")
+    parser.add_argument("--distill-temp", type=float, default=2.0,
+                        metavar="T", help="softmax temperature (Hinton "
+                             "convention; loss scales by T^2)")
     parser.add_argument("--ema", type=float, default=0.0, metavar="DECAY",
                         help="keep an exponential moving average of the "
                              "weights (e.g. 0.999); epoch-end val and "
@@ -323,4 +363,8 @@ if __name__ == "__main__":
           patience=opt.patience, aux_loss=opt.aux_loss, tp=opt.tp,
           variant=opt.variant, pp=opt.pp,
           pp_microbatches=opt.pp_microbatches,
-          scan_blocks=opt.scan_blocks)
+          scan_blocks=opt.scan_blocks, distill=opt.distill,
+          distill_model=opt.distill_model,
+          distill_variant=opt.distill_variant,
+          distill_weight=opt.distill_weight,
+          distill_temp=opt.distill_temp)
