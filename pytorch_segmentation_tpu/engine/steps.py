@@ -117,7 +117,8 @@ def make_train_step(loss_fn: Callable = compute_loss, accumulate: int = 1,
                     donate: bool = True, qat: bool = False,
                     ema_decay: float = 0.0, aux_weight: float = 0.4,
                     distill_fn: Callable | None = None,
-                    distill_weight: float = 0.0, distill_temp: float = 2.0):
+                    distill_weight: float = 0.0, distill_temp: float = 2.0,
+                    out_shardings=None):
     """Returns jitted (state, images, segs) -> (state, loss) over ONE loader
     batch. With accumulate=k, grads from k consecutive calls are averaged in
     state.grad_acc and the optimizer applies on every k-th call — the
@@ -146,6 +147,12 @@ def make_train_step(loss_fn: Callable = compute_loss, accumulate: int = 1,
     T^2 * KL(teacher || student) at temperature distill_temp. The teacher
     closure runs eval-mode inside the SAME jitted program (its params are
     captured constants — no second dispatch, no grads through it).
+
+    out_shardings, when given, is a (state_shardings, loss_sharding) pair
+    pinning the OUTPUT layout — the ZeRO-1 path (parallel/zero.py) uses it
+    to keep the optimizer state sharded over 'data' across steps (GSPMD
+    then reduce-scatters grads into the owned shard and all-gathers only
+    the updated params).
 
     images: [B, H, W, 3] normalized float; segs: [B, H, W] int32.
     """
@@ -221,6 +228,7 @@ def make_train_step(loss_fn: Callable = compute_loss, accumulate: int = 1,
         return state.replace(batch_stats=new_bs, micro_step=micro), loss
 
     return jit_with_options(step, donate_argnums=(0,) if donate else (),
+                            out_shardings=out_shardings,
                             compiler_options=tpu_compiler_options())
 
 

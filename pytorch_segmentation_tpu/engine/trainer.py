@@ -90,7 +90,8 @@ class Trainer:
                  warmup_steps: int = 0, total_steps: int | None = None,
                  qat: bool = False, ema_decay: float = 0.0,
                  aux_weight: float = 0.4, distill_fn=None,
-                 distill_weight: float = 0.0, distill_temp: float = 2.0):
+                 distill_weight: float = 0.0, distill_temp: float = 2.0,
+                 zero: bool = False):
         self.module = model
         self.fetcher = fetcher
         self.workdir = workdir
@@ -197,8 +198,20 @@ class Trainer:
         # inits/loads the same state and contributes its replicas). On a
         # tensor-parallel mesh (a 'model' axis — train.py --tp) the matched
         # transformer weights shard over it (parallel/tp.py); otherwise
-        # everything replicates — the reference's DDP placement.
-        if "model" in getattr(self.mesh, "axis_names", ()):
+        # everything replicates — the reference's DDP placement — unless
+        # --zero shards the optimizer state over 'data' (parallel/zero.py).
+        self._zero_shardings = None
+        axes = getattr(self.mesh, "axis_names", ())
+        if zero and ("model" in axes or "pipe" in axes):
+            raise ValueError("--zero composes with data parallelism only; "
+                             "the tp/pp paths already shard their optimizer "
+                             "state with the weights (parallel/zero.py)")
+        if zero and dict(self.mesh.shape).get("data", 1) > 1:
+            from ..parallel.zero import shard_zero, zero_state_shardings
+            self._zero_shardings = zero_state_shardings(self.state,
+                                                        self.mesh)
+            self.state = shard_zero(self.state, self.mesh)
+        elif "model" in getattr(self.mesh, "axis_names", ()):
             from ..parallel.mesh import put_tree
             from ..parallel.tp import tp_state_shardings
             self.state = put_tree(
@@ -214,6 +227,10 @@ class Trainer:
             self.state = put_replicated_tree(self._repl_sharding, self.state)
 
         self.qat = bool(qat)  # quantization-aware training (train.py --qat)
+        # ZeRO: pin the output layout so the optimizer state STAYS sharded
+        # over 'data' across steps (otherwise GSPMD may pick its own)
+        out_sh = (None if self._zero_shardings is None
+                  else (self._zero_shardings, self._repl_sharding))
         self._train_step = make_train_step(loss_fn=loss_fn,
                                            accumulate=self.accumulate,
                                            qat=self.qat,
@@ -221,7 +238,8 @@ class Trainer:
                                            aux_weight=aux_weight,
                                            distill_fn=distill_fn,
                                            distill_weight=distill_weight,
-                                           distill_temp=distill_temp)
+                                           distill_temp=distill_temp,
+                                           out_shardings=out_sh)
 
     @property
     def model(self) -> ModelBundle:

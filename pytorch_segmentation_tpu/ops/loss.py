@@ -22,6 +22,7 @@ from .resize import resize_bilinear
 
 __all__ = [
     "softmax_cross_entropy",
+    "weighted_cross_entropy",
     "compute_loss",
     "focal_bce_loss",
     "lovasz_softmax_loss",
@@ -80,11 +81,89 @@ def make_loss_fn(align_corners: bool = True, use_pallas: bool = True):
     return loss_fn
 
 
+def weighted_cross_entropy(logits: jax.Array, labels: jax.Array, *,
+                           class_weights: jax.Array | None = None,
+                           label_smoothing: float = 0.0,
+                           ohem_frac: float = 0.0,
+                           ohem_thresh: float = 0.7,
+                           ignore_index: int | None = None) -> jax.Array:
+    """Softmax CE with the three production trainer knobs (all composable):
+
+      class_weights [C]   torch nn.CrossEntropyLoss(weight=) semantics:
+                          sum_i w[y_i] * ce_i / sum_i w[y_i]
+      label_smoothing eps torch label_smoothing semantics (exact,
+                          including the weighted composition): the NLL
+                          term is weighted by w[y_i], the smooth term by
+                          w[c] inside the class sum, BOTH normalized by
+                          sum_i w[y_i]:
+                            (1-eps) * sum_i w[y_i]*(lse_i - z_iy) / W
+                          + (eps/C) * sum_i sum_c w[c]*(lse_i - z_ic) / W
+      ohem_frac f > 0     online hard example mining (Shrivastava et al.
+                          2016 as realized by mmseg's OhemPixelSampler):
+                          keep pixels whose true-class probability is
+                          below ohem_thresh, but always at least
+                          k = f*N pixels (the k hardest by p_true) —
+                          a static-shape top_k realizes the dynamic
+                          "lower the threshold until min_kept" rule.
+                          The mean is over kept pixels only.
+
+    logits [..., C] (any float), labels [...] int. All math in f32.
+    """
+    logits = logits.astype(jnp.float32)
+    num_classes = logits.shape[-1]
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    safe_labels = labels.astype(jnp.int32)
+    valid = None
+    if ignore_index is not None:
+        valid = labels != ignore_index
+        safe_labels = jnp.where(valid, safe_labels, 0)
+    true_logit = jnp.take_along_axis(
+        logits, safe_labels[..., None], axis=-1, mode="clip")[..., 0]
+    nll = lse - true_logit
+    cw = None
+    wy = jnp.ones_like(nll)
+    if class_weights is not None:
+        cw = jnp.asarray(class_weights, jnp.float32)
+        wy = cw[safe_labels]
+    mask = jnp.ones_like(nll)
+    if valid is not None:
+        mask = valid.astype(jnp.float32)
+    if ohem_frac:
+        # hardness = true-class probability (mmseg convention). Ignored
+        # pixels get p=+inf so they are never kept.
+        p_true = jnp.exp(true_logit - lse)
+        if valid is not None:
+            p_true = jnp.where(valid, p_true, jnp.inf)
+        flat_p = p_true.reshape(-1)
+        k = max(1, int(float(ohem_frac) * flat_p.shape[0]))
+        # k-th smallest p_true = effective floor on the kept set
+        neg_topk, _ = jax.lax.top_k(-flat_p, k)
+        kth = -neg_topk[-1]
+        cutoff = jnp.maximum(jnp.float32(ohem_thresh), kth)
+        mask = mask * (flat_p <= cutoff).astype(jnp.float32).reshape(
+            p_true.shape)
+    denom = jnp.maximum(jnp.sum(wy * mask), 1e-12)
+    loss = jnp.sum(nll * wy * mask) / denom
+    if label_smoothing:
+        eps = float(label_smoothing)
+        if cw is None:
+            # sum_c (lse - z_c) = C*lse - sum_c z_c
+            smooth = num_classes * lse - jnp.sum(logits, axis=-1)
+        else:
+            smooth = jnp.sum(cw) * lse - jnp.tensordot(logits, cw,
+                                                       axes=(-1, 0))
+        loss = ((1.0 - eps) * loss
+                + (eps / num_classes) * jnp.sum(smooth * mask) / denom)
+    return loss
+
+
 LOSSES = ("ce", "lovasz", "ce+lovasz", "focal", "ce+rect", "dice",
           "ce+dice")
 
 
-def build_loss(name: str, align_corners: bool = True):
+def build_loss(name: str, align_corners: bool = True,
+               class_weights=None, label_smoothing: float = 0.0,
+               ohem_frac: float = 0.0, ohem_thresh: float = 0.7):
     """Named training losses for the CLI (train.py --loss).
 
     'ce' (default) returns `compute_loss` itself so the Trainer's
@@ -102,9 +181,39 @@ def build_loss(name: str, align_corners: bool = True):
       dice       soft multi-class Dice (classes absent from the batch
                  masked out, like lovasz)
       ce+dice    CE + Dice (the standard medical-segmentation combination)
+
+    class_weights / label_smoothing / ohem_frac (+ohem_thresh) modify the
+    CE COMPONENT of the chosen loss (train.py --class-weights /
+    --label-smoothing / --ohem): they swap the plain CE for
+    `weighted_cross_entropy`. Setting any of them on a loss with no CE
+    component (lovasz/focal/dice) is an error. Like every non-default
+    loss, the knobs run on full-resolution logits (the fused Pallas CE
+    kernel implements only the reference's plain-CE path).
     """
+    knobs = (class_weights is not None or label_smoothing or ohem_frac)
+    if knobs and name not in ("ce", "ce+lovasz", "ce+rect", "ce+dice"):
+        raise ValueError(
+            f"--class-weights/--label-smoothing/--ohem modify the CE term, "
+            f"but loss {name!r} has none")
+
+    def ce(logits, targets):
+        return weighted_cross_entropy(
+            logits, targets, class_weights=class_weights,
+            label_smoothing=label_smoothing, ohem_frac=ohem_frac,
+            ohem_thresh=ohem_thresh)
+
     if name == "ce":
-        return compute_loss
+        if not knobs:
+            return compute_loss
+
+        def ce_full(logits, targets):
+            th, tw = targets.shape[1], targets.shape[2]
+            if (logits.shape[1], logits.shape[2]) != (th, tw):
+                logits = resize_bilinear(logits.astype(jnp.float32),
+                                         (th, tw),
+                                         align_corners=align_corners)
+            return ce(logits, targets)
+        return ce_full
 
     def up(logits, targets):
         th, tw = targets.shape[1], targets.shape[2]
@@ -119,8 +228,7 @@ def build_loss(name: str, align_corners: bool = True):
     if name == "ce+lovasz":
         def ce_lovasz(logits, targets):
             l = up(logits, targets)
-            return (softmax_cross_entropy(l, targets)
-                    + lovasz_softmax_loss(l, targets))
+            return ce(l, targets) + lovasz_softmax_loss(l, targets)
         return ce_lovasz
     if name == "focal":
         def focal(logits, targets):
@@ -133,7 +241,7 @@ def build_loss(name: str, align_corners: bool = True):
 
         def ce_rect(logits, targets):
             l = up(logits, targets)
-            return softmax_cross_entropy(l, targets) + rect_loss(l)
+            return ce(l, targets) + rect_loss(l)
         return ce_rect
     if name == "dice":
         return lambda logits, targets: dice_loss(up(logits, targets),
@@ -141,8 +249,7 @@ def build_loss(name: str, align_corners: bool = True):
     if name == "ce+dice":
         def ce_dice(logits, targets):
             l = up(logits, targets)
-            return (softmax_cross_entropy(l, targets)
-                    + dice_loss(l, targets))
+            return ce(l, targets) + dice_loss(l, targets)
         return ce_dice
     raise ValueError(f"unknown loss {name!r} (choose from {LOSSES})")
 

@@ -35,6 +35,27 @@ DATASETS = {
 }
 
 
+def parse_class_weights(spec: str, num_classes: int):
+    """--class-weights: 'w1,w2,...' (C floats) or a JSON file containing a
+    list (or {'weights': [...]}). Returns a float list of length C or
+    None."""
+    if not spec:
+        return None
+    if osp.exists(spec):
+        import json
+        with open(spec) as f:
+            data = json.load(f)
+        if isinstance(data, dict):
+            data = data["weights"]
+        weights = [float(v) for v in data]
+    else:
+        weights = [float(v) for v in spec.split(",")]
+    if len(weights) != num_classes:
+        raise SystemExit(f"--class-weights has {len(weights)} entries, "
+                         f"dataset has {num_classes} classes")
+    return weights
+
+
 def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
           adam, resume, weights, num_workers, multi_scale, rect,
           mixed_precision, notest, nosave, seed=0, profile=False,
@@ -44,7 +65,8 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
           weight_decay=0.0, clip_grad=0.0, patience=0, aux_loss=0.0, tp=1,
           variant="", pp=1, pp_microbatches=0, scan_blocks=False,
           distill="", distill_model="", distill_variant="",
-          distill_weight=1.0, distill_temp=2.0):
+          distill_weight=1.0, distill_temp=2.0, class_weights="",
+          label_smoothing=0.0, ohem=0.0, ohem_thresh=0.7, zero=False):
     ds_cls, train_file, val_file = DATASETS[dataset]
     train_coco = osp.join(data_dir, train_file)
     val_coco = osp.join(data_dir, val_file)
@@ -139,9 +161,12 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
                  "batch_stats": tbundle.batch_stats}, imgs, train=False)
 
     from pytorch_segmentation_tpu.ops.loss import build_loss
+    cw = parse_class_weights(class_weights, len(train_data.classes))
     loss_fn = build_loss(loss, align_corners=getattr(
-        model, "up_align_corners", True))
-    trainer = Trainer(model, train_fetcher, loss_fn=loss_fn,
+        model, "up_align_corners", True), class_weights=cw,
+        label_smoothing=label_smoothing, ohem_frac=ohem,
+        ohem_thresh=ohem_thresh)
+    trainer = Trainer(model, train_fetcher, loss_fn=loss_fn, zero=zero,
                       distill_fn=distill_fn, distill_weight=distill_weight,
                       distill_temp=distill_temp,
                       workdir="weights",
@@ -285,6 +310,31 @@ if __name__ == "__main__":
                              "upsample+CE (fused Pallas path); 'ce+rect' = "
                              "the reference's commented-out RectLoss hook; "
                              "lovasz/focal/dice per ops/loss.py")
+    parser.add_argument("--class-weights", type=str, default="",
+                        metavar="W1,W2,.. | FILE.json",
+                        help="per-class CE weights (torch "
+                             "CrossEntropyLoss(weight=) semantics): a "
+                             "comma list of C floats, or a JSON file with "
+                             "a list / {'weights': [...]} (ops/loss."
+                             "weighted_cross_entropy)")
+    parser.add_argument("--label-smoothing", type=float, default=0.0,
+                        metavar="EPS",
+                        help="CE label smoothing (torch semantics: target "
+                             "= (1-EPS)*onehot + EPS/C)")
+    parser.add_argument("--ohem", type=float, default=0.0, metavar="FRAC",
+                        help="online hard example mining on the CE term: "
+                             "keep pixels with true-class prob < "
+                             "--ohem-thresh, always at least FRAC of all "
+                             "pixels (the hardest; mmseg OhemPixelSampler "
+                             "semantics, static-shape top_k)")
+    parser.add_argument("--ohem-thresh", type=float, default=0.7,
+                        help="OHEM probability threshold (with --ohem)")
+    parser.add_argument("--zero", action="store_true",
+                        help="ZeRO-1 optimizer-state sharding: shard the "
+                             "optimizer trace / grad accumulator / EMA "
+                             "over the 'data' mesh axis (weight-update "
+                             "sharding — grads reduce-scatter, updated "
+                             "params all-gather; parallel/zero.py)")
     parser.add_argument("--variant", type=str, default="",
                         help="model size variant (segformer: b0..b5; fpn: "
                              "r50/r34); empty = the family default")
@@ -367,4 +417,6 @@ if __name__ == "__main__":
           distill_model=opt.distill_model,
           distill_variant=opt.distill_variant,
           distill_weight=opt.distill_weight,
-          distill_temp=opt.distill_temp)
+          distill_temp=opt.distill_temp, class_weights=opt.class_weights,
+          label_smoothing=opt.label_smoothing, ohem=opt.ohem,
+          ohem_thresh=opt.ohem_thresh, zero=opt.zero)
