@@ -15,12 +15,14 @@ from pytorch_segmentation_tpu.models import (MODEL_REGISTRY,
 
 
 def export(weights, model_name, num_classes, img_size, out=None,
-           variant="", scan_blocks=False):
-    from pytorch_segmentation_tpu.models import (apply_scan_blocks,
+           variant="", scan_blocks=False, moe=0, moe_top_k=2):
+    from pytorch_segmentation_tpu.models import (apply_moe,
+                                                 apply_scan_blocks,
                                                  variant_kwargs)
     model_kw = apply_scan_blocks(model_name,
                                  variant_kwargs(model_name, variant),
                                  scan_blocks)
+    model_kw = apply_moe(model_name, model_kw, moe, moe_top_k)
     model = build_model(model_name, num_classes=num_classes, **model_kw)
     bundle = load_model_bundle(model, weights, (img_size[1], img_size[0]))
     params, batch_stats = fuse_conv_bn(bundle.params, bundle.batch_stats)
@@ -46,10 +48,15 @@ if __name__ == "__main__":
     parser.add_argument("--scan-blocks", action="store_true",
                         help="consume a stacked-params checkpoint trained "
                              "with train.py --scan-blocks/--pp (segformer)")
+    parser.add_argument("--moe", type=int, default=0, metavar="E",
+                        help="mixture-of-experts FFNs (segformer; must "
+                             "match the training --moe)")
+    parser.add_argument("--moe-top-k", type=int, default=2, metavar="K")
     opt = parser.parse_args()
 
     from pytorch_segmentation_tpu.utils.runtime import setup_runtime
     setup_runtime()
     export(opt.weights, opt.model, opt.num_classes, opt.img_size,
            opt.out or None, variant=opt.variant,
-           scan_blocks=opt.scan_blocks)
+           scan_blocks=opt.scan_blocks, moe=opt.moe,
+           moe_top_k=opt.moe_top_k)

@@ -23,14 +23,16 @@ from pytorch_segmentation_tpu.models import (MODEL_REGISTRY,
 def run(img_dir, output_dir, img_size, num_classes, weights, model_name,
         legacy_preproc=False, batch_size=8, show=False, int8=False,
         calib=False, ema=False, tta=False, tile=None, tta_scales=(),
-        variant="", scan_blocks=False):
+        variant="", scan_blocks=False, moe=0, moe_top_k=2):
     shutil.rmtree(output_dir, ignore_errors=True)
     os.makedirs(output_dir, exist_ok=True)
-    from pytorch_segmentation_tpu.models import (apply_scan_blocks,
+    from pytorch_segmentation_tpu.models import (apply_moe,
+                                                 apply_scan_blocks,
                                                  variant_kwargs)
     model_kw = apply_scan_blocks(model_name,
                                  variant_kwargs(model_name, variant),
                                  scan_blocks)
+    model_kw = apply_moe(model_name, model_kw, moe, moe_top_k)
     model = build_model(model_name, num_classes=num_classes, **model_kw)
     bundle = load_model_bundle(model, weights, (img_size[1], img_size[0]),
                                use_ema=ema)
@@ -129,6 +131,10 @@ if __name__ == "__main__":
     parser.add_argument("--scan-blocks", action="store_true",
                         help="consume a stacked-params checkpoint trained "
                              "with train.py --scan-blocks/--pp (segformer)")
+    parser.add_argument("--moe", type=int, default=0, metavar="E",
+                        help="mixture-of-experts FFNs (segformer; must "
+                             "match the training --moe)")
+    parser.add_argument("--moe-top-k", type=int, default=2, metavar="K")
     parser.add_argument("--tile", type=int, nargs=2, default=None,
                         metavar=("W", "H"),
                         help="sliding-window inference at each image's "
@@ -144,4 +150,5 @@ if __name__ == "__main__":
         opt.weights, opt.model, opt.legacy_preproc, opt.batch_size,
         show=opt.show, int8=opt.int8, calib=opt.calib, ema=opt.ema,
         tta=opt.tta, tile=opt.tile, tta_scales=tuple(opt.tta_scales),
-        variant=opt.variant, scan_blocks=opt.scan_blocks)
+        variant=opt.variant, scan_blocks=opt.scan_blocks, moe=opt.moe,
+        moe_top_k=opt.moe_top_k)

@@ -172,16 +172,19 @@ def make_train_step(loss_fn: Callable = compute_loss, accumulate: int = 1,
         return state.replace(ema_params=new_ema)
 
     def batch_loss(params, batch_stats, apply_fn, images, segs):
+        # "moe_losses" collects the pre-weighted Switch load-balance
+        # terms sown by MoE layers (nn/moe.py); {} for dense models
+        mut = ["batch_stats", "moe_losses"]
         if qat:
             from ..quant import quant_mode
             with quant_mode("qat"):
                 logits, mutated = apply_fn(
                     {"params": params, "batch_stats": batch_stats},
-                    images, train=True, mutable=["batch_stats"])
+                    images, train=True, mutable=mut)
         else:
             logits, mutated = apply_fn(
                 {"params": params, "batch_stats": batch_stats},
-                images, train=True, mutable=["batch_stats"])
+                images, train=True, mutable=mut)
         if isinstance(logits, tuple):
             # auxiliary head (models/pspnet.py aux=True): deep supervision
             # on the layer3 branch with the same criterion, train-time only
@@ -194,6 +197,9 @@ def make_train_step(loss_fn: Callable = compute_loss, accumulate: int = 1,
             teacher = jax.lax.stop_gradient(distill_fn(images))
             loss = loss + distill_weight * distill_loss(
                 main, teacher, distill_temp)
+        moe_aux = mutated.get("moe_losses")
+        if moe_aux:
+            loss = loss + sum(jax.tree.leaves(moe_aux))
         return loss, mutated["batch_stats"]
 
     def step(state: TrainState, images, segs):

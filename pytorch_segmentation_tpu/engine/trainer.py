@@ -202,10 +202,11 @@ class Trainer:
         # --zero shards the optimizer state over 'data' (parallel/zero.py).
         self._zero_shardings = None
         axes = getattr(self.mesh, "axis_names", ())
-        if zero and ("model" in axes or "pipe" in axes):
+        if zero and ("model" in axes or "pipe" in axes or "expert" in axes):
             raise ValueError("--zero composes with data parallelism only; "
-                             "the tp/pp paths already shard their optimizer "
-                             "state with the weights (parallel/zero.py)")
+                             "the tp/pp/ep paths already shard their "
+                             "optimizer state with the weights "
+                             "(parallel/zero.py)")
         if zero and dict(self.mesh.shape).get("data", 1) > 1:
             from ..parallel.zero import shard_zero, zero_state_shardings
             self._zero_shardings = zero_state_shardings(self.state,
@@ -223,6 +224,13 @@ class Trainer:
             from ..parallel.pp import pp_state_shardings
             self.state = put_tree(
                 pp_state_shardings(self.state, self.mesh), self.state)
+        elif "expert" in getattr(self.mesh, "axis_names", ()):
+            # expert-parallel mesh (train.py --ep): MoE expert stacks
+            # shard over 'expert' (parallel/ep.py)
+            from ..parallel.ep import ep_state_shardings
+            from ..parallel.mesh import put_tree
+            self.state = put_tree(
+                ep_state_shardings(self.state, self.mesh), self.state)
         else:
             self.state = put_replicated_tree(self._repl_sharding, self.state)
 

@@ -91,7 +91,24 @@ def apply_scan_blocks(name: str, model_kw: dict, enabled: bool) -> dict:
     return model_kw
 
 
+def apply_moe(name: str, model_kw: dict, experts: int,
+              top_k: int = 2) -> dict:
+    """CLI helper for `--moe E [--moe-top-k K]`: mixture-of-experts FFNs
+    (nn/moe.py) are a transformer-family feature — alternate stage-3/4
+    blocks of the MiT encoder get routed E-expert MLPs. Every entry
+    point (train/test/inference/serve/export) gates identically, and
+    eval CLIs must pass the SAME --moe as training so the checkpoint's
+    expert trees reconstruct."""
+    if experts:
+        if name.lower() != "segformer":
+            raise SystemExit("--moe targets the transformer family's "
+                             "FFNs (segformer)")
+        model_kw["moe_experts"] = int(experts)
+        model_kw["moe_top_k"] = int(top_k)
+    return model_kw
+
+
 __all__ = ["UNet", "DeepLabV3Plus", "HRNet", "PSPNet", "FPN", "SegFormer",
            "UPerNet",
            "MODEL_REGISTRY", "MODEL_VARIANTS", "build_model",
-           "variant_kwargs", "apply_scan_blocks"]
+           "variant_kwargs", "apply_scan_blocks", "apply_moe"]

@@ -136,6 +136,12 @@ class _Block(nn.Module):
     sr: int
     mlp_ratio: int
     dtype: jnp.dtype
+    # >0: replace the MixFFN with a mixture-of-experts MLP (nn/moe.py) —
+    # the V-MoE recipe; routed top-k, Switch load-balance aux loss
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 0.01
 
     @nn.compact
     def __call__(self, x):
@@ -143,8 +149,18 @@ class _Block(nn.Module):
                                        param_dtype=jnp.float32, name=name)
         x = x + _Attention(self.dim, self.heads, self.sr, self.dtype,
                            name="attn")(ln("ln1")(x))
-        x = x + _MixFFN(self.dim, self.mlp_ratio * self.dim, self.dtype,
-                        name="ffn")(ln("ln2")(x))
+        if self.moe_experts > 0:
+            from ..nn.moe import MoEMlp
+            ffn = MoEMlp(self.dim, self.mlp_ratio * self.dim,
+                         num_experts=self.moe_experts,
+                         top_k=self.moe_top_k,
+                         capacity_factor=self.moe_capacity_factor,
+                         aux_weight=self.moe_aux_weight,
+                         dtype=self.dtype, name="moe")
+        else:
+            ffn = _MixFFN(self.dim, self.mlp_ratio * self.dim, self.dtype,
+                          name="ffn")
+        x = x + ffn(ln("ln2")(x))
         return x
 
 
@@ -220,6 +236,14 @@ class _MiT(nn.Module):
     scan_blocks: bool = False
     pp_mesh: object = None
     pp_microbatches: int = 0
+    # MoE (nn/moe.py): >0 swaps the MixFFN of every SECOND block of
+    # stages 3 and 4 — counting from each stage's LAST block, so
+    # depth-1 test variants still get one MoE block — for a routed
+    # E-expert MLP (V-MoE placement: alternate blocks, late stages)
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 0.01
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -237,6 +261,11 @@ class _MiT(nn.Module):
                              param_dtype=jnp.float32,
                              name=f"patch_embed{i + 1}_ln")(x)
             if self.scan_blocks and depth > 1:
+                if self.moe_experts > 0:
+                    raise NotImplementedError(
+                        "MoE needs unrolled blocks (the sown aux loss "
+                        "and per-block expert trees don't cross the "
+                        "lax.scan boundary) — drop --scan-blocks/--pp")
                 x = _BlockStack(dim, heads, self.sr_ratios[i],
                                 self.mlp_ratio, depth, self.dtype,
                                 remat=self.remat, pp_mesh=self.pp_mesh,
@@ -244,8 +273,15 @@ class _MiT(nn.Module):
                                 name=f"blocks{i + 1}")(x)
             else:
                 for j in range(depth):
+                    moe = (self.moe_experts if i >= 2
+                           and (depth - 1 - j) % 2 == 0 else 0)
                     x = block_cls(dim, heads, self.sr_ratios[i],
                                   self.mlp_ratio, self.dtype,
+                                  moe_experts=moe,
+                                  moe_top_k=self.moe_top_k,
+                                  moe_capacity_factor=(
+                                      self.moe_capacity_factor),
+                                  moe_aux_weight=self.moe_aux_weight,
                                   name=f"block{i + 1}_{j}")(x)
             x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                              param_dtype=jnp.float32,
@@ -313,6 +349,12 @@ class SegFormer(nn.Module):
     # implies scan_blocks for the stages whose depth the pipe degree divides
     pp_mesh: object = None
     pp_microbatches: int = 0
+    # MoE: >0 swaps alternate stage-3/4 FFNs for routed E-expert MLPs
+    # (nn/moe.py; train.py --moe; expert parallelism via parallel/ep.py)
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 0.01
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -323,6 +365,10 @@ class SegFormer(nn.Module):
                      scan_blocks=self.scan_blocks or self.pp_mesh is not None,
                      pp_mesh=self.pp_mesh,
                      pp_microbatches=self.pp_microbatches,
+                     moe_experts=self.moe_experts,
+                     moe_top_k=self.moe_top_k,
+                     moe_capacity_factor=self.moe_capacity_factor,
+                     moe_aux_weight=self.moe_aux_weight,
                      name="backbone")(x, train=train)
         size4 = feats[0].shape[1:3]
         zs = [nn.Dense(dec_dim, dtype=self.dtype, param_dtype=jnp.float32,

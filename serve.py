@@ -47,6 +47,10 @@ def main():
                         help="flip TTA (~2x cost per request)")
     parser.add_argument("--tta-scales", type=float, nargs="+", default=[],
                         metavar="S", help="multi-scale TTA")
+    parser.add_argument("--moe", type=int, default=0, metavar="E",
+                        help="mixture-of-experts FFNs (segformer; must "
+                             "match the training --moe)")
+    parser.add_argument("--moe-top-k", type=int, default=2, metavar="K")
     parser.add_argument("--scan-blocks", action="store_true",
                         help="consume a stacked-params checkpoint trained "
                              "with train.py --scan-blocks/--pp (segformer)")
@@ -58,11 +62,13 @@ def main():
     from pytorch_segmentation_tpu.models import build_model
     from pytorch_segmentation_tpu.serving import MaskServer
 
-    from pytorch_segmentation_tpu.models import (apply_scan_blocks,
+    from pytorch_segmentation_tpu.models import (apply_moe,
+                                                 apply_scan_blocks,
                                                  variant_kwargs)
     model_kw = apply_scan_blocks(opt.model,
                                  variant_kwargs(opt.model, opt.variant),
                                  opt.scan_blocks)
+    model_kw = apply_moe(opt.model, model_kw, opt.moe, opt.moe_top_k)
     model = build_model(opt.model, num_classes=opt.num_classes, **model_kw)
     bundle = load_model_bundle(model, opt.weights,
                                (opt.img_size[1], opt.img_size[0]),

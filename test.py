@@ -30,6 +30,10 @@ def main():
     parser.add_argument("--variant", type=str, default="",
                         help="model size variant (segformer: b0..b5; fpn: "
                              "r50/r34); must match the checkpoint")
+    parser.add_argument("--moe", type=int, default=0, metavar="E",
+                        help="mixture-of-experts FFNs (segformer; must "
+                             "match the training --moe)")
+    parser.add_argument("--moe-top-k", type=int, default=2, metavar="K")
     parser.add_argument("--rect", action="store_true")
     parser.add_argument("-s", "--img_size", type=int, nargs=2,
                         default=[320, 320])
@@ -80,11 +84,13 @@ def main():
                             num_workers=opt.num_workers)
     val_fetcher = Fetcher(val_loader, PostFetch())
 
-    from pytorch_segmentation_tpu.models import (apply_scan_blocks,
+    from pytorch_segmentation_tpu.models import (apply_moe,
+                                                 apply_scan_blocks,
                                                  variant_kwargs)
     model_kw = apply_scan_blocks(opt.model,
                                  variant_kwargs(opt.model, opt.variant),
                                  opt.scan_blocks)
+    model_kw = apply_moe(opt.model, model_kw, opt.moe, opt.moe_top_k)
     model = build_model(opt.model, num_classes=len(val_data.classes),
                         **model_kw)
     bundle = load_model_bundle(model, opt.weights,

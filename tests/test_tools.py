@@ -94,3 +94,43 @@ def test_show_batch(tmp_path):
     canvas = show_batch(imgs, preds, path=path)
     assert canvas.shape == (4 * 32, 64, 3)
     assert osp.exists(path)
+
+
+def test_avg_ckpts(tmp_path):
+    """tools/avg_ckpts.py: uniform SWA average of checkpoint param trees;
+    batch_stats/epoch ride from the last input; structure mismatches and
+    missing EMA trees are CLI-grade errors."""
+    import pytest
+
+    from pytorch_segmentation_tpu.engine.checkpoint import (load_checkpoint,
+                                                            save_checkpoint)
+    sys.path.insert(0, osp.join(osp.dirname(osp.dirname(
+        osp.abspath(__file__))), "tools"))
+    from avg_ckpts import average_checkpoints
+
+    p = {"conv": {"kernel": np.full((2, 2), 1.0, np.float32)}}
+    q = {"conv": {"kernel": np.full((2, 2), 3.0, np.float32)}}
+    bs1 = {"bn": {"mean": np.array([1.0], np.float32)}}
+    bs2 = {"bn": {"mean": np.array([9.0], np.float32)}}
+    a, b = str(tmp_path / "a.ckpt"), str(tmp_path / "b.ckpt")
+    save_checkpoint(a, p, bs1, epoch=3)
+    save_checkpoint(b, q, bs2, epoch=7)
+    out = average_checkpoints([a, b])
+    np.testing.assert_allclose(out["model"]["conv"]["kernel"], 2.0)
+    # batch_stats + epoch from the LAST checkpoint, opt_state dropped
+    np.testing.assert_allclose(out["batch_stats"]["bn"]["mean"], 9.0)
+    assert out["epoch"] == 7 and out["opt_state"] is None
+    # averaged output loads back through the standard checkpoint path
+    o = str(tmp_path / "avg.ckpt")
+    from flax import serialization
+    with open(o, "wb") as f:
+        f.write(serialization.msgpack_serialize(out))
+    assert load_checkpoint(o)["model"]["conv"]["kernel"][0][0] == 2.0
+    # no EMA tree -> --ema is an error; structure mismatch -> error
+    with pytest.raises(SystemExit):
+        average_checkpoints([a, b], use_ema=True)
+    c = str(tmp_path / "c.ckpt")
+    save_checkpoint(c, {"other": {"kernel": np.ones((2, 2), np.float32)}},
+                    bs1)
+    with pytest.raises(SystemExit):
+        average_checkpoints([a, c])

@@ -66,15 +66,22 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
           variant="", pp=1, pp_microbatches=0, scan_blocks=False,
           distill="", distill_model="", distill_variant="",
           distill_weight=1.0, distill_temp=2.0, class_weights="",
-          label_smoothing=0.0, ohem=0.0, ohem_thresh=0.7, zero=False):
+          label_smoothing=0.0, ohem=0.0, ohem_thresh=0.7, zero=False,
+          moe=0, moe_top_k=2, ep=1):
     ds_cls, train_file, val_file = DATASETS[dataset]
     train_coco = osp.join(data_dir, train_file)
     val_coco = osp.join(data_dir, val_file)
 
-    if tp > 1 and pp > 1:
-        raise SystemExit("--tp and --pp are separate inner mesh axes; "
-                         "combine either with data parallelism, not with "
+    if sum(d > 1 for d in (tp, pp, ep)) > 1:
+        raise SystemExit("--tp/--pp/--ep are separate inner mesh axes; "
+                         "combine any ONE with data parallelism, not with "
                          "each other")
+    if ep > 1 and not moe:
+        raise SystemExit("--ep shards MoE expert stacks; it needs --moe E")
+    if moe and (scan_blocks or pp > 1):
+        raise SystemExit("--moe needs unrolled blocks (the sown aux loss "
+                         "and per-block expert trees don't cross the "
+                         "lax.scan boundary) — drop --scan-blocks/--pp")
     if tp > 1:
         # (data, model) mesh: Megatron-style tensor parallelism for the
         # transformer family (parallel/tp.py) x data parallelism — a scaling
@@ -86,6 +93,10 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
         # transformer block stacks (parallel/pp.py)
         from pytorch_segmentation_tpu.parallel import make_pp_mesh
         mesh = make_pp_mesh(pp)
+    elif ep > 1:
+        # (data, expert) mesh: expert parallelism for --moe (parallel/ep.py)
+        from pytorch_segmentation_tpu.parallel import make_ep_mesh
+        mesh = make_ep_mesh(ep)
     else:
         mesh = make_mesh()
     rank = jax.process_index()
@@ -128,6 +139,9 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
     if scan_blocks or pp > 1:
         from pytorch_segmentation_tpu.models import apply_scan_blocks
         apply_scan_blocks(model_name, model_kw, True)
+    if moe:
+        from pytorch_segmentation_tpu.models import apply_moe
+        apply_moe(model_name, model_kw, moe, moe_top_k)
     if pp > 1:
         model_kw["pp_mesh"] = mesh
         if pp_microbatches:
@@ -329,6 +343,20 @@ if __name__ == "__main__":
                              "semantics, static-shape top_k)")
     parser.add_argument("--ohem-thresh", type=float, default=0.7,
                         help="OHEM probability threshold (with --ohem)")
+    parser.add_argument("--moe", type=int, default=0, metavar="E",
+                        help="mixture-of-experts: swap alternate stage-3/4 "
+                             "FFNs of the MiT encoder for routed E-expert "
+                             "MLPs (nn/moe.py: top-k routing, Switch "
+                             "load-balance aux loss; segformer only). "
+                             "Eval CLIs must pass the same --moe")
+    parser.add_argument("--moe-top-k", type=int, default=2, metavar="K",
+                        help="experts per token (1 = Switch, 2 = GShard/"
+                             "V-MoE default)")
+    parser.add_argument("--ep", type=int, default=1, metavar="N",
+                        help="expert-parallel degree: shard the --moe "
+                             "expert stacks over an inner 'expert' mesh "
+                             "axis (parallel/ep.py), batch over 'data'; "
+                             "devices must be divisible by N")
     parser.add_argument("--zero", action="store_true",
                         help="ZeRO-1 optimizer-state sharding: shard the "
                              "optimizer trace / grad accumulator / EMA "
@@ -419,4 +447,5 @@ if __name__ == "__main__":
           distill_weight=opt.distill_weight,
           distill_temp=opt.distill_temp, class_weights=opt.class_weights,
           label_smoothing=opt.label_smoothing, ohem=opt.ohem,
-          ohem_thresh=opt.ohem_thresh, zero=opt.zero)
+          ohem_thresh=opt.ohem_thresh, zero=opt.zero, moe=opt.moe,
+          moe_top_k=opt.moe_top_k, ep=opt.ep)
