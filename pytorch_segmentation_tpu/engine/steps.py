@@ -186,10 +186,13 @@ def make_train_step(loss_fn: Callable = compute_loss, accumulate: int = 1,
                 {"params": params, "batch_stats": batch_stats},
                 images, train=True, mutable=mut)
         if isinstance(logits, tuple):
-            # auxiliary head (models/pspnet.py aux=True): deep supervision
-            # on the layer3 branch with the same criterion, train-time only
+            # auxiliary head(s) (models/pspnet.py aux=True, bisenetv2.py
+            # booster): deep supervision with the same criterion,
+            # train-time only; `aux` is one tensor or a tuple of them
             main, aux = logits
-            loss = loss_fn(main, segs) + aux_weight * loss_fn(aux, segs)
+            auxs = aux if isinstance(aux, (tuple, list)) else (aux,)
+            loss = loss_fn(main, segs) + aux_weight * sum(
+                loss_fn(a, segs) for a in auxs)
         else:
             main = logits
             loss = loss_fn(logits, segs)

@@ -4,6 +4,7 @@ Adds a name registry so model choice is a CLI flag (`--model`), fixing the
 reference's hard-coded selection (train.py:57-59, SURVEY.md §2.2).
 """
 
+from .bisenetv2 import BiSeNetV2
 from .deeplabv3plus import DeepLabV3Plus
 from .fpn import FPN
 from .hrnet import HRNet
@@ -21,6 +22,7 @@ def _fastfcn(**kw):
 
 MODEL_REGISTRY = {
     "unet": UNet,
+    "bisenetv2": BiSeNetV2,
     "deeplabv3plus": DeepLabV3Plus,
     "hrnet": HRNet,
     "pspnet": PSPNet,
@@ -108,7 +110,8 @@ def apply_moe(name: str, model_kw: dict, experts: int,
     return model_kw
 
 
-__all__ = ["UNet", "DeepLabV3Plus", "HRNet", "PSPNet", "FPN", "SegFormer",
+__all__ = ["UNet", "BiSeNetV2", "DeepLabV3Plus", "HRNet", "PSPNet", "FPN",
+           "SegFormer",
            "UPerNet",
            "MODEL_REGISTRY", "MODEL_VARIANTS", "build_model",
            "variant_kwargs", "apply_scan_blocks", "apply_moe"]

@@ -116,6 +116,12 @@ def convert_named(sd: dict):
             node = node.setdefault(p, {})
         return node
 
+    # any module carrying a running_mean is a BatchNorm, whatever its
+    # name (e.g. bisenetv2.py's standalone 'ce_bn') — the `parent ==
+    # "bn"` rule below only covers ConvNormAct children
+    bn_parents = {tuple(k.split(".")[:-1]) for k in sd
+                  if k.endswith(".running_mean")}
+
     for key, value in sd.items():
         parts = key.split(".")
         leaf = parts[-1]
@@ -123,7 +129,7 @@ def convert_named(sd: dict):
             continue
         v = np.asarray(value, dtype=np.float32)
         parent = parts[-2] if len(parts) >= 2 else ""
-        if parent == "bn":
+        if parent == "bn" or tuple(parts[:-1]) in bn_parents:
             if leaf in ("weight", "bias"):
                 node = ensure(params, parts[:-1])
                 node["scale" if leaf == "weight" else "bias"] = v

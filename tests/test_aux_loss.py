@@ -137,3 +137,36 @@ def test_upernet_aux_contract(rng):
     assert main.shape == (2, 64, 64, NC)
     assert aux.shape == (2, 4, 4, NC)  # C4 @ stride 16
     assert not isinstance(m.apply(v, x, train=False), tuple)
+
+
+def test_bisenetv2_booster_contract(rng):
+    """BiSeNetV2 aux=True: the booster returns a TUPLE of four aux logits
+    (stem/GE3/GE4/GE5 taps, resized onto the main grid) and the train
+    step sums aux_weight * loss over all of them (engine/steps.py
+    tuple-of-aux contract)."""
+    from pytorch_segmentation_tpu.models import BiSeNetV2
+
+    m = BiSeNetV2(num_classes=NC, dtype=jnp.float32, aux=True)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, NC, (2, 64, 64)), jnp.int32)
+    v = m.init(jax.random.PRNGKey(0), x[:1], train=False)
+    for i in range(2, 6):
+        assert f"aux{i}_conv" in v["params"] and f"aux{i}_cls" in v["params"]
+
+    out, _ = m.apply(v, x, train=True, mutable=["batch_stats"])
+    main, auxs = out
+    assert isinstance(auxs, tuple) and len(auxs) == 4
+    assert main.shape == (2, 64, 64, NC)
+    assert all(a.shape == main.shape for a in auxs)  # resized to main grid
+    assert not isinstance(m.apply(v, x, train=False), tuple)
+
+    state = create_train_state(m, jax.random.PRNGKey(0), x[:1],
+                               optax.sgd(1e-2))
+    step = make_train_step(loss_fn=compute_loss, donate=False,
+                           aux_weight=1.0)  # the paper's booster weight
+    _s, loss = step(state, x, y)
+    (main, auxs), _ = m.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        x, train=True, mutable=["batch_stats"])
+    want = compute_loss(main, y) + sum(compute_loss(a, y) for a in auxs)
+    np.testing.assert_allclose(float(loss), float(want), rtol=1e-4)

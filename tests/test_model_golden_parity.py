@@ -18,15 +18,15 @@ import pytest
 import torch
 import torch.nn.functional as F
 
-from pytorch_segmentation_tpu.models import (FPN, DeepLabV3Plus, HRNet,
-                                              PSPNet, SegFormer, UNet,
-                                              UPerNet)
+from pytorch_segmentation_tpu.models import (FPN, BiSeNetV2, DeepLabV3Plus,
+                                              HRNet, PSPNet, SegFormer,
+                                              UNet, UPerNet)
 from pytorch_segmentation_tpu.utils.port_torch import (
     _merge_checked, convert_mobilenetv2, convert_named, convert_resnet,
     jax_to_py)
 
-from torch_refs import (TFPN, TDeepLabV3Plus, THRNet, TPSPNet, TSegFormer,
-                        TUNet, TUPerNet, randomize_bn_stats)
+from torch_refs import (TFPN, TBiSeNetV2, TDeepLabV3Plus, THRNet, TPSPNet,
+                        TSegFormer, TUNet, TUPerNet, randomize_bn_stats)
 
 
 def _split_sd(model, prefix="backbone."):
@@ -84,6 +84,8 @@ CASES = {
                 lambda nc: TPSPNet(nc, jpu=True), convert_resnet),
     "segformer": (lambda nc: SegFormer(num_classes=nc, dtype=jnp.float32),
                   TSegFormer, None),
+    "bisenetv2": (lambda nc: BiSeNetV2(num_classes=nc, dtype=jnp.float32),
+                  TBiSeNetV2, None),
     "upernet": (lambda nc: UPerNet(num_classes=nc, dtype=jnp.float32),
                 TUPerNet, convert_resnet),
     # MiT-encoder UPerNet at the 1-block 'tiny' dims (affordable compile;

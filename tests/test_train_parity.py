@@ -26,16 +26,16 @@ import torch.nn.functional as F
 
 from pytorch_segmentation_tpu.engine.steps import (TrainState,
                                                    make_train_step)
-from pytorch_segmentation_tpu.models import (FPN, DeepLabV3Plus, HRNet,
-                                              PSPNet, SegFormer, UNet,
-                                              UPerNet)
+from pytorch_segmentation_tpu.models import (FPN, BiSeNetV2, DeepLabV3Plus,
+                                              HRNet, PSPNet, SegFormer,
+                                              UNet, UPerNet)
 from pytorch_segmentation_tpu.ops.loss import compute_loss
 from pytorch_segmentation_tpu.utils.port_torch import (convert_mobilenetv2,
                                                        convert_resnet)
 
 from test_model_golden_parity import _port
-from torch_refs import (TFPN, TDeepLabV3Plus, THRNet, TPSPNet, TSegFormer,
-                        TUNet, TUPerNet, randomize_bn_stats)
+from torch_refs import (TFPN, TBiSeNetV2, TDeepLabV3Plus, THRNet, TPSPNet,
+                        TSegFormer, TUNet, TUPerNet, randomize_bn_stats)
 
 LR, MOMENTUM, N_STEPS = 1e-2, 0.9, 6
 NC, BS, HW = 3, 2, 64
@@ -79,6 +79,9 @@ TRAJ_CASES = {
         lambda: TFPN(NC, layers=(1, 1, 1, 1)),
         lambda sd: convert_resnet(sd, layers=(1, 1, 1, 1)),
         "cls_conv", "smooth0"),
+    "bisenetv2": (
+        lambda: BiSeNetV2(num_classes=NC, dtype=jnp.float32),
+        lambda: TBiSeNetV2(NC), None, "cls_conv", "bga_fuse"),
     "segformer": (
         lambda: SegFormer(num_classes=NC, variant="tiny",
                           dtype=jnp.float32),

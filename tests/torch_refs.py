@@ -755,3 +755,109 @@ class TUPerNet(nn.Module):
                           align_corners=False) for p in pyramid[1:]]
         y = self.fpn_bottleneck(torch.cat(outs, 1))
         return _up(self.cls_conv(y), 4, align=False)
+
+
+class _TGELayer(nn.Module):
+    """models/bisenetv2.py _GELayer: gather 3x3, depthwise expansion
+    (e=6), 1x1 linear projection, (separable shortcut when strided),
+    residual ReLU."""
+
+    def __init__(self, cin, cout, stride=1, expand=6):
+        super().__init__()
+        mid = cin * expand
+        self.stride = stride
+        self.conv1 = TConvNormAct(cin, cin, 3)
+        if stride == 1:
+            self.dwconv = TConvNormAct(cin, mid, 3, groups=cin)
+        else:
+            self.dwconv1 = TConvNormAct(cin, mid, 3, stride=stride,
+                                        groups=cin, activate=None)
+            self.dwconv2 = TConvNormAct(mid, mid, 3, groups=mid)
+            self.short_dw = TConvNormAct(cin, cin, 3, stride=stride,
+                                         groups=cin, activate=None)
+            self.short_pw = TConvNormAct(cin, cout, 1, activate=None)
+        self.conv2 = TConvNormAct(mid, cout, 1, activate=None)
+
+    def forward(self, x):
+        y = self.conv1(x)
+        if self.stride == 1:
+            y = self.dwconv(y)
+            identity = x
+        else:
+            y = self.dwconv2(self.dwconv1(y))
+            identity = self.short_pw(self.short_dw(x))
+        return F.relu(self.conv2(y) + identity)
+
+
+class TBiSeNetV2(nn.Module):
+    """models/bisenetv2.py: detail branch (64/64/128 @ s8), semantic
+    branch (stem 16 @ s4, GE 32/64/128 to s32, context embedding),
+    bilateral guided aggregation, 3x3x1024 head + 1x1 cls + x8 up."""
+
+    def __init__(self, num_classes):
+        super().__init__()
+        c1, c2, c3 = 64, 64, 128
+        s1, s3, s4, s5 = 16, 32, 64, 128
+        self.detail1_0 = TConvNormAct(3, c1, 3, stride=2)
+        self.detail1_1 = TConvNormAct(c1, c1, 3)
+        self.detail2_0 = TConvNormAct(c1, c2, 3, stride=2)
+        self.detail2_1 = TConvNormAct(c2, c2, 3)
+        self.detail2_2 = TConvNormAct(c2, c2, 3)
+        self.detail3_0 = TConvNormAct(c2, c3, 3, stride=2)
+        self.detail3_1 = TConvNormAct(c3, c3, 3)
+        self.detail3_2 = TConvNormAct(c3, c3, 3)
+
+        self.stem_conv = TConvNormAct(3, s1, 3, stride=2)
+        self.stem_left0 = TConvNormAct(s1, s1 // 2, 1)
+        self.stem_left1 = TConvNormAct(s1 // 2, s1, 3, stride=2)
+        self.stem_pool = nn.MaxPool2d(3, stride=2, padding=1)
+        self.stem_fuse = TConvNormAct(2 * s1, s1, 3)
+        self.ge3_0 = _TGELayer(s1, s3, stride=2)
+        self.ge3_1 = _TGELayer(s3, s3)
+        self.ge4_0 = _TGELayer(s3, s4, stride=2)
+        self.ge4_1 = _TGELayer(s4, s4)
+        self.ge5_0 = _TGELayer(s4, s5, stride=2)
+        self.ge5_1 = _TGELayer(s5, s5)
+        self.ge5_2 = _TGELayer(s5, s5)
+        self.ge5_3 = _TGELayer(s5, s5)
+        self.ce_bn = nn.BatchNorm2d(s5)
+        self.ce_conv = TConvNormAct(s5, s5, 1)
+        self.ce_fuse = TConvNormAct(s5, s5, 3)
+
+        self.bga_d_dw = TConvNormAct(c3, c3, 3, groups=c3, activate=None)
+        self.bga_d_pw = nn.Conv2d(c3, c3, 1, bias=False)
+        self.bga_d_down = TConvNormAct(c3, c3, 3, stride=2, activate=None)
+        self.bga_pool = nn.AvgPool2d(3, stride=2, padding=1)
+        self.bga_s_conv = TConvNormAct(c3, c3, 3, activate=None)
+        self.bga_s_dw = TConvNormAct(c3, c3, 3, groups=c3, activate=None)
+        self.bga_s_pw = nn.Conv2d(c3, c3, 1, bias=False)
+        self.bga_fuse = TConvNormAct(c3, c3, 3)
+
+        self.head = TConvNormAct(c3, 1024, 3)
+        self.cls_conv = nn.Conv2d(1024, num_classes, 1)
+
+    def forward(self, x):
+        d = self.detail1_1(self.detail1_0(x))
+        d = self.detail2_2(self.detail2_1(self.detail2_0(d)))
+        d = self.detail3_2(self.detail3_1(self.detail3_0(d)))
+
+        s = self.stem_conv(x)
+        a = self.stem_left1(self.stem_left0(s))
+        b = self.stem_pool(s)
+        s = self.stem_fuse(torch.cat([a, b], 1))
+        s = self.ge3_1(self.ge3_0(s))
+        s = self.ge4_1(self.ge4_0(s))
+        s = self.ge5_3(self.ge5_2(self.ge5_1(self.ge5_0(s))))
+        g = self.ce_conv(self.ce_bn(s.mean((2, 3), keepdim=True)))
+        s = self.ce_fuse(s + g)
+
+        d_a = self.bga_d_pw(self.bga_d_dw(d))
+        d_b = self.bga_pool(self.bga_d_down(d))
+        s_a = F.interpolate(self.bga_s_conv(s), size=d.shape[-2:],
+                            mode="bilinear", align_corners=False)
+        s_b = self.bga_s_pw(self.bga_s_dw(s))
+        left = d_a * torch.sigmoid(s_a)
+        right = F.interpolate(d_b * torch.sigmoid(s_b), size=d.shape[-2:],
+                              mode="bilinear", align_corners=False)
+        y = self.bga_fuse(left + right)
+        return _up(self.cls_conv(self.head(y)), 8, align=False)

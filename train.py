@@ -127,15 +127,15 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
     from pytorch_segmentation_tpu.models import variant_kwargs
     model_kw = variant_kwargs(model_name, variant)
     if remat and model_name in ("deeplabv3plus", "pspnet", "fpn",
-                                "fastfcn", "segformer"):
+                                "fastfcn", "segformer", "bisenetv2"):
         model_kw["remat"] = True
     if aux_loss > 0 and model_name == "upernet":
         model_kw["aux"] = True  # FCN aux on C4 (models/upernet.py)
     elif aux_loss > 0:
-        if model_name not in ("pspnet", "fastfcn"):
+        if model_name not in ("pspnet", "fastfcn", "bisenetv2"):
             raise SystemExit("--aux-loss is only supported by the "
-                             "pspnet/fastfcn/upernet families")
-        model_kw["aux"] = True
+                             "pspnet/fastfcn/upernet/bisenetv2 families")
+        model_kw["aux"] = True  # bisenetv2: the 4-head booster
     if scan_blocks or pp > 1:
         from pytorch_segmentation_tpu.models import apply_scan_blocks
         apply_scan_blocks(model_name, model_kw, True)
@@ -270,7 +270,8 @@ if __name__ == "__main__":
     parser.add_argument("--notest", action="store_true")
     parser.add_argument("--nosave", action="store_true")
     parser.add_argument("--aux-loss", type=float, default=0.0, metavar="W",
-                        help="pspnet/fastfcn/upernet: add the canonical "
+                        help="pspnet/fastfcn/upernet/bisenetv2: add the "
+                             "canonical "
                              "auxiliary FCN head (layer3 / C4) and weight "
                              "its loss by W "
                              "during training (same criterion as --loss; "
