@@ -76,8 +76,26 @@ def make_infer_fn(model, legacy_preproc: bool = False, int8: bool = False,
     return fn
 
 
+def _shard_serving(variables, mesh):
+    """Replicate serving params over `mesh` (multi-chip serving: the batch
+    shards over 'data', GSPMD splits the whole program — no code change
+    in the jitted body)."""
+    from .parallel.mesh import replicated_sharding
+    return jax.device_put(variables, replicated_sharding(mesh))
+
+
+def _shard_batch_u8(images_u8, mesh):
+    from .parallel.mesh import data_sharding
+    n = mesh.shape[mesh.axis_names[0]]
+    if images_u8.shape[0] % n:
+        raise ValueError(
+            f"serving batch {images_u8.shape[0]} must be divisible by the "
+            f"mesh's data axis ({n}) — pad the batch (MaskServer does)")
+    return jax.device_put(images_u8, data_sharding(mesh))
+
+
 def make_mask_fn(model, out_hw=None, legacy_preproc: bool = False,
-                 tta_flip: bool = False, tta_scales=()):
+                 tta_flip: bool = False, tta_scales=(), mesh=None):
     """Fixed-size SERVING path: fn(images_u8 NHWC RGB) -> int32 argmax
     masks [B, *out_hw] (device), one jitted program.
 
@@ -92,8 +110,13 @@ def make_mask_fn(model, out_hw=None, legacy_preproc: bool = False,
     tta_flip=True averages logits with a horizontally-flipped second
     forward before the fused upsample+argmax (flip TTA, ~2x cost);
     tta_scales adds multi-scale TTA (ops/tta.py), composing with the flip.
+    mesh=make_mesh() scales serving over every local chip: params
+    replicate, the batch shards over 'data' (must divide by the axis
+    size), and the compiled program runs SPMD — same masks, N chips.
     """
     variables = {"params": model.params, "batch_stats": model.batch_stats}
+    if mesh is not None:
+        variables = _shard_serving(variables, mesh)
     apply_fn = model.apply_fn
     align = getattr(model.module, "up_align_corners", True)
     from .ops.tta import normalize_tta_scales, tta_logits
@@ -126,6 +149,8 @@ def make_mask_fn(model, out_hw=None, legacy_preproc: bool = False,
 
     def fn(images_u8):
         images_u8 = jnp.asarray(images_u8)
+        if mesh is not None:
+            images_u8 = _shard_batch_u8(images_u8, mesh)
         hw = tuple(out_hw) if out_hw is not None \
             else (images_u8.shape[1], images_u8.shape[2])
         return run(images_u8, hw)

@@ -123,7 +123,7 @@ def calibrate_from_u8(model, calib_images_u8, legacy_preproc: bool = False):
 
 
 def make_quant_mask_fn(model, out_hw=None, legacy_preproc: bool = False,
-                       quant_stats=None):
+                       quant_stats=None, mesh=None):
     """int8 twin of inference.make_mask_fn: fn(images_u8 NHWC RGB) ->
     int32 argmax masks [B, *out_hw] (device), one jitted program with
     every eligible conv on the int8 MXU path.
@@ -138,6 +138,10 @@ def make_quant_mask_fn(model, out_hw=None, legacy_preproc: bool = False,
     mode = "int8dyn" if quant_stats is None else "int8"
     if quant_stats is not None:
         variables = {**variables, "quant_stats": quant_stats}
+    if mesh is not None:
+        # multi-chip serving: params replicate, batch shards over 'data'
+        from .inference import _shard_serving
+        variables = _shard_serving(variables, mesh)
     apply_fn = model.module.apply
     align = getattr(model.module, "up_align_corners", True)
 
@@ -163,6 +167,9 @@ def make_quant_mask_fn(model, out_hw=None, legacy_preproc: bool = False,
 
     def fn(images_u8):
         images_u8 = jnp.asarray(images_u8)
+        if mesh is not None:
+            from .inference import _shard_batch_u8
+            images_u8 = _shard_batch_u8(images_u8, mesh)
         hw = tuple(out_hw) if out_hw is not None \
             else (images_u8.shape[1], images_u8.shape[2])
         return run(images_u8, hw)

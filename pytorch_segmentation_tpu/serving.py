@@ -60,12 +60,21 @@ class MaskServer:
     def __init__(self, model, img_size=(513, 513), max_batch: int = 8,
                  batch_window_ms: float = 5.0, legacy_preproc: bool = False,
                  int8: bool = False, quant_stats=None, tta_flip: bool = False,
-                 tta_scales=(), colormap=None):
+                 tta_scales=(), colormap=None, mesh=None):
         from .data.colormap import VOC_COLORMAP
         from .inference import make_infer_fn, make_mask_fn
 
         self.img_size = (int(img_size[0]), int(img_size[1]))  # (W, H)
         self.max_batch = max(1, int(max_batch))
+        if mesh is not None:
+            # multi-chip serving (serve.py --dp): the padded batch shards
+            # over 'data', so it must divide by the axis size
+            n = mesh.shape[mesh.axis_names[0]]
+            self.max_batch = -(-self.max_batch // n) * n
+            if int8 and (tta_flip or tta_scales):
+                raise ValueError("--dp composes with --int8 or TTA, not "
+                                 "the int8+TTA probability path (host "
+                                 "argmax; shard it yourself if needed)")
         self.batch_window_s = max(0.0, float(batch_window_ms)) / 1e3
         self.colormap = colormap if colormap is not None else VOC_COLORMAP
         hw = (self.img_size[1], self.img_size[0])
@@ -84,13 +93,13 @@ class MaskServer:
                 from .quant import make_quant_mask_fn
                 self._mask_fn = make_quant_mask_fn(
                     model, out_hw=hw, legacy_preproc=legacy_preproc,
-                    quant_stats=quant_stats)
+                    quant_stats=quant_stats, mesh=mesh)
                 self._probs_fn = None
         else:
             self._mask_fn = make_mask_fn(model, out_hw=hw,
                                          legacy_preproc=legacy_preproc,
                                          tta_flip=tta_flip,
-                                         tta_scales=tta_scales)
+                                         tta_scales=tta_scales, mesh=mesh)
             self._probs_fn = None
         self.model_name = type(model.module).__name__
         self._queue: queue.Queue = queue.Queue()

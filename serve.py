@@ -54,6 +54,11 @@ def main():
     parser.add_argument("--scan-blocks", action="store_true",
                         help="consume a stacked-params checkpoint trained "
                              "with train.py --scan-blocks/--pp (segformer)")
+    parser.add_argument("--dp", action="store_true",
+                        help="data-parallel serving over every local "
+                             "chip: params replicate, the padded batch "
+                             "shards over a 'data' mesh (max-batch rounds "
+                             "up to a multiple of the chip count)")
     opt = parser.parse_args()
 
     from pytorch_segmentation_tpu.utils.runtime import setup_runtime
@@ -73,12 +78,16 @@ def main():
     bundle = load_model_bundle(model, opt.weights,
                                (opt.img_size[1], opt.img_size[0]),
                                use_ema=opt.ema)
+    mesh = None
+    if opt.dp:
+        from pytorch_segmentation_tpu.parallel import make_mesh
+        mesh = make_mesh()
     server = MaskServer(bundle, img_size=tuple(opt.img_size),
                         max_batch=opt.max_batch,
                         batch_window_ms=opt.batch_window_ms,
                         legacy_preproc=opt.legacy_preproc, int8=opt.int8,
                         tta_flip=opt.tta,
-                        tta_scales=tuple(opt.tta_scales))
+                        tta_scales=tuple(opt.tta_scales), mesh=mesh)
     host, port = server.start(opt.host, opt.port)[:2]
     print(f"serving {opt.model} ({opt.num_classes} classes, "
           f"{opt.img_size[0]}x{opt.img_size[1]}) on http://{host}:{port} "

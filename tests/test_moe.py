@@ -251,3 +251,87 @@ def test_moe_segformer_trainer_ep_e2e(tmp_path, synthetic_coco):
     miou = test(trainer.model, vf, mesh=trainer.mesh,
                 show_first_batch=False, log=False)
     assert 0.0 <= miou <= 1.0
+
+
+def test_upcycle_moe_from_dense(tmp_path):
+    """tools/upcycle_moe.py (sparse upcycling): every expert of a
+    converted block starts as the dense FFN, all other leaves carry
+    over bit-exact, the router keeps a fresh init, and the output
+    checkpoint loads through the standard path into a --moe model.
+    Because every expert is identical and the combine weights are
+    normalized, a kept token's MoE output equals the dense MixFFN
+    minus its dwconv — checked at the module level."""
+    import os.path as osp
+    import sys
+
+    from pytorch_segmentation_tpu.engine.checkpoint import (
+        load_model_bundle, save_checkpoint)
+    from pytorch_segmentation_tpu.models import SegFormer
+
+    sys.path.insert(0, osp.join(osp.dirname(osp.dirname(
+        osp.abspath(__file__))), "tools"))
+    from upcycle_moe import upcycle
+
+    dense = SegFormer(num_classes=3, variant="tiny", dtype=jnp.float32)
+    dv = dense.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+    path = str(tmp_path / "dense.ckpt")
+    save_checkpoint(path, dv["params"], dv["batch_stats"], epoch=5)
+
+    out = upcycle(path, num_classes=3, variant="tiny", experts=4, top_k=2)
+    p = out["model"]
+    # converted stage-3/4 blocks: every expert == the dense ffn
+    for blk in ("block3_0", "block4_0"):
+        e_k = p["backbone"][blk]["moe"]["experts"]["fc1"]["kernel"]
+        d_k = np.asarray(dv["params"]["backbone"][blk]["ffn"]["fc1"]
+                         ["kernel"])
+        assert e_k.shape == (4,) + d_k.shape
+        for e in range(4):
+            np.testing.assert_array_equal(e_k[e], d_k)
+    # untouched leaves carry over bit-exact
+    np.testing.assert_array_equal(
+        p["backbone"]["block1_0"]["ffn"]["fc1"]["kernel"],
+        np.asarray(dv["params"]["backbone"]["block1_0"]["ffn"]["fc1"]
+                   ["kernel"]))
+    np.testing.assert_array_equal(
+        p["cls_conv"]["kernel"], np.asarray(dv["params"]["cls_conv"]
+                                            ["kernel"]))
+    assert out["epoch"] == 5 and out["opt_state"] is None
+
+    # loads through the standard checkpoint path into a --moe model
+    from flax import serialization
+    mpath = str(tmp_path / "moe.ckpt")
+    with open(mpath, "wb") as f:
+        f.write(serialization.msgpack_serialize(out))
+    moe_model = SegFormer(num_classes=3, variant="tiny",
+                          dtype=jnp.float32, moe_experts=4, moe_top_k=2)
+    bundle = load_model_bundle(moe_model, mpath, (64, 64))
+    y = moe_model.apply({"params": bundle.params,
+                         "batch_stats": bundle.batch_stats},
+                        jnp.zeros((1, 64, 64, 3), jnp.float32),
+                        train=False)
+    assert np.all(np.isfinite(np.asarray(y)))
+
+    # identical experts + normalized gates => kept tokens reproduce the
+    # dense FFN (module-level; generous capacity so nothing drops)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 4, 8))
+    m = MoEMlp(dim=8, hidden=16, num_experts=4, top_k=2,
+               capacity_factor=4.0, dtype=jnp.float32)
+    mv = m.init(jax.random.PRNGKey(4), x)
+    w = jax.tree.map(lambda v: v, mv["params"])
+    for fc in ("fc1", "fc2"):
+        for leaf in ("kernel", "bias"):
+            one = np.asarray(w["experts"][fc][leaf])[0]
+            w["experts"][fc][leaf] = jnp.broadcast_to(
+                one, (4,) + one.shape)
+    y_moe = m.apply({"params": w}, x)
+
+    def dense_ffn(xx):
+        h = xx @ w["experts"]["fc1"]["kernel"][0] \
+            + w["experts"]["fc1"]["bias"][0]
+        h = jax.nn.gelu(h, approximate=False)
+        return h @ w["experts"]["fc2"]["kernel"][0] \
+            + w["experts"]["fc2"]["bias"][0]
+
+    np.testing.assert_allclose(np.asarray(y_moe), np.asarray(dense_ffn(x)),
+                               rtol=1e-5, atol=1e-6)

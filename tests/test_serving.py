@@ -150,3 +150,51 @@ def test_bad_body_is_client_error(server):
     with pytest.raises(urllib.error.HTTPError) as exc_info:
         _post(base + "/predict", b"this is not an image")
     assert exc_info.value.code == 400
+
+
+def test_dp_serving_mesh_equivalence():
+    """Multi-chip serving (inference.make_mask_fn mesh= / serve.py --dp):
+    on the 8-device CPU mesh the sharded program must produce the same
+    masks as the single-device path, the params must be replicated, and
+    the batch must arrive sharded over 'data'. Also: the int8dyn twin
+    takes the same mesh, and a non-divisible batch is a clear error."""
+    from pytorch_segmentation_tpu.inference import make_mask_fn
+    from pytorch_segmentation_tpu.parallel import make_mesh
+    from pytorch_segmentation_tpu.quant import make_quant_mask_fn
+
+    bundle = _bundle(hw=(32, 32))
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    imgs = np.random.RandomState(7).randint(
+        0, 255, (8, 32, 32, 3), np.uint8)
+
+    single = np.asarray(make_mask_fn(bundle, out_hw=(32, 32))(imgs))
+    fn = make_mask_fn(bundle, out_hw=(32, 32), mesh=mesh)
+    sharded = fn(imgs)
+    assert {s.data.shape[0] for s in sharded.addressable_shards} == {1}
+    np.testing.assert_array_equal(np.asarray(sharded), single)
+
+    q = make_quant_mask_fn(bundle, out_hw=(32, 32), mesh=mesh)(imgs)
+    assert np.asarray(q).shape == (8, 32, 32)
+
+    with pytest.raises(ValueError, match="divisible"):
+        fn(imgs[:6])
+
+
+def test_dp_mask_server_rounds_batch():
+    """MaskServer(mesh=...): max_batch rounds up to a multiple of the
+    data-axis size and requests serve end to end through the sharded
+    program."""
+    from pytorch_segmentation_tpu.parallel import make_mesh
+
+    srv = MaskServer(_bundle(), img_size=(32, 32), max_batch=3,
+                     batch_window_ms=0.0, mesh=make_mesh())
+    assert srv.max_batch == 8  # 3 -> next multiple of 8 devices
+    try:
+        srv.start(port=0)
+        img = np.random.RandomState(9).randint(0, 255, (32, 32, 3),
+                                               np.uint8)
+        mask = srv.predict_bytes(_png_bytes(img))
+        assert mask.shape == (32, 32)
+    finally:
+        srv.stop()
