@@ -8,6 +8,7 @@ from .bisenetv2 import BiSeNetV2
 from .deeplabv3plus import DeepLabV3Plus
 from .fpn import FPN
 from .hrnet import HRNet
+from .ocrnet import OCRNet
 from .pspnet import PSPNet
 from .segformer import SegFormer
 from .unet import UNet
@@ -25,6 +26,7 @@ MODEL_REGISTRY = {
     "bisenetv2": BiSeNetV2,
     "deeplabv3plus": DeepLabV3Plus,
     "hrnet": HRNet,
+    "ocrnet": OCRNet,  # HRNet + object-contextual head; width via --variant
     "pspnet": PSPNet,
     "fpn": FPN,
     "fastfcn": _fastfcn,
@@ -57,6 +59,13 @@ MODEL_VARIANTS = {
         "r34": {"block": "basic", "backbone_layers": (3, 4, 6, 3)},
         **{f"mit-{v}": {"encoder": "mit", "mit_variant": v}
            for v in ("b0", "b1", "b2", "b3", "b4", "b5", "tiny")},
+    },
+    # HRNet widths (mmseg ocrnet_hr18/hr48 analogs; w32 = the zoo's
+    # hrnet default so --model ocrnet upgrades its decoder in place)
+    "ocrnet": {
+        "w18": {"base_channels": 18},
+        "w32": {},
+        "w48": {"base_channels": 48},
     },
 }
 
@@ -110,7 +119,8 @@ def apply_moe(name: str, model_kw: dict, experts: int,
     return model_kw
 
 
-__all__ = ["UNet", "BiSeNetV2", "DeepLabV3Plus", "HRNet", "PSPNet", "FPN",
+__all__ = ["UNet", "BiSeNetV2", "DeepLabV3Plus", "HRNet", "OCRNet",
+           "PSPNet", "FPN",
            "SegFormer",
            "UPerNet",
            "MODEL_REGISTRY", "MODEL_VARIANTS", "build_model",

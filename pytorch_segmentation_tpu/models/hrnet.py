@@ -95,6 +95,13 @@ class HRNet(nn.Module):
     full_res_output: bool = True
     up_align_corners: bool = False
     output_stride: int = 4
+    # feature_output=True turns the model into an HRNetV2 BACKBONE: the
+    # last stage keeps every branch (multi_scale_output=True), the lower
+    # resolutions bilinear-upsample (align_corners=False) onto branch 0
+    # and concatenate — [B, H/4, W/4, sum(channels)] (= 480 at width 32).
+    # No classifier / final upsample params are created. Used by OCRNet
+    # (models/ocrnet.py), whose head consumes the multi-scale concat.
+    feature_output: bool = False
 
     def _channels(self, num_branches):
         return [self.base_channels * (2 ** i) for i in range(num_branches)]
@@ -140,10 +147,17 @@ class HRNet(nn.Module):
                     xs.append(z)
             last_stage = stage_i == len(self.num_branches_list) - 1
             ys = HRModule(num_branches, cur_channels,
-                          multi_scale_output=not last_stage,
+                          multi_scale_output=(self.feature_output
+                                              or not last_stage),
                           dtype=self.dtype, axis_name=self.axis_name,
                           name=f"stage{stage_i}")(xs, train=train)
             prev_channels = cur_channels
+
+        if self.feature_output:
+            outs = [ys[0]] + [
+                resize_bilinear(y, ys[0].shape[1:3], align_corners=False)
+                for y in ys[1:]]
+            return jnp.concatenate(outs, axis=-1)
 
         y = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
                     param_dtype=jnp.float32, kernel_init=conv_kernel_init,

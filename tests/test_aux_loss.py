@@ -170,3 +170,33 @@ def test_bisenetv2_booster_contract(rng):
         x, train=True, mutable=["batch_stats"])
     want = compute_loss(main, y) + sum(compute_loss(a, y) for a in auxs)
     np.testing.assert_allclose(float(loss), float(want), rtol=1e-4)
+
+
+def test_ocrnet_aux_contract(rng):
+    """OCRNet aux=True (train.py --aux-loss): the soft-region logits come
+    back as the auxiliary output in train mode (the paper's 0.4-weighted
+    cascade). Unlike the other aux families the region head is INTEGRAL
+    to the forward pass (it weights the spatial gather), so the param
+    tree is identical with and without aux — checkpoints move freely
+    between train and eval builds in both directions."""
+    import jax.tree_util as jtu
+
+    from pytorch_segmentation_tpu.models import OCRNet
+
+    kw = dict(num_classes=NC, num_branches_list=(2,), base_channels=8,
+              ocr_channels=32, key_channels=16, dtype=jnp.float32)
+    m = OCRNet(aux=True, **kw)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x[:1], train=False)
+    assert "aux_conv" in v["params"] and "aux_cls" in v["params"]
+
+    out, _ = m.apply(v, x, train=True, mutable=["batch_stats"])
+    main, aux = out
+    assert main.shape == (2, 64, 64, NC)
+    assert aux.shape == main.shape  # region logits resized to main grid
+    assert not isinstance(m.apply(v, x, train=False), tuple)
+
+    # identical param tree without aux (the region head always exists)
+    v_plain = OCRNet(**kw).init(jax.random.PRNGKey(0), x[:1], train=False)
+    assert (jtu.tree_structure(v["params"])
+            == jtu.tree_structure(v_plain["params"]))

@@ -19,14 +19,15 @@ import torch
 import torch.nn.functional as F
 
 from pytorch_segmentation_tpu.models import (FPN, BiSeNetV2, DeepLabV3Plus,
-                                              HRNet, PSPNet, SegFormer,
-                                              UNet, UPerNet)
+                                              HRNet, OCRNet, PSPNet,
+                                              SegFormer, UNet, UPerNet)
 from pytorch_segmentation_tpu.utils.port_torch import (
     _merge_checked, convert_mobilenetv2, convert_named, convert_resnet,
     jax_to_py)
 
-from torch_refs import (TFPN, TBiSeNetV2, TDeepLabV3Plus, THRNet, TPSPNet,
-                        TSegFormer, TUNet, TUPerNet, randomize_bn_stats)
+from torch_refs import (TFPN, TBiSeNetV2, TDeepLabV3Plus, THRNet, TOCRNet,
+                        TPSPNet, TSegFormer, TUNet, TUPerNet,
+                        randomize_bn_stats)
 
 
 def _split_sd(model, prefix="backbone."):
@@ -75,6 +76,11 @@ CASES = {
         TDeepLabV3Plus, convert_resnet),
     "hrnet": (lambda nc: HRNet(num_classes=nc, dtype=jnp.float32),
               THRNet, None),
+    # w18 keeps the 1-core CPU compile affordable; the OCR head widths
+    # (512/256) are the full mmseg config either way
+    "ocrnet": (lambda nc: OCRNet(num_classes=nc, base_channels=18,
+                                 dtype=jnp.float32),
+               lambda nc: TOCRNet(nc, base=18), None),
     "pspnet": (lambda nc: PSPNet(num_classes=nc, dtype=jnp.float32),
                TPSPNet, convert_resnet),
     "fpn": (lambda nc: FPN(num_classes=nc, dtype=jnp.float32),

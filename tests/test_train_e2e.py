@@ -13,7 +13,7 @@ from pytorch_segmentation_tpu.data import (CocoDataset, DataLoader, Fetcher,
 from pytorch_segmentation_tpu.engine import (ModelBundle, Trainer,
                                              load_checkpoint, test)
 from pytorch_segmentation_tpu.models import (FPN, DeepLabV3Plus, HRNet,
-                                             UNet, UPerNet)
+                                             OCRNet, UNet, UPerNet)
 
 
 @pytest.fixture(scope="module")
@@ -59,7 +59,10 @@ def test_eval_miou_beats_random(trained):
                     dtype=jnp.float32), 5, 0.15),
     (lambda nc: UPerNet(num_classes=nc, backbone_layers=(1, 1, 1, 1),
                         channels=64, dtype=jnp.float32), 5, 0.15),
-], ids=["deeplabv3plus", "hrnet", "fpn", "upernet"])
+    # stride-4 logits like hrnet; extra epochs for the same reason
+    (lambda nc: OCRNet(num_classes=nc, base_channels=8, ocr_channels=64,
+                       key_channels=32, dtype=jnp.float32), 16, 0.12),
+], ids=["deeplabv3plus", "hrnet", "fpn", "upernet", "ocrnet"])
 def test_models_learn(build, epochs, miou_min, synthetic_coco):
     """Every non-default model family must be SHOWN to learn (loss drop +
     mIoU above random), not just compile (VERDICT round-1 weak #3; UNet is

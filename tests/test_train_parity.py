@@ -27,15 +27,16 @@ import torch.nn.functional as F
 from pytorch_segmentation_tpu.engine.steps import (TrainState,
                                                    make_train_step)
 from pytorch_segmentation_tpu.models import (FPN, BiSeNetV2, DeepLabV3Plus,
-                                              HRNet, PSPNet, SegFormer,
-                                              UNet, UPerNet)
+                                              HRNet, OCRNet, PSPNet,
+                                              SegFormer, UNet, UPerNet)
 from pytorch_segmentation_tpu.ops.loss import compute_loss
 from pytorch_segmentation_tpu.utils.port_torch import (convert_mobilenetv2,
                                                        convert_resnet)
 
 from test_model_golden_parity import _port
-from torch_refs import (TFPN, TBiSeNetV2, TDeepLabV3Plus, THRNet, TPSPNet,
-                        TSegFormer, TUNet, TUPerNet, randomize_bn_stats)
+from torch_refs import (TFPN, TBiSeNetV2, TDeepLabV3Plus, THRNet, TOCRNet,
+                        TPSPNet, TSegFormer, TUNet, TUPerNet,
+                        randomize_bn_stats)
 
 LR, MOMENTUM, N_STEPS = 1e-2, 0.9, 6
 NC, BS, HW = 3, 2, 64
@@ -47,8 +48,13 @@ NC, BS, HW = 3, 2, 64
 # 5e-3 over 6 steps at 96^2). Larger input + fewer steps keep the
 # comparison inside the exact-parity regime while still exercising
 # momentum and BN running-stat dynamics.
-HW_BY = {"fpn": 96}
-N_STEPS_BY = {"fpn": 4}
+HW_BY = {"fpn": 96, "ocrnet": 96}
+# ocrnet shares FPN's sensitivity, for the analogous reason: the OCR
+# key/value/out BNs normalize the [B, K, 1, C] region tensor — B*K = 6
+# elements per channel — so f32 reduction-order noise amplifies through
+# the optimizer steps (step-1 losses match to 1e-6; the gap compounds
+# ~10x/step beyond step 3 at 64^2).
+N_STEPS_BY = {"fpn": 4, "ocrnet": 4}
 
 # (flax ctor, torch ctor, backbone converter, head param name,
 #  BN-stat module to check)
@@ -67,6 +73,15 @@ TRAJ_CASES = {
                       base_channels=16, dtype=jnp.float32),
         lambda: THRNet(NC, num_branches_list=(2,), base=16), None,
         "final_layer", "stem_conv2"),
+    # single 2-branch stage like hrnet; the OCR cascade (soft-region
+    # gather + object attention) is the full one, widths reduced
+    "ocrnet": (
+        lambda: OCRNet(num_classes=NC, num_branches_list=(2,),
+                       base_channels=16, ocr_channels=64, key_channels=32,
+                       dtype=jnp.float32),
+        lambda: TOCRNet(NC, num_branches_list=(2,), base=16,
+                        ocr_channels=64, key_channels=32), None,
+        "cls_conv", "bottleneck"),
     "pspnet": (
         lambda: PSPNet(num_classes=NC, backbone_layers=(1, 1, 1, 1),
                        dtype=jnp.float32),

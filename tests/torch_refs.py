@@ -403,10 +403,15 @@ class THRModule(nn.Module):
 
 
 class THRNet(nn.Module):
-    """models/hrnet.py:255-406 with num_branches_list=[2,3,4], width 32."""
+    """models/hrnet.py:255-406 with num_branches_list=[2,3,4], width 32.
+    feature_output=True mirrors the flax HRNetV2 backbone mode: the last
+    stage keeps every branch, forward returns the upsampled concat and no
+    classifier params are created (models/hrnet.py feature_output)."""
 
-    def __init__(self, num_classes, num_branches_list=(2, 3, 4), base=32):
+    def __init__(self, num_classes, num_branches_list=(2, 3, 4), base=32,
+                 feature_output=False):
         super().__init__()
+        self.feature_output = feature_output
         self.stem_conv1 = TConvNormAct(3, 64, 3, stride=2, activate=None)
         self.stem_conv2 = TConvNormAct(64, 64, 3, stride=2)
         for b in range(4):
@@ -430,9 +435,12 @@ class THRNet(nn.Module):
                         cin = out
             last = s == len(num_branches_list) - 1
             setattr(self, f"stage{s}",
-                    THRModule(cur, cur, multi_scale_output=not last))
+                    THRModule(cur, cur,
+                              multi_scale_output=(feature_output
+                                                  or not last)))
             prev = cur
-        self.final_layer = nn.Conv2d(prev[0], num_classes, 1)
+        if not feature_output:
+            self.final_layer = nn.Conv2d(prev[0], num_classes, 1)
 
     def forward(self, x):
         x = self.stem_conv2(self.stem_conv1(x))
@@ -453,6 +461,10 @@ class THRNet(nn.Module):
                     xs.append(z)
             ys = getattr(self, f"stage{s}")(xs)
             prev_n = nb
+        if self.feature_output:
+            outs = [ys[0]] + [_up(y, 2 ** (i + 1), align=False)
+                              for i, y in enumerate(ys[1:])]
+            return torch.cat(outs, dim=1)
         return _up(self.final_layer(ys[0]), 4, align=False)
 
 
@@ -861,3 +873,52 @@ class TBiSeNetV2(nn.Module):
                               mode="bilinear", align_corners=False)
         y = self.bga_fuse(left + right)
         return _up(self.cls_conv(self.head(y)), 8, align=False)
+
+
+class TOCRNet(nn.Module):
+    """models/ocrnet.py: HRNetV2 feature backbone + the mmseg OCR cascade
+    (FCNHead soft regions -> spatial gather -> object attention -> fuse).
+    Module names mirror the flax tree (convert_named); all math f32."""
+
+    def __init__(self, num_classes, base=32, ocr_channels=512,
+                 key_channels=256, num_branches_list=(2, 3, 4)):
+        super().__init__()
+        self.num_classes = num_classes
+        self.key_channels = key_channels
+        self.backbone = THRNet(1, num_branches_list=num_branches_list,
+                               base=base, feature_output=True)
+        cin = sum(base * (2 ** i) for i in range(num_branches_list[-1]))
+        self.aux_conv = TConvNormAct(cin, cin, 1)
+        self.aux_cls = nn.Conv2d(cin, num_classes, 1)
+        self.bottleneck = TConvNormAct(cin, ocr_channels, 3)
+        self.query0 = TConvNormAct(ocr_channels, key_channels, 1)
+        self.query1 = TConvNormAct(key_channels, key_channels, 1)
+        self.key0 = TConvNormAct(ocr_channels, key_channels, 1)
+        self.key1 = TConvNormAct(key_channels, key_channels, 1)
+        self.value = TConvNormAct(ocr_channels, key_channels, 1)
+        self.out_project = TConvNormAct(key_channels, ocr_channels, 1)
+        self.fuse = TConvNormAct(2 * ocr_channels, ocr_channels, 1)
+        self.cls_conv = nn.Conv2d(ocr_channels, num_classes, 1)
+
+    def forward(self, x):
+        feats = self.backbone(x)
+        aux = self.aux_cls(self.aux_conv(feats))          # [B, K, h, w]
+        pix = self.bottleneck(feats)                      # [B, C, h, w]
+        bsz, c, h, w = pix.shape
+        k = self.num_classes
+        probs = F.softmax(aux.reshape(bsz, k, h * w), dim=2)
+        regions = torch.matmul(probs, pix.reshape(bsz, c, h * w)
+                               .permute(0, 2, 1))         # [B, K, C]
+        regions4 = regions.permute(0, 2, 1).reshape(bsz, c, k, 1)
+        q = self.query1(self.query0(pix))
+        kk = self.key1(self.key0(regions4))
+        v = self.value(regions4)
+        sim = torch.matmul(
+            q.reshape(bsz, self.key_channels, h * w).permute(0, 2, 1),
+            kk.reshape(bsz, self.key_channels, k))
+        attn = F.softmax(sim * self.key_channels ** -0.5, dim=-1)
+        ctx = torch.matmul(attn, v.reshape(bsz, self.key_channels, k)
+                           .permute(0, 2, 1))             # [B, hw, 256]
+        ctx = ctx.permute(0, 2, 1).reshape(bsz, self.key_channels, h, w)
+        y = self.fuse(torch.cat([self.out_project(ctx), pix], dim=1))
+        return _up(self.cls_conv(y), 4, align=False)

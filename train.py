@@ -67,15 +67,15 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
           distill="", distill_model="", distill_variant="",
           distill_weight=1.0, distill_temp=2.0, class_weights="",
           label_smoothing=0.0, ohem=0.0, ohem_thresh=0.7, zero=False,
-          moe=0, moe_top_k=2, ep=1):
+          moe=0, moe_top_k=2, ep=1, spatial=1):
     ds_cls, train_file, val_file = DATASETS[dataset]
     train_coco = osp.join(data_dir, train_file)
     val_coco = osp.join(data_dir, val_file)
 
-    if sum(d > 1 for d in (tp, pp, ep)) > 1:
-        raise SystemExit("--tp/--pp/--ep are separate inner mesh axes; "
-                         "combine any ONE with data parallelism, not with "
-                         "each other")
+    if sum(d > 1 for d in (tp, pp, ep, spatial)) > 1:
+        raise SystemExit("--tp/--pp/--ep/--spatial are separate inner mesh "
+                         "axes; combine any ONE with data parallelism, not "
+                         "with each other")
     if ep > 1 and not moe:
         raise SystemExit("--ep shards MoE expert stacks; it needs --moe E")
     if moe and (scan_blocks or pp > 1):
@@ -97,6 +97,11 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
         # (data, expert) mesh: expert parallelism for --moe (parallel/ep.py)
         from pytorch_segmentation_tpu.parallel import make_ep_mesh
         mesh = make_ep_mesh(ep)
+    elif spatial > 1:
+        # (data, space) mesh: activations shard over image H and XLA
+        # inserts the conv halo exchanges (docs/SCALING.md) — for images
+        # too large for one chip's HBM
+        mesh = make_mesh(spatial=spatial)
     else:
         mesh = make_mesh()
     rank = jax.process_index()
@@ -132,10 +137,11 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
     if aux_loss > 0 and model_name == "upernet":
         model_kw["aux"] = True  # FCN aux on C4 (models/upernet.py)
     elif aux_loss > 0:
-        if model_name not in ("pspnet", "fastfcn", "bisenetv2"):
+        if model_name not in ("pspnet", "fastfcn", "bisenetv2", "ocrnet"):
             raise SystemExit("--aux-loss is only supported by the "
-                             "pspnet/fastfcn/upernet/bisenetv2 families")
-        model_kw["aux"] = True  # bisenetv2: the 4-head booster
+                             "pspnet/fastfcn/upernet/bisenetv2/ocrnet "
+                             "families")
+        model_kw["aux"] = True  # bisenetv2 booster / ocrnet soft regions
     if scan_blocks or pp > 1:
         from pytorch_segmentation_tpu.models import apply_scan_blocks
         apply_scan_blocks(model_name, model_kw, True)
@@ -270,10 +276,11 @@ if __name__ == "__main__":
     parser.add_argument("--notest", action="store_true")
     parser.add_argument("--nosave", action="store_true")
     parser.add_argument("--aux-loss", type=float, default=0.0, metavar="W",
-                        help="pspnet/fastfcn/upernet/bisenetv2: add the "
-                             "canonical "
-                             "auxiliary FCN head (layer3 / C4) and weight "
-                             "its loss by W "
+                        help="pspnet/fastfcn/upernet/bisenetv2/ocrnet: add "
+                             "the canonical "
+                             "auxiliary FCN head (layer3 / C4; ocrnet: "
+                             "supervise its soft-region logits, the "
+                             "paper's cascade) and weight its loss by W "
                              "during training (same criterion as --loss; "
                              "with the default ce, W=0.4 is the "
                              "hszhao/semseg convention; 0 = off). "
@@ -357,6 +364,12 @@ if __name__ == "__main__":
                         help="expert-parallel degree: shard the --moe "
                              "expert stacks over an inner 'expert' mesh "
                              "axis (parallel/ep.py), batch over 'data'; "
+                             "devices must be divisible by N")
+    parser.add_argument("--spatial", type=int, default=1, metavar="N",
+                        help="spatial sharding: 2-D (data, space) mesh — "
+                             "activations shard over image H, XLA inserts "
+                             "the conv halo exchanges (for images too "
+                             "large for one chip; docs/SCALING.md); "
                              "devices must be divisible by N")
     parser.add_argument("--zero", action="store_true",
                         help="ZeRO-1 optimizer-state sharding: shard the "
@@ -449,4 +462,4 @@ if __name__ == "__main__":
           distill_temp=opt.distill_temp, class_weights=opt.class_weights,
           label_smoothing=opt.label_smoothing, ohem=opt.ohem,
           ohem_thresh=opt.ohem_thresh, zero=opt.zero, moe=opt.moe,
-          moe_top_k=opt.moe_top_k, ep=opt.ep)
+          moe_top_k=opt.moe_top_k, ep=opt.ep, spatial=opt.spatial)
