@@ -134,3 +134,76 @@ def test_avg_ckpts(tmp_path):
                     bs1)
     with pytest.raises(SystemExit):
         average_checkpoints([a, c])
+
+
+def test_pseudo_label(tmp_path, monkeypatch):
+    """tools/pseudo_label.py: writes a segimg dataset (classes.names +
+    images/ + labels/ color PNGs + train.txt) that SegImgDataset loads
+    back; at threshold 0 the labels are exactly the teacher's argmax, at
+    an impossible threshold everything is skipped."""
+    import jax.numpy as jnp
+
+    from pytorch_segmentation_tpu.engine.checkpoint import (
+        load_model_bundle, save_checkpoint)
+    from pytorch_segmentation_tpu.inference import make_infer_fn
+    from pytorch_segmentation_tpu.models import UNet
+
+    sys.path.insert(0, osp.join(osp.dirname(osp.dirname(
+        osp.abspath(__file__))), "tools"))
+    import pseudo_label
+
+    # a random-init teacher checkpoint
+    import jax
+    model = UNet(num_classes=3, dtype=jnp.float32)
+    v = model.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+    ckpt = str(tmp_path / "teacher.ckpt")
+    save_checkpoint(ckpt, v["params"], v["batch_stats"], epoch=1)
+
+    img_dir = tmp_path / "unlabeled"
+    os.makedirs(img_dir)
+    rng = np.random.default_rng(5)
+    for i in range(3):
+        cv2.imwrite(str(img_dir / f"u{i}.jpg"),
+                    rng.integers(0, 255, (48, 56, 3)).astype(np.uint8))
+    out_dir = str(tmp_path / "pseudo")
+
+    monkeypatch.setattr(sys, "argv", [
+        "pseudo_label.py", str(img_dir), out_dir, "--model", "unet",
+        "--weights", ckpt, "-s", "64", "64", "-nc", "3",
+        "--threshold", "0.0", "--min-keep", "0.0", "-bs", "2"])
+    pseudo_label.main()
+
+    assert osp.exists(osp.join(out_dir, "classes.names"))
+    with open(osp.join(out_dir, "train.txt")) as f:
+        kept = [n for n in f.read().split("\n") if n]
+    assert sorted(kept) == ["u0.jpg", "u1.jpg", "u2.jpg"]
+
+    # labels == the teacher's argmax at native size (threshold 0)
+    bundle = load_model_bundle(UNet(num_classes=3, dtype=jnp.bfloat16),
+                               ckpt, (64, 64))
+    infer = make_infer_fn(bundle)
+    img = cv2.imread(str(img_dir / "u0.jpg"))
+    batch = cv2.resize(img, (64, 64))[:, :, ::-1][None].astype(np.uint8)
+    p = cv2.resize(np.asarray(infer(batch))[0], (56, 48))
+    want = p.argmax(axis=2)
+    got_color = cv2.imread(osp.join(out_dir, "labels", "u0.png"))
+    from pytorch_segmentation_tpu.data.colormap import mask_from_colors
+    got = mask_from_colors(got_color, VOC_COLORMAP)
+    assert (got == want).mean() > 0.99  # PNG round-trip is exact; resize
+    # order matches the tool, so expect identity up to f32 ties
+
+    # the dataset loads back through the standard segimg path
+    ds = SegImgDataset(osp.join(out_dir, "train.txt"), img_size=(32, 32),
+                       augments=False)
+    assert len(ds) == 3 and len(ds.classes) == 3
+
+    # impossible threshold -> nothing kept
+    out2 = str(tmp_path / "pseudo2")
+    monkeypatch.setattr(sys, "argv", [
+        "pseudo_label.py", str(img_dir), out2, "--model", "unet",
+        "--weights", ckpt, "-s", "64", "64", "-nc", "3",
+        "--threshold", "1.01", "--min-keep", "0.5"])
+    pseudo_label.main()
+    with open(osp.join(out2, "train.txt")) as f:
+        assert [n for n in f.read().split("\n") if n] == []
