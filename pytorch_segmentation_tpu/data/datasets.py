@@ -183,6 +183,25 @@ class SegImgDataset(BasicDataset):
         return img, seg
 
 
+class IdImgDataset(SegImgDataset):
+    """labels/*.png store CLASS IDS directly in the gray channel — the
+    Cityscapes `labelIds` / ADE20K annotation convention — instead of
+    palette colors. Same on-disk layout as SegImgDataset (classes.names +
+    images/ + labels/*.png + list file), wired as `--dataset idimg`.
+
+    Ids survive untouched through the nearest-neighbor resizes, so the
+    255 ignore convention passes straight through — train/eval with
+    `--ignore-index 255` to exclude those pixels from the loss and the
+    confusion counts. (Rect padding still labels the pad region 0, like
+    every dataset here — reference utils/datasets.py:166-180 semantics.)
+    """
+
+    def get_data(self, idx):
+        img = self._imread(self.data[idx][0])
+        seg = self._imread(self.data[idx][1], cv2.IMREAD_GRAYSCALE)
+        return img, seg
+
+
 class _CocoBase(BasicDataset):
     def __init__(self, path, img_size=224, augments=True, multi_scale=False,
                  rect=False, cache_images=False):

@@ -29,7 +29,7 @@ _EVAL_STEP_CACHE_MAX = 16  # (num_classes, align, sharding) combos are few;
 def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
          mesh=None, int8: bool = False,  # noqa: PT028 — reference API name
          quant_stats=None, tta_flip: bool = False, tta_scales=(),
-         report_path: str | None = None):
+         report_path: str | None = None, ignore_index: int | None = None):
     """model: engine.trainer.ModelBundle. Returns mean IoU (float).
 
     Prints the per-class table (or top-5 worst classes when >=10 classes)
@@ -69,7 +69,7 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
     # (the model enters via state.apply_fn, a static jit field, so one
     # cached step serves any model; differing models just retrace).
     key = (num_classes, align, replicated_sharding(mesh), int8, tta_flip,
-           tta_scales)
+           tta_scales, ignore_index)
     eval_step = _EVAL_STEP_CACHE.get(key)
     if eval_step is None:
         if len(_EVAL_STEP_CACHE) >= _EVAL_STEP_CACHE_MAX:
@@ -77,7 +77,8 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
         eval_step = make_eval_step(num_classes, align_corners=align,
                                    out_shardings=replicated_sharding(mesh),
                                    quant=int8, tta_flip=tta_flip,
-                                   tta_scales=tta_scales)
+                                   tta_scales=tta_scales,
+                                   ignore_index=ignore_index)
         _EVAL_STEP_CACHE[key] = eval_step
     state = TrainState(step=0, params=model.params,
                        batch_stats=model.batch_stats, opt_state=None,

@@ -253,7 +253,7 @@ def sample_valid_mask(valid, b: int):
 def make_eval_step(num_classes: int, align_corners: bool = True,
                    use_pallas: bool = True, out_shardings=None,
                    quant: bool = False, tta_flip: bool = False,
-                   tta_scales: tuple = ()):
+                   tta_scales: tuple = (), ignore_index: int | None = None):
     """Returns jitted (state, images, segs, valid) -> (loss, tp, fn, fp)
     with padded samples masked out of the confusion counts. Pass
     out_shardings=replicated for multi-host meshes so every process can
@@ -285,8 +285,16 @@ def make_eval_step(num_classes: int, align_corners: bool = True,
     a /32-snapped input size whose logits are bilinearly resized back to
     the base resolution before averaging; composes with tta_flip (flip
     runs per scale). Each scale costs ~scale^2 of a forward.
+
+    ignore_index (test.py --ignore-index; e.g. 255 for Cityscapes/ADE20K
+    id-PNG labels) excludes those pixels from BOTH the loss and the
+    confusion counts (torch cross_entropy(ignore_index=) / mmseg
+    reduce_zero_label-adjacent semantics). Forces the XLA path — the
+    fused Pallas kernels implement the reference's all-pixel contract.
     """
     tta_scales = tuple(tta_scales or ())
+    if ignore_index is not None:
+        use_pallas = False
 
     def step(state: TrainState, images, segs, valid, quant_stats=None):
         variables = {"params": state.params,
@@ -330,15 +338,31 @@ def make_eval_step(num_classes: int, align_corners: bool = True,
         up = resize_bilinear(logits.astype(jnp.float32), (th, tw),
                              align_corners=align_corners)
         lse = jax.nn.logsumexp(up, axis=-1)
+        safe_segs = segs.astype(jnp.int32)
+        if ignore_index is not None:
+            pix_valid = segs != ignore_index
+            safe_segs = jnp.where(pix_valid, safe_segs, 0)
         true_logit = jnp.take_along_axis(
-            up, segs[..., None].astype(jnp.int32), axis=-1)[..., 0]
-        per_sample = jnp.mean(lse - true_logit, axis=(1, 2))
+            up, safe_segs[..., None], axis=-1)[..., 0]
+        if ignore_index is not None:
+            # per-sample mean over the VALID pixels only (torch
+            # cross_entropy(ignore_index=) semantics per sample)
+            pv = pix_valid.astype(jnp.float32)
+            per_sample = jnp.sum((lse - true_logit) * pv, axis=(1, 2)) \
+                / jnp.maximum(jnp.sum(pv, axis=(1, 2)), 1.0)
+        else:
+            per_sample = jnp.mean(lse - true_logit, axis=(1, 2))
         loss = jnp.sum(per_sample * sample_mask) / jnp.maximum(
             jnp.sum(sample_mask), 1.0)
         pred = jnp.argmax(up, axis=-1).astype(jnp.int32)
         # mask padded samples into an out-of-range bucket excluded by bincount
         pred_m = jnp.where(sample_mask[:, None, None], pred, num_classes)
         segs_m = jnp.where(sample_mask[:, None, None], segs, num_classes)
+        if ignore_index is not None:
+            # ignored pixels join the same cropped bucket: their row (and
+            # the matching pred entries) fall outside cm[:nc, :nc]
+            segs_m = jnp.where(pix_valid, segs_m, num_classes)
+            pred_m = jnp.where(pix_valid, pred_m, num_classes)
         # confusion over (num_classes+1)^2 then crop the padding bucket
         p = pred_m.reshape(-1)
         t = segs_m.reshape(-1)

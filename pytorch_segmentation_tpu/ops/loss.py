@@ -163,7 +163,8 @@ LOSSES = ("ce", "lovasz", "ce+lovasz", "focal", "ce+rect", "dice",
 
 def build_loss(name: str, align_corners: bool = True,
                class_weights=None, label_smoothing: float = 0.0,
-               ohem_frac: float = 0.0, ohem_thresh: float = 0.7):
+               ohem_frac: float = 0.0, ohem_thresh: float = 0.7,
+               ignore_index: int | None = None):
     """Named training losses for the CLI (train.py --loss).
 
     'ce' (default) returns `compute_loss` itself so the Trainer's
@@ -190,17 +191,18 @@ def build_loss(name: str, align_corners: bool = True,
     loss, the knobs run on full-resolution logits (the fused Pallas CE
     kernel implements only the reference's plain-CE path).
     """
-    knobs = (class_weights is not None or label_smoothing or ohem_frac)
+    knobs = (class_weights is not None or label_smoothing or ohem_frac
+             or ignore_index is not None)
     if knobs and name not in ("ce", "ce+lovasz", "ce+rect", "ce+dice"):
         raise ValueError(
-            f"--class-weights/--label-smoothing/--ohem modify the CE term, "
-            f"but loss {name!r} has none")
+            f"--class-weights/--label-smoothing/--ohem/--ignore-index "
+            f"modify the CE term, but loss {name!r} has none")
 
     def ce(logits, targets):
         return weighted_cross_entropy(
             logits, targets, class_weights=class_weights,
             label_smoothing=label_smoothing, ohem_frac=ohem_frac,
-            ohem_thresh=ohem_thresh)
+            ohem_thresh=ohem_thresh, ignore_index=ignore_index)
 
     if name == "ce":
         if not knobs:

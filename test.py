@@ -9,19 +9,26 @@ layout — docs/MIOU_PARITY_RUNBOOK.md step 4)."""
 import argparse
 
 from pytorch_segmentation_tpu.data import (CocoDataset, DataLoader, Fetcher,
-                                           PostFetch, SegImgDataset)
+                                           IdImgDataset, PostFetch,
+                                           SegImgDataset)
 from pytorch_segmentation_tpu.engine import test
 from pytorch_segmentation_tpu.engine.checkpoint import load_model_bundle
 from pytorch_segmentation_tpu.models import (MODEL_REGISTRY,
                                               build_model)
 
-DATASETS = {"coco": CocoDataset, "segimg": SegImgDataset}
+DATASETS = {"coco": CocoDataset, "segimg": SegImgDataset,
+            "idimg": IdImgDataset}
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("val", type=str,
-                        help="val.json (coco) or val.txt (segimg)")
+                        help="val.json (coco) or val.txt (segimg/idimg)")
+    parser.add_argument("--ignore-index", type=int, default=None,
+                        metavar="ID",
+                        help="label id excluded from the loss and the "
+                             "confusion counts (e.g. 255 for Cityscapes/"
+                             "ADE20K-style --dataset idimg labels)")
     parser.add_argument("--dataset", type=str, default="coco",
                         choices=sorted(DATASETS))
     parser.add_argument("--model", type=str, default="deeplabv3plus",
@@ -112,7 +119,8 @@ def main():
     metrics = test(bundle, val_fetcher, int8=opt.int8,
                    quant_stats=quant_stats, tta_flip=opt.tta,
                    tta_scales=opt.tta_scales,
-                   report_path=opt.report or None)
+                   report_path=opt.report or None,
+                   ignore_index=opt.ignore_index)
     print("metrics: %8g" % metrics)
 
 

@@ -15,7 +15,8 @@ import os.path as osp
 import jax.numpy as jnp
 
 from pytorch_segmentation_tpu.data import (CocoDataset, CocoInstance,
-                                           DataLoader, Fetcher, PostFetch,
+                                           DataLoader, Fetcher,
+                                           IdImgDataset, PostFetch,
                                            SegImgDataset)
 from pytorch_segmentation_tpu.data.augment import make_augment_fn
 from pytorch_segmentation_tpu.engine import Trainer, test
@@ -32,6 +33,9 @@ DATASETS = {
     "cocoinstance": (CocoInstance, "train.json", "val.json"),
     "coco": (CocoDataset, "train.json", "val.json"),
     "segimg": (SegImgDataset, "train.txt", "val.txt"),
+    # grayscale class-id label PNGs (Cityscapes labelIds / ADE20K
+    # convention); pair with --ignore-index 255 when the labels use it
+    "idimg": (IdImgDataset, "train.txt", "val.txt"),
 }
 
 
@@ -67,7 +71,7 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
           distill="", distill_model="", distill_variant="",
           distill_weight=1.0, distill_temp=2.0, class_weights="",
           label_smoothing=0.0, ohem=0.0, ohem_thresh=0.7, zero=False,
-          moe=0, moe_top_k=2, ep=1, spatial=1):
+          moe=0, moe_top_k=2, ep=1, spatial=1, ignore_index=None):
     ds_cls, train_file, val_file = DATASETS[dataset]
     train_coco = osp.join(data_dir, train_file)
     val_coco = osp.join(data_dir, val_file)
@@ -185,7 +189,7 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
     loss_fn = build_loss(loss, align_corners=getattr(
         model, "up_align_corners", True), class_weights=cw,
         label_smoothing=label_smoothing, ohem_frac=ohem,
-        ohem_thresh=ohem_thresh)
+        ohem_thresh=ohem_thresh, ignore_index=ignore_index)
     trainer = Trainer(model, train_fetcher, loss_fn=loss_fn, zero=zero,
                       distill_fn=distill_fn, distill_weight=distill_weight,
                       distill_temp=distill_temp,
@@ -223,7 +227,8 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
             # (and select "best" on) the quantized mIoU; under --ema the
             # deployment weights are the averaged ones, so eval those
             eval_model = trainer.ema_model if ema > 0 else trainer.model
-            metrics = test(eval_model, val_fetcher, mesh=mesh, int8=qat)
+            metrics = test(eval_model, val_fetcher, mesh=mesh, int8=qat,
+                           ignore_index=ignore_index)
             trainer.log_record(epoch=trainer.epoch - 1, val_miou=metrics)
             if metrics > trainer.metrics:
                 best = True
@@ -365,6 +370,16 @@ if __name__ == "__main__":
                              "expert stacks over an inner 'expert' mesh "
                              "axis (parallel/ep.py), batch over 'data'; "
                              "devices must be divisible by N")
+    parser.add_argument("--ignore-index", type=int, default=None,
+                        metavar="ID",
+                        help="label id excluded from the loss AND the "
+                             "eval confusion counts (torch cross_entropy("
+                             "ignore_index=) semantics; e.g. 255 for "
+                             "Cityscapes/ADE20K-style --dataset idimg "
+                             "labels). Composes with the CE term of any "
+                             "--loss ce/ce+*; runs the full-res XLA loss "
+                             "path (the fused Pallas CE implements the "
+                             "reference's all-pixel contract)")
     parser.add_argument("--spatial", type=int, default=1, metavar="N",
                         help="spatial sharding: 2-D (data, space) mesh — "
                              "activations shard over image H, XLA inserts "
@@ -462,4 +477,5 @@ if __name__ == "__main__":
           distill_temp=opt.distill_temp, class_weights=opt.class_weights,
           label_smoothing=opt.label_smoothing, ohem=opt.ohem,
           ohem_thresh=opt.ohem_thresh, zero=opt.zero, moe=opt.moe,
-          moe_top_k=opt.moe_top_k, ep=opt.ep, spatial=opt.spatial)
+          moe_top_k=opt.moe_top_k, ep=opt.ep, spatial=opt.spatial,
+          ignore_index=opt.ignore_index)
