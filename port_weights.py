@@ -62,6 +62,8 @@ def run(sd_path, model_name, num_classes, out_path, arch=None,
     if arch is None and variant == "r34" and model_name in ("fpn",
                                                             "upernet"):
         arch = "resnet34"  # the r34 variant ports the resnet34 backbone
+    if arch is None and variant.startswith("cn-") and model_name == "upernet":
+        arch = "convnext"  # torchvision convnext_{tiny,small,base}
     arch = arch or _BACKBONE_ARCH.get(model_name)
     if arch is None and model_name != "segformer":
         raise SystemExit(f"--arch required for model {model_name!r} "
@@ -125,7 +127,8 @@ if __name__ == "__main__":
                              "the matching backbone port; segformer: "
                              "b0..b5, must match the HF checkpoint)")
     parser.add_argument("--arch", type=str, default=None,
-                        choices=["mobilenetv2", "resnet50", "resnet34"],
+                        choices=["mobilenetv2", "resnet50", "resnet34",
+                                 "convnext"],
                         help="backbone converter (defaults by model)")
     parser.add_argument("--reverse", action="store_true",
                         help="framework checkpoint -> torch "

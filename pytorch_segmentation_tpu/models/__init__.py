@@ -59,6 +59,10 @@ MODEL_VARIANTS = {
         "r34": {"block": "basic", "backbone_layers": (3, 4, 6, 3)},
         **{f"mit-{v}": {"encoder": "mit", "mit_variant": v}
            for v in ("b0", "b1", "b2", "b3", "b4", "b5", "tiny")},
+        # ConvNeXt encoders (the paper's own segmentation recipe pairs
+        # ConvNeXt with UPerNet); cn-pico is the test-compile size
+        **{f"cn-{v}": {"encoder": "convnext", "convnext_variant": v}
+           for v in ("t", "s", "b", "pico")},
     },
     # HRNet widths (mmseg ocrnet_hr18/hr48 analogs; w32 = the zoo's
     # hrnet default so --model ocrnet upgrades its decoder in place)

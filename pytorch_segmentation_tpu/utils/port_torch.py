@@ -17,7 +17,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["convert_mobilenetv2", "convert_resnet", "convert_named",
+__all__ = ["convert_mobilenetv2", "convert_resnet", "convert_convnext",
+           "convert_named",
            "convert_hf_segformer", "load_pretrained_backbone",
            "load_pretrained_segformer", "export_torch_state_dict",
            "save_torch_checkpoint"]
@@ -99,6 +100,52 @@ def convert_resnet(sd: dict, layers=(3, 4, 6, 3)):
                     sd, base + ".downsample.0.weight", base + ".downsample.1")
             params[name], stats[name] = p, s
     return params, stats
+
+
+def convert_convnext(sd: dict):
+    """torchvision convnext_{tiny,small,base} classification state_dict ->
+    (params, batch_stats) subtrees matching nn/backbones/convnext.ConvNeXt.
+
+    torchvision layout (`features.*` Sequential): features.0 = stem
+    (conv 4x4 s4 at .0, LayerNorm2d at .1); odd indices 1/3/5/7 = block
+    stages (each CNBlock: block.0 dwconv, block.2 LN, block.3 Linear 4C,
+    block.5 Linear C, plus a (C,1,1) `layer_scale` parameter); even
+    indices 2/4/6 = downsample (LayerNorm2d at .0, conv 2x2 s2 at .1).
+    The classifier head (avgpool LN + Linear) is dropped. LayerNorms
+    carry no running stats, so batch_stats is empty."""
+    def dense(prefix):
+        return {"kernel": np.ascontiguousarray(
+                    np.asarray(sd[prefix + ".weight"], np.float32).T),
+                "bias": np.asarray(sd[prefix + ".bias"], np.float32)}
+
+    def ln(prefix):
+        return {"scale": np.asarray(sd[prefix + ".weight"], np.float32),
+                "bias": np.asarray(sd[prefix + ".bias"], np.float32)}
+
+    def conv(prefix):
+        return {"kernel": _conv(sd[prefix + ".weight"]),
+                "bias": np.asarray(sd[prefix + ".bias"], np.float32)}
+
+    params = {"stem_conv": conv("features.0.0"),
+              "stem_norm": ln("features.0.1")}
+    for s in range(4):
+        feat = 2 * s + 1
+        if s > 0:
+            params[f"down{s}_norm"] = ln(f"features.{feat - 1}.0")
+            params[f"down{s}_conv"] = conv(f"features.{feat - 1}.1")
+        depth = 1 + max(int(k.split(".")[2]) for k in sd
+                        if k.startswith(f"features.{feat}."))
+        for b in range(depth):
+            base = f"features.{feat}.{b}"
+            params[f"stage{s}_block{b}"] = {
+                "dwconv": conv(base + ".block.0"),
+                "norm": ln(base + ".block.2"),
+                "fc1": dense(base + ".block.3"),
+                "fc2": dense(base + ".block.5"),
+                "gamma": np.asarray(sd[base + ".layer_scale"],
+                                    np.float32).reshape(-1),
+            }
+    return params, {}
 
 
 def convert_named(sd: dict):
@@ -300,13 +347,16 @@ def load_pretrained_backbone(model_params, model_stats, path_or_sd,
     elif arch == "resnet34":
         # basic blocks: conv1/conv2 only (convert_resnet skips absent conv3)
         bp, bs = convert_resnet(sd, layers=(3, 4, 6, 3))
+    elif arch == "convnext":
+        bp, bs = convert_convnext(sd)
     else:
         raise ValueError(f"unknown arch {arch!r}")
 
     params = copy.deepcopy(jax_to_py(model_params))
     stats = copy.deepcopy(jax_to_py(model_stats))
     _merge_checked(params[backbone_key], bp, f"params.{backbone_key}")
-    _merge_checked(stats[backbone_key], bs, f"stats.{backbone_key}")
+    if bs:  # ConvNeXt is all-LayerNorm: no backbone batch stats
+        _merge_checked(stats[backbone_key], bs, f"stats.{backbone_key}")
     return params, stats
 
 

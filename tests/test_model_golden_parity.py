@@ -22,8 +22,8 @@ from pytorch_segmentation_tpu.models import (FPN, BiSeNetV2, DeepLabV3Plus,
                                               HRNet, OCRNet, PSPNet,
                                               SegFormer, UNet, UPerNet)
 from pytorch_segmentation_tpu.utils.port_torch import (
-    _merge_checked, convert_mobilenetv2, convert_named, convert_resnet,
-    jax_to_py)
+    _merge_checked, convert_convnext, convert_mobilenetv2, convert_named,
+    convert_resnet, jax_to_py)
 
 from torch_refs import (TFPN, TBiSeNetV2, TDeepLabV3Plus, THRNet, TOCRNet,
                         TPSPNet, TSegFormer, TUNet, TUPerNet,
@@ -51,7 +51,8 @@ def _port(flax_model, tmodel, backbone_converter, sample_hw=(64, 64)):
         bb_sd, rest_sd = _split_sd(tmodel)
         bp, bs = backbone_converter(bb_sd)
         _merge_checked(params["backbone"], bp, "params.backbone")
-        _merge_checked(stats["backbone"], bs, "stats.backbone")
+        if bs:  # ConvNeXt is all-LayerNorm: no backbone batch stats
+            _merge_checked(stats["backbone"], bs, "stats.backbone")
     else:
         _, rest_sd = {}, {k: v.detach().numpy()
                           for k, v in tmodel.state_dict().items()}
@@ -102,6 +103,16 @@ CASES = {
         lambda nc: TUPerNet(nc, encoder="mit", mit_dims=(16, 32, 64, 128),
                             mit_depths=(1, 1, 1, 1), mit_heads=(1, 2, 4, 8)),
         None),
+    # ConvNeXt-encoder UPerNet at the 1-block 'pico' dims; the torch
+    # mirror uses torchvision `features.*` naming so this exercises
+    # convert_convnext (the production path for real zoo weights).
+    # layer_scale 0.5 (vs the 1e-6 init) so block outputs actually
+    # contribute — at 1e-6 a broken fc1/fc2 port would still "pass".
+    "upernet-cn": (
+        lambda nc: UPerNet(num_classes=nc, encoder="convnext",
+                           convnext_variant="pico", dtype=jnp.float32),
+        lambda nc: TUPerNet(nc, encoder="convnext", cn_layer_scale=0.5),
+        convert_convnext),
 }
 
 

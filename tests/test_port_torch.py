@@ -444,3 +444,40 @@ def test_hf_mit_port_into_upernet(rng, tmp_path):
         hf.state_dict()["segformer.encoder.patch_embeddings.0.proj.weight"]
         .numpy().transpose(2, 3, 1, 0))
     assert "ppm_bottleneck" in ckpt["model"]  # head present, at init
+
+
+def test_convnext_port_into_upernet(tmp_path):
+    """A torchvision-named ConvNeXt classification state_dict ports into
+    UPerNet (encoder='convnext') through the port_weights CLI path; the
+    cn-* variant selects the convnext converter automatically. The torch
+    mirror (tests/torch_refs.py TConvNeXt) generates the state_dict, so
+    key layout == torchvision's convnext_tiny/small/base."""
+    import torch
+
+    from pytorch_segmentation_tpu.engine.checkpoint import load_checkpoint
+    from torch_refs import TConvNeXt
+
+    torch.manual_seed(0)
+    tm = TConvNeXt()  # pico dims (16, 32, 64, 128)
+    sd = tm.state_dict()
+    # the real zoo file also carries the classification head; the
+    # converter must ignore it
+    sd["classifier.0.weight"] = torch.ones(128)
+    sd["classifier.0.bias"] = torch.zeros(128)
+    sd["classifier.2.weight"] = torch.zeros(10, 128)
+    sd["classifier.2.bias"] = torch.zeros(10)
+    pth = tmp_path / "convnext_pico.pth"
+    torch.save(sd, str(pth))
+
+    import port_weights
+    out = tmp_path / "upernet_cn.ckpt"
+    port_weights.run(str(pth), "upernet", 3, str(out), variant="cn-pico")
+    ckpt = load_checkpoint(str(out))
+    bb = ckpt["model"]["backbone"]
+    np.testing.assert_allclose(
+        np.asarray(bb["stem_conv"]["kernel"]),
+        sd["features.0.0.weight"].numpy().transpose(2, 3, 1, 0))
+    np.testing.assert_allclose(
+        np.asarray(bb["stage3_block0"]["gamma"]),
+        sd["features.7.0.layer_scale"].numpy().reshape(-1))
+    assert "ppm_bottleneck" in ckpt["model"]  # head present, at init

@@ -719,12 +719,18 @@ class TUPerNet(nn.Module):
     def __init__(self, num_classes, layers=(3, 4, 6, 3), block=None,
                  encoder="resnet", mit_dims=(32, 64, 160, 256),
                  mit_depths=(2, 2, 2, 2), mit_heads=(1, 2, 5, 8),
+                 cn_depths=(1, 1, 1, 1), cn_dims=(16, 32, 64, 128),
+                 cn_layer_scale=1e-6,
                  channels=512, pool_scales=(1, 2, 3, 6)):
         super().__init__()
         self.encoder = encoder
         if encoder == "mit":
             self.backbone = TMiT(mit_dims, mit_depths, mit_heads)
             chans = list(mit_dims)
+        elif encoder == "convnext":
+            self.backbone = TConvNeXt(cn_depths, cn_dims,
+                                      layer_scale=cn_layer_scale)
+            chans = list(cn_dims)
         else:
             block = block or _TorchBottleneck
             self.backbone = TResNet(block, layers)
@@ -744,8 +750,8 @@ class TUPerNet(nn.Module):
 
     def forward(self, x):
         feats = self.backbone(x)
-        if self.encoder != "mit":
-            feats = feats[1:]  # C2..C5
+        if self.encoder == "resnet":
+            feats = feats[1:]  # C2..C5 (mit/convnext taps are already 4)
         sizes = [f.shape[-2:] for f in feats]
         c5 = feats[3]
         branches = [c5]
@@ -922,3 +928,78 @@ class TOCRNet(nn.Module):
         ctx = ctx.permute(0, 2, 1).reshape(bsz, self.key_channels, h, w)
         y = self.fuse(torch.cat([self.out_project(ctx), pix], dim=1))
         return _up(self.cls_conv(y), 4, align=False)
+
+
+class _TPermute(nn.Module):
+    """torchvision.ops.Permute stand-in (param-free, keeps block indices
+    0..6 identical to torchvision CNBlock so state_dict keys match)."""
+
+    def __init__(self, dims):
+        super().__init__()
+        self.dims = dims
+
+    def forward(self, x):
+        return x.permute(self.dims)
+
+
+class _TLayerNorm2d(nn.LayerNorm):
+    """torchvision LayerNorm2d: LayerNorm over C of an NCHW tensor."""
+
+    def forward(self, x):
+        x = x.permute(0, 2, 3, 1)
+        x = super().forward(x)
+        return x.permute(0, 3, 1, 2)
+
+
+class _TCNBlock(nn.Module):
+    """torchvision CNBlock (stochastic depth omitted — eval parity)."""
+
+    def __init__(self, dim, layer_scale=1e-6):
+        super().__init__()
+        self.block = nn.Sequential(
+            nn.Conv2d(dim, dim, 7, padding=3, groups=dim, bias=True),
+            _TPermute([0, 2, 3, 1]),
+            nn.LayerNorm(dim, eps=1e-6),
+            nn.Linear(dim, 4 * dim),
+            nn.GELU(),
+            nn.Linear(4 * dim, dim),
+            _TPermute([0, 3, 1, 2]),
+        )
+        self.layer_scale = nn.Parameter(
+            torch.full((dim, 1, 1), layer_scale))
+
+    def forward(self, x):
+        return x + self.layer_scale * self.block(x)
+
+
+class TConvNeXt(nn.Module):
+    """torchvision convnext_* feature trunk with torchvision state_dict
+    naming (`features.{0..7}`), so it exercises
+    utils/port_torch.convert_convnext — the production import path for
+    real torchvision zoo weights (like TMobileNetV2/TResNet above).
+    Returns the 4 stage taps at strides 4/8/16/32 (NCHW)."""
+
+    def __init__(self, depths=(1, 1, 1, 1), dims=(16, 32, 64, 128),
+                 layer_scale=1e-6):
+        super().__init__()
+        feats = [nn.Sequential(
+            nn.Conv2d(3, dims[0], 4, stride=4, bias=True),
+            _TLayerNorm2d(dims[0], eps=1e-6))]
+        self.tap_idx = []
+        for s, (depth, dim) in enumerate(zip(depths, dims)):
+            if s > 0:
+                feats.append(nn.Sequential(
+                    _TLayerNorm2d(dims[s - 1], eps=1e-6),
+                    nn.Conv2d(dims[s - 1], dim, 2, stride=2, bias=True)))
+            feats.append(nn.Sequential(
+                *[_TCNBlock(dim, layer_scale) for _ in range(depth)]))
+            self.tap_idx.append(len(feats) - 1)
+        self.features = nn.Sequential(*feats)
+
+    def forward(self, x):
+        taps = []
+        for i, mod in enumerate(self.features):
+            x = mod(x)
+            if i in self.tap_idx:
+                taps.append(x)
+        return taps
