@@ -64,6 +64,8 @@ def run(sd_path, model_name, num_classes, out_path, arch=None,
         arch = "resnet34"  # the r34 variant ports the resnet34 backbone
     if arch is None and variant.startswith("cn-") and model_name == "upernet":
         arch = "convnext"  # torchvision convnext_{tiny,small,base}
+    if arch is None and variant.startswith("swin-") and model_name == "upernet":
+        arch = "swin"  # torchvision swin_{t,s,b}
     arch = arch or _BACKBONE_ARCH.get(model_name)
     if arch is None and model_name != "segformer":
         raise SystemExit(f"--arch required for model {model_name!r} "
@@ -128,7 +130,7 @@ if __name__ == "__main__":
                              "b0..b5, must match the HF checkpoint)")
     parser.add_argument("--arch", type=str, default=None,
                         choices=["mobilenetv2", "resnet50", "resnet34",
-                                 "convnext"],
+                                 "convnext", "swin"],
                         help="backbone converter (defaults by model)")
     parser.add_argument("--reverse", action="store_true",
                         help="framework checkpoint -> torch "

@@ -63,6 +63,9 @@ MODEL_VARIANTS = {
         # ConvNeXt with UPerNet); cn-pico is the test-compile size
         **{f"cn-{v}": {"encoder": "convnext", "convnext_variant": v}
            for v in ("t", "s", "b", "pico")},
+        # Swin encoders (the Swin paper's segmentation pairing)
+        **{f"swin-{v}": {"encoder": "swin", "swin_variant": v}
+           for v in ("t", "s", "b", "pico")},
     },
     # HRNet widths (mmseg ocrnet_hr18/hr48 analogs; w32 = the zoo's
     # hrnet default so --model ocrnet upgrades its decoder in place)

@@ -19,13 +19,15 @@ Architecture (mmseg UPerHead conventions — channels 512, pool scales
   - Fuse: upsample every level to stride 4, concat (4*512) -> 3x3
     ConvNormAct 512 -> 1x1 class conv -> x4 bilinear.
 
-Three encoders share the head: the default ResNet bottleneck/basic
+Four encoders share the head: the default ResNet bottleneck/basic
 C2..C5 pyramid (torchvision-portable), the SegFormer MiT transformer
 encoder (`encoder='mit'` — its 4 stage outputs are exactly the
-stride-4/8/16/32 contract; ports from the HF nvidia/mit-b* zoo), and
+stride-4/8/16/32 contract; ports from the HF nvidia/mit-b* zoo),
 ConvNeXt (`encoder='convnext'`, nn/backbones/convnext.py — the paper's
 own segmentation recipe IS UPerNet; ports from torchvision
-convnext_tiny/small/base classification checkpoints).
+convnext_tiny/small/base classification checkpoints), and Swin
+(`encoder='swin'`, nn/backbones/swin.py — the original Swin paper's
+segmentation pairing; ports from torchvision swin_t/s/b).
 
 Cite for the judge: no reference counterpart; independent flax
 expression of the public architecture (arXiv:1807.10221), validated
@@ -39,6 +41,7 @@ from flax import linen as nn
 
 from ..nn.backbones.convnext import CONVNEXT_VARIANTS, ConvNeXt
 from ..nn.backbones.resnet import ResNet
+from ..nn.backbones.swin import SWIN_VARIANTS, SwinTransformer
 from ..nn.blocks import ConvNormAct, conv_kernel_init
 from ..ops.pool import adaptive_avg_pool2d
 from ..ops.resize import resize_bilinear
@@ -49,11 +52,12 @@ __all__ = ["UPerNet"]
 
 class UPerNet(nn.Module):
     num_classes: int
-    encoder: str = "resnet"  # 'resnet' | 'mit' | 'convnext'
+    encoder: str = "resnet"  # 'resnet' | 'mit' | 'convnext' | 'swin'
     backbone_layers: tuple = (3, 4, 6, 3)  # ResNet-50
     block: str = "bottleneck"
     mit_variant: str = "b0"  # encoder='mit' size (SEGFORMER_VARIANTS)
     convnext_variant: str = "t"  # encoder='convnext' (CONVNEXT_VARIANTS)
+    swin_variant: str = "t"  # encoder='swin' size (SWIN_VARIANTS)
     channels: int = 512
     pool_scales: tuple = (1, 2, 3, 6)
     dtype: jnp.dtype = jnp.bfloat16
@@ -83,6 +87,12 @@ class UPerNet(nn.Module):
             feats = ConvNeXt(depths=depths, dims=dims, dtype=self.dtype,
                              remat=self.remat,
                              name="backbone")(x, train=train)
+        elif self.encoder == "swin":
+            depths, dim, heads, window = SWIN_VARIANTS[self.swin_variant]
+            feats = SwinTransformer(depths=depths, dim=dim, heads=heads,
+                                    window=window, dtype=self.dtype,
+                                    remat=self.remat,
+                                    name="backbone")(x, train=train)
         else:
             feats = ResNet(block=self.block, layers=self.backbone_layers,
                            dtype=self.dtype, axis_name=self.axis_name,

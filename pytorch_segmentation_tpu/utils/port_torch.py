@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["convert_mobilenetv2", "convert_resnet", "convert_convnext",
-           "convert_named",
+           "convert_swin", "convert_named",
            "convert_hf_segformer", "load_pretrained_backbone",
            "load_pretrained_segformer", "export_torch_state_dict",
            "save_torch_checkpoint"]
@@ -144,6 +144,62 @@ def convert_convnext(sd: dict):
                 "fc2": dense(base + ".block.5"),
                 "gamma": np.asarray(sd[base + ".layer_scale"],
                                     np.float32).reshape(-1),
+            }
+    return params, {}
+
+
+def convert_swin(sd: dict):
+    """torchvision swin_{t,s,b} (v1) classification state_dict ->
+    (params, batch_stats) subtrees matching
+    nn/backbones/swin.SwinTransformer.
+
+    torchvision layout (`features.*` Sequential): features.0 = patch
+    embed (conv 4x4 s4 at .0, LayerNorm at .2 — .1 is a param-free
+    Permute); odd indices 1/3/5/7 = block stages (each
+    SwinTransformerBlock: norm1, attn.{qkv,proj,
+    relative_position_bias_table}, norm2, mlp.0 / mlp.3 Linears); even
+    indices 2/4/6 = PatchMerging (reduction Linear no-bias + norm).
+    `attn.relative_position_index` buffers are dropped (recomputed at
+    trace time), as are the classification head (`head.*`) and its
+    final `norm.*`. LayerNorms carry no running stats, so batch_stats
+    is empty."""
+    def dense(prefix, bias=True):
+        out = {"kernel": np.ascontiguousarray(
+                   np.asarray(sd[prefix + ".weight"], np.float32).T)}
+        if bias:
+            out["bias"] = np.asarray(sd[prefix + ".bias"], np.float32)
+        return out
+
+    def ln(prefix):
+        return {"scale": np.asarray(sd[prefix + ".weight"], np.float32),
+                "bias": np.asarray(sd[prefix + ".bias"], np.float32)}
+
+    params = {"patch_conv": {
+                  "kernel": _conv(sd["features.0.0.weight"]),
+                  "bias": np.asarray(sd["features.0.0.bias"], np.float32)},
+              "patch_norm": ln("features.0.2")}
+    for s in range(4):
+        feat = 2 * s + 1
+        if s > 0:
+            params[f"merge{s}"] = {
+                "norm": ln(f"features.{feat - 1}.norm"),
+                "reduction": dense(f"features.{feat - 1}.reduction",
+                                   bias=False)}
+        depth = 1 + max(int(k.split(".")[2]) for k in sd
+                        if k.startswith(f"features.{feat}."))
+        for b in range(depth):
+            base = f"features.{feat}.{b}"
+            params[f"stage{s}_block{b}"] = {
+                "norm1": ln(base + ".norm1"),
+                "attn": {
+                    "qkv": dense(base + ".attn.qkv"),
+                    "proj": dense(base + ".attn.proj"),
+                    "rpb": np.asarray(
+                        sd[base + ".attn.relative_position_bias_table"],
+                        np.float32)},
+                "norm2": ln(base + ".norm2"),
+                "fc1": dense(base + ".mlp.0"),
+                "fc2": dense(base + ".mlp.3"),
             }
     return params, {}
 
@@ -349,6 +405,8 @@ def load_pretrained_backbone(model_params, model_stats, path_or_sd,
         bp, bs = convert_resnet(sd, layers=(3, 4, 6, 3))
     elif arch == "convnext":
         bp, bs = convert_convnext(sd)
+    elif arch == "swin":
+        bp, bs = convert_swin(sd)
     else:
         raise ValueError(f"unknown arch {arch!r}")
 

@@ -23,7 +23,7 @@ from pytorch_segmentation_tpu.models import (FPN, BiSeNetV2, DeepLabV3Plus,
                                               SegFormer, UNet, UPerNet)
 from pytorch_segmentation_tpu.utils.port_torch import (
     _merge_checked, convert_convnext, convert_mobilenetv2, convert_named,
-    convert_resnet, jax_to_py)
+    convert_resnet, convert_swin, jax_to_py)
 
 from torch_refs import (TFPN, TBiSeNetV2, TDeepLabV3Plus, THRNet, TOCRNet,
                         TPSPNet, TSegFormer, TUNet, TUPerNet,
@@ -113,6 +113,17 @@ CASES = {
                            convnext_variant="pico", dtype=jnp.float32),
         lambda nc: TUPerNet(nc, encoder="convnext", cn_layer_scale=0.5),
         convert_convnext),
+    # Swin-encoder UPerNet at the (1,2,2,1)-depth 'pico' dims (window 4):
+    # at 320^2 the odd blocks run SHIFTED windows with the 9-region mask
+    # at two resolutions; the torchvision-named mirror exercises
+    # convert_swin. The 96^2 gradient test adds the window-padding path
+    # (stage maps 24/12/6/3: stage 3 pads 6->8; stage 4 pads 3->4 with
+    # shift disabled because the window covers the padded axis).
+    "upernet-swin": (
+        lambda nc: UPerNet(num_classes=nc, encoder="swin",
+                           swin_variant="pico", dtype=jnp.float32),
+        lambda nc: TUPerNet(nc, encoder="swin"),
+        convert_swin),
 }
 
 

@@ -481,3 +481,40 @@ def test_convnext_port_into_upernet(tmp_path):
         np.asarray(bb["stage3_block0"]["gamma"]),
         sd["features.7.0.layer_scale"].numpy().reshape(-1))
     assert "ppm_bottleneck" in ckpt["model"]  # head present, at init
+
+
+def test_swin_port_into_upernet(tmp_path):
+    """A torchvision-named Swin classification state_dict ports into
+    UPerNet (encoder='swin') through the port_weights CLI path; the
+    swin-* variant selects the swin converter automatically, and the
+    relative_position_index buffers / classification head are dropped."""
+    import torch
+
+    from pytorch_segmentation_tpu.engine.checkpoint import load_checkpoint
+    from torch_refs import TSwin
+
+    torch.manual_seed(0)
+    tm = TSwin()  # pico config (depths (1,2,2,1), dim 16, window 4)
+    sd = tm.state_dict()
+    sd["norm.weight"] = torch.ones(128)  # final LN + head, as in the zoo
+    sd["norm.bias"] = torch.zeros(128)
+    sd["head.weight"] = torch.zeros(10, 128)
+    sd["head.bias"] = torch.zeros(10)
+    pth = tmp_path / "swin_pico.pth"
+    torch.save(sd, str(pth))
+
+    import port_weights
+    out = tmp_path / "upernet_swin.ckpt"
+    port_weights.run(str(pth), "upernet", 3, str(out), variant="swin-pico")
+    ckpt = load_checkpoint(str(out))
+    bb = ckpt["model"]["backbone"]
+    np.testing.assert_allclose(
+        np.asarray(bb["patch_conv"]["kernel"]),
+        sd["features.0.0.weight"].numpy().transpose(2, 3, 1, 0))
+    np.testing.assert_allclose(
+        np.asarray(bb["stage1_block1"]["attn"]["rpb"]),
+        sd["features.3.1.attn.relative_position_bias_table"].numpy())
+    np.testing.assert_allclose(
+        np.asarray(bb["merge2"]["reduction"]["kernel"]),
+        sd["features.4.reduction.weight"].numpy().T)
+    assert "ppm_bottleneck" in ckpt["model"]  # head present, at init

@@ -731,6 +731,9 @@ class TUPerNet(nn.Module):
             self.backbone = TConvNeXt(cn_depths, cn_dims,
                                       layer_scale=cn_layer_scale)
             chans = list(cn_dims)
+        elif encoder == "swin":
+            self.backbone = TSwin()  # pico config
+            chans = [16 * (2 ** i) for i in range(4)]
         else:
             block = block or _TorchBottleneck
             self.backbone = TResNet(block, layers)
@@ -1002,4 +1005,138 @@ class TConvNeXt(nn.Module):
             x = mod(x)
             if i in self.tap_idx:
                 taps.append(x)
+        return taps
+
+
+class _TShiftedWindowAttention(nn.Module):
+    """torchvision ShiftedWindowAttention (v1): pad to window multiples,
+    per-axis shift disable when the window covers the padded axis,
+    relative position bias, 9-region mask over the padded canvas."""
+
+    def __init__(self, dim, heads, window, shift):
+        super().__init__()
+        self.qkv = nn.Linear(dim, 3 * dim)
+        self.proj = nn.Linear(dim, dim)
+        self.relative_position_bias_table = nn.Parameter(
+            torch.zeros((2 * window - 1) ** 2, heads))
+        nn.init.trunc_normal_(self.relative_position_bias_table, std=0.02)
+        coords = torch.stack(torch.meshgrid(
+            torch.arange(window), torch.arange(window),
+            indexing="ij")).flatten(1)
+        rel = (coords[:, :, None] - coords[:, None, :]).permute(1, 2, 0)
+        rel = rel + (window - 1)
+        rel[:, :, 0] *= 2 * window - 1
+        self.register_buffer("relative_position_index", rel.sum(-1))
+        self.heads, self.window, self.shift = heads, window, shift
+
+    def forward(self, x):  # [B, H, W, C] (torchvision swin is NHWC)
+        B, H, W, C = x.shape
+        ws = self.window
+        pad_r, pad_b = (ws - W % ws) % ws, (ws - H % ws) % ws
+        x = F.pad(x, (0, 0, 0, pad_r, 0, pad_b))
+        _, pH, pW, _ = x.shape
+        sh = 0 if ws >= pH else self.shift
+        sw = 0 if ws >= pW else self.shift
+        if sh or sw:
+            x = torch.roll(x, (-sh, -sw), dims=(1, 2))
+        nh, nw = pH // ws, pW // ws
+        n = ws * ws
+        x = x.view(B, nh, ws, nw, ws, C).permute(0, 1, 3, 2, 4, 5)
+        x = x.reshape(B * nh * nw, n, C)
+        qkv = self.qkv(x).reshape(x.size(0), n, 3, self.heads,
+                                  C // self.heads).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0] * (C // self.heads) ** -0.5, qkv[1], qkv[2]
+        attn = q.matmul(k.transpose(-2, -1))
+        bias = self.relative_position_bias_table[
+            self.relative_position_index.view(-1)].view(n, n, -1)
+        attn = attn + bias.permute(2, 0, 1).unsqueeze(0)
+        if sh or sw:
+            canvas = x.new_zeros((pH, pW))
+            cnt = 0
+            for h0, h1 in ((0, pH - ws), (pH - ws, pH - sh),
+                           (pH - sh, pH)):
+                for w0, w1 in ((0, pW - ws), (pW - ws, pW - sw),
+                               (pW - sw, pW)):
+                    canvas[h0:h1, w0:w1] = cnt
+                    cnt += 1
+            ids = canvas.view(nh, ws, nw, ws).permute(0, 2, 1, 3)
+            ids = ids.reshape(nh * nw, n)
+            mask = (ids.unsqueeze(1) - ids.unsqueeze(2))
+            mask = mask.masked_fill(mask != 0, -100.0)
+            attn = attn.view(B, nh * nw, self.heads, n, n)
+            attn = attn + mask.unsqueeze(1).unsqueeze(0)
+            attn = attn.view(-1, self.heads, n, n)
+        attn = F.softmax(attn, -1)
+        x = attn.matmul(v).transpose(1, 2).reshape(x.size(0), n, C)
+        x = x.view(B, nh, nw, ws, ws, C).permute(0, 1, 3, 2, 4, 5)
+        x = x.reshape(B, pH, pW, C)
+        if sh or sw:
+            x = torch.roll(x, (sh, sw), dims=(1, 2))
+        return self.proj(x[:, :H, :W])
+
+
+class _TSwinBlock(nn.Module):
+    def __init__(self, dim, heads, window, shift):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-5)
+        self.attn = _TShiftedWindowAttention(dim, heads, window, shift)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-5)
+        # Sequential indices 0/3 match torchvision's MLP keys
+        self.mlp = nn.Sequential(nn.Linear(dim, 4 * dim), nn.GELU(),
+                                 nn.Dropout(0.0), nn.Linear(4 * dim, dim),
+                                 nn.Dropout(0.0))
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        return x + self.mlp(self.norm2(x))
+
+
+class _TPatchMerging(nn.Module):
+    """torchvision PatchMerging (v1): pad to even, 2x2 concat, norm
+    BEFORE reduction."""
+
+    def __init__(self, dim):
+        super().__init__()
+        self.reduction = nn.Linear(4 * dim, 2 * dim, bias=False)
+        self.norm = nn.LayerNorm(4 * dim, eps=1e-5)
+
+    def forward(self, x):  # [B, H, W, C]
+        B, H, W, C = x.shape
+        x = F.pad(x, (0, 0, 0, W % 2, 0, H % 2))
+        x = torch.cat([x[:, 0::2, 0::2], x[:, 1::2, 0::2],
+                       x[:, 0::2, 1::2], x[:, 1::2, 1::2]], -1)
+        return self.reduction(self.norm(x))
+
+
+class TSwin(nn.Module):
+    """torchvision swin_* (v1) feature trunk with torchvision state_dict
+    naming (`features.{0..7}`), exercising
+    utils/port_torch.convert_swin. NCHW in/out taps (NHWC inside, like
+    torchvision). Returns the 4 stage taps at strides 4/8/16/32."""
+
+    def __init__(self, depths=(1, 2, 2, 1), dim=16, heads=(1, 2, 4, 8),
+                 window=4):
+        super().__init__()
+        feats = [nn.Sequential(
+            nn.Conv2d(3, dim, 4, stride=4, bias=True),
+            _TPermute([0, 2, 3, 1]),
+            nn.LayerNorm(dim, eps=1e-5))]
+        self.tap_idx = []
+        for s, depth in enumerate(depths):
+            d = dim * (2 ** s)
+            if s > 0:
+                feats.append(_TPatchMerging(d // 2))
+            feats.append(nn.Sequential(*[
+                _TSwinBlock(d, heads[s], window,
+                            shift=0 if b % 2 == 0 else window // 2)
+                for b in range(depth)]))
+            self.tap_idx.append(len(feats) - 1)
+        self.features = nn.Sequential(*feats)
+
+    def forward(self, x):  # NCHW in
+        taps = []
+        for i, mod in enumerate(self.features):
+            x = mod(x)
+            if i in self.tap_idx:
+                taps.append(x.permute(0, 3, 1, 2))
         return taps
