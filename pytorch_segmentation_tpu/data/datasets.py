@@ -96,6 +96,12 @@ class BasicDataset:
     def get_data(self, idx):
         raise NotImplementedError
 
+    def class_presence(self):
+        """Per-image list of sets of present non-background class ids,
+        or None when the dataset can't provide it cheaply — consumed by
+        repeat-factor balancing (data/loader.py repeat_factors)."""
+        return None
+
     def _imread(self, path, flags=cv2.IMREAD_COLOR):
         """cv2.imread with the opt-in decode cache (GIL-safe dict ops;
         cached arrays are read-only — callers copy before mutating)."""
@@ -182,6 +188,24 @@ class SegImgDataset(BasicDataset):
         seg = mask_from_colors(seg_color, self.colormap)
         return img, seg
 
+    def class_presence(self):
+        """One pass over the label PNGs at startup (decode-only, no
+        image reads); ids >= len(classes) (e.g. a 255 void band) are
+        dropped."""
+        out = []
+        nc = len(self.classes)
+        for _, label_path in self.data:
+            seg = self._read_label(label_path)
+            ids = np.unique(seg) if seg is not None else np.empty(0, int)
+            out.append({int(c) for c in ids if 0 < c < nc})
+        return out
+
+    def _read_label(self, path):
+        seg_color = self._imread(path)
+        if seg_color is None:
+            return None
+        return mask_from_colors(seg_color, self.colormap)
+
 
 class IdImgDataset(SegImgDataset):
     """labels/*.png store CLASS IDS directly in the gray channel — the
@@ -200,6 +224,9 @@ class IdImgDataset(SegImgDataset):
         img = self._imread(self.data[idx][0])
         seg = self._imread(self.data[idx][1], cv2.IMREAD_GRAYSCALE)
         return img, seg
+
+    def _read_label(self, path):
+        return self._imread(path, cv2.IMREAD_GRAYSCALE)
 
 
 class _CocoBase(BasicDataset):
@@ -236,6 +263,12 @@ class _CocoBase(BasicDataset):
 
     def _filter(self, data):
         return data
+
+    def class_presence(self):
+        """From the COCO annotations directly (no mask rasterization):
+        class id = category_id + 1, matching rasterize_annotations."""
+        return [{int(a["category_id"]) + 1 for a in anns}
+                for _, anns in self.data]
 
 
 class CocoDataset(_CocoBase):

@@ -21,7 +21,22 @@ from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
-__all__ = ["DataLoader", "Fetcher", "Batch"]
+__all__ = ["DataLoader", "Fetcher", "Batch", "repeat_factors"]
+
+
+def repeat_factors(presence, num_images: int, t: float) -> np.ndarray:
+    """LVIS repeat-factor sampling (Gupta et al., CVPR 2019): per-image
+    oversampling factor r(i) = max_{c in i} max(1, sqrt(t / f_c)) where
+    f_c is the fraction of images containing class c. Images of classes
+    rarer than threshold `t` repeat ~sqrt(t/f_c) times per epoch;
+    common-class images keep factor 1. `presence` is the dataset's
+    class_presence() list of per-image class-id sets."""
+    from collections import Counter
+    counts = Counter(c for s in presence for c in s)
+    freq = {c: n / max(1, num_images) for c, n in counts.items()}
+    rc = {c: max(1.0, np.sqrt(t / f)) for c, f in freq.items()}
+    return np.asarray([max((rc[c] for c in s), default=1.0)
+                       for s in presence], np.float64)
 
 
 class Batch:
@@ -38,7 +53,8 @@ class Batch:
 class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, num_workers: int = 4,
-                 seed: int = 0, rank: int = 0, world_size: int = 1):
+                 seed: int = 0, rank: int = 0, world_size: int = 1,
+                 repeat_factors=None):
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
@@ -48,6 +64,10 @@ class DataLoader:
         self.rank = rank
         self.world_size = world_size
         self.epoch = 0
+        # per-sample oversampling factors >= 1 (see repeat_factors());
+        # applied with per-epoch stochastic rounding, training only
+        self.repeat_factors = (None if repeat_factors is None
+                               else np.asarray(repeat_factors, np.float64))
 
     def __len__(self):
         n = len(self._local_indices())
@@ -60,7 +80,14 @@ class DataLoader:
         idx = np.arange(n)
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
-            idx = rng.permutation(n)
+            if self.repeat_factors is not None:
+                # stochastic rounding per epoch (detectron2 semantics):
+                # r = 2.3 -> 2 repeats always, a 3rd with prob 0.3
+                r = self.repeat_factors
+                reps = np.floor(r).astype(np.int64)
+                reps += rng.random(n) < (r - reps)
+                idx = np.repeat(idx, reps)
+            idx = rng.permutation(idx)
         if self.world_size > 1:
             # equal per-rank shards, padded by wrap-around — the
             # DistributedSampler contract (reference train.py:33-35)

@@ -45,8 +45,9 @@ class PostFetch:
 
     def __init__(self, augment_fn=None, multi_scale: bool = False,
                  base_hw=None, seed: int = 0, dtype=jnp.float32,
-                 sharding=None):
+                 sharding=None, mix_fn=None):
         self.augment_fn = augment_fn
+        self.mix_fn = mix_fn
         self.multi_scale = multi_scale
         self.base_hw = base_hw
         self.dtype = dtype
@@ -57,9 +58,11 @@ class PostFetch:
         self._jitted = {}
 
     def _fn(self, out_hw):
-        key = (out_hw, self.augment_fn is not None)
+        key = (out_hw, self.augment_fn is not None,
+               self.mix_fn is not None)
         if key not in self._jitted:
             augment_fn = self.augment_fn
+            mix_fn = self.mix_fn
             dtype = self.dtype
             base_key = self._base_key
 
@@ -69,6 +72,17 @@ class PostFetch:
                 # that serializes against the previous batch's transfers on
                 # this tunneled runtime (~190 ms/batch measured —
                 # tools/bench_e2e_diag.py)
+                if mix_fn is not None:
+                    # batch-level CutMix/Mosaic on the uint8 batch BEFORE
+                    # the per-image policy (data/mix.py): the stitched
+                    # canvas is then augmented as one image. Double-fold
+                    # (0x6d69 = 'mi') keeps this stream disjoint from the
+                    # augment policy's fold_in(base_key, step) at EVERY
+                    # step, not just this one.
+                    rng = jax.random.fold_in(
+                        jax.random.fold_in(base_key, np.uint32(0x6d69)),
+                        step)
+                    images, segs = mix_fn(rng, images, segs)
                 if augment_fn is not None:
                     rng = jax.random.fold_in(base_key, step)
                     images, segs = augment_fn(rng, images, segs)

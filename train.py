@@ -71,7 +71,8 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
           distill="", distill_model="", distill_variant="",
           distill_weight=1.0, distill_temp=2.0, class_weights="",
           label_smoothing=0.0, ohem=0.0, ohem_thresh=0.7, zero=False,
-          moe=0, moe_top_k=2, ep=1, spatial=1, ignore_index=None):
+          moe=0, moe_top_k=2, ep=1, spatial=1, ignore_index=None,
+          cutmix=0.0, mosaic=0.0, balance=0.0):
     ds_cls, train_file, val_file = DATASETS[dataset]
     train_coco = osp.join(data_dir, train_file)
     val_coco = osp.join(data_dir, val_file)
@@ -114,16 +115,31 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
     train_data = ds_cls(train_coco, img_size=img_size,
                         multi_scale=multi_scale, rect=rect,
                         cache_images=cache_images)
+    rf = None
+    if balance > 0:
+        # LVIS repeat-factor oversampling of rare-class images
+        # (data/loader.repeat_factors; typical t = 0.001)
+        presence = train_data.class_presence()
+        if presence is None:
+            raise SystemExit(f"--balance: dataset {dataset!r} cannot "
+                             "report per-image class presence")
+        from pytorch_segmentation_tpu.data.loader import repeat_factors
+        rf = repeat_factors(presence, len(train_data), balance)
+        print(f"balance: t={balance}, mean repeat {rf.mean():.3f}, "
+              f"max {rf.max():.2f} "
+              f"({int((rf > 1).sum())}/{len(rf)} images oversampled)")
     train_loader = DataLoader(train_data, batch_size=batch_size, shuffle=True,
                               drop_last=True, num_workers=num_workers,
-                              seed=seed, rank=rank, world_size=world)
+                              seed=seed, rank=rank, world_size=world,
+                              repeat_factors=rf)
     h, w = img_size[1], img_size[0]
     from pytorch_segmentation_tpu.data.augment import AugmentConfig
     augment_fn = make_augment_fn(
         AugmentConfig(fast_geometric=True) if fast_augment else None)
+    from pytorch_segmentation_tpu.data.mix import make_mix_fn
     train_fetcher = Fetcher(train_loader, PostFetch(
         augment_fn=augment_fn, multi_scale=multi_scale, base_hw=(h, w),
-        seed=seed))
+        seed=seed, mix_fn=make_mix_fn(cutmix_p=cutmix, mosaic_p=mosaic)))
 
     if not notest:
         val_data = ds_cls(val_coco, img_size=img_size, augments=False,
@@ -316,6 +332,20 @@ if __name__ == "__main__":
                         help="MXU-only geometric augmentation (90-deg "
                              "rotation snap, no shear/perspective/elastic) "
                              "— ~10x faster on TPU, see PERF.md")
+    parser.add_argument("--cutmix", type=float, default=0.0, metavar="P",
+                        help="per-sample CutMix probability: paste a "
+                             "random box (and its labels) from the next "
+                             "batch sample; on-device, before the augment "
+                             "policy (data/mix.py)")
+    parser.add_argument("--mosaic", type=float, default=0.0, metavar="P",
+                        help="per-sample 4-image mosaic-stitch probability "
+                             "(same-scale quadrants around a random "
+                             "center; data/mix.py)")
+    parser.add_argument("--balance", type=float, default=0.0, metavar="T",
+                        help="repeat-factor oversampling of rare-class "
+                             "images (LVIS-style): images whose rarest "
+                             "class appears in < T of images repeat "
+                             "~sqrt(T/freq) times per epoch (try 1e-3)")
     parser.add_argument("--debug-nans", action="store_true",
                         help="enable jax_debug_nans (sanitizer)")
     parser.add_argument("--precompile", action="store_true",
@@ -478,4 +508,5 @@ if __name__ == "__main__":
           label_smoothing=opt.label_smoothing, ohem=opt.ohem,
           ohem_thresh=opt.ohem_thresh, zero=opt.zero, moe=opt.moe,
           moe_top_k=opt.moe_top_k, ep=opt.ep, spatial=opt.spatial,
-          ignore_index=opt.ignore_index)
+          ignore_index=opt.ignore_index, cutmix=opt.cutmix,
+          mosaic=opt.mosaic, balance=opt.balance)
