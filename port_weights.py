@@ -54,7 +54,17 @@ _BACKBONE_ARCH = {
     "fpn": "resnet50",
     "fastfcn": "resnet50",
     "upernet": "resnet50",  # variant r34 / mit-b* switch the converter
+    "fcn": "resnet50",       # or a FULL fcn_resnet50/101 zoo checkpoint
+    "deeplabv3": "resnet50",  # or a FULL deeplabv3_resnet50/101 ckpt
 }
+
+
+def _is_tv_seg_ckpt(sd_path) -> bool:
+    """True when the .pth is a FULL torchvision segmentation checkpoint
+    (backbone.* keys) rather than a plain classification backbone."""
+    import torch
+    sd = torch.load(sd_path, map_location="cpu", weights_only=True)
+    return any(k.startswith("backbone.") for k in sd)
 
 
 def run(sd_path, model_name, num_classes, out_path, arch=None,
@@ -92,6 +102,15 @@ def run(sd_path, model_name, num_classes, out_path, arch=None,
             params, stats, sd_path,
             backbone_only=model_name == "upernet")
         arch = f"mit ({variant or 'b0'}, huggingface)"
+    elif model_name in ("fcn", "deeplabv3") and _is_tv_seg_ckpt(sd_path):
+        # FULL torchvision segmentation-zoo checkpoint
+        # (fcn_resnet50/101, deeplabv3_resnet50/101): backbone + heads,
+        # class convs gated on channel match (utils/port_torch.py)
+        from pytorch_segmentation_tpu.utils.port_torch import \
+            load_pretrained_tvseg
+        params, stats = load_pretrained_tvseg(params, stats, sd_path,
+                                              num_classes=num_classes)
+        arch = f"torchvision {model_name} zoo (full model)"
     else:
         params, stats = load_pretrained_backbone(params, stats, sd_path,
                                                  arch)

@@ -11,6 +11,7 @@ from .hrnet import HRNet
 from .ocrnet import OCRNet
 from .pspnet import PSPNet
 from .segformer import SegFormer
+from .tvseg import FCN, DeepLabV3
 from .unet import UNet
 from .upernet import UPerNet
 
@@ -32,6 +33,8 @@ MODEL_REGISTRY = {
     "fastfcn": _fastfcn,
     "segformer": SegFormer,  # MiT-B0; variant="b1".."b5" via kwargs
     "upernet": UPerNet,  # ResNet-50; variant="mit-b0".. for the MiT encoder
+    "fcn": FCN,  # torchvision fcn_resnet50/101 semantics (tvseg.py)
+    "deeplabv3": DeepLabV3,  # torchvision deeplabv3_resnet50/101
 }
 
 
@@ -66,6 +69,15 @@ MODEL_VARIANTS = {
         # Swin encoders (the Swin paper's segmentation pairing)
         **{f"swin-{v}": {"encoder": "swin", "swin_variant": v}
            for v in ("t", "s", "b", "pico")},
+    },
+    # torchvision-zoo backbone depths (fcn_resnet50/101 analogs)
+    "fcn": {
+        "r50": {},
+        "r101": {"backbone_layers": (3, 4, 23, 3)},
+    },
+    "deeplabv3": {
+        "r50": {},
+        "r101": {"backbone_layers": (3, 4, 23, 3)},
     },
     # HRNet widths (mmseg ocrnet_hr18/hr48 analogs; w32 = the zoo's
     # hrnet default so --model ocrnet upgrades its decoder in place)
@@ -129,6 +141,6 @@ def apply_moe(name: str, model_kw: dict, experts: int,
 __all__ = ["UNet", "BiSeNetV2", "DeepLabV3Plus", "HRNet", "OCRNet",
            "PSPNet", "FPN",
            "SegFormer",
-           "UPerNet",
+           "UPerNet", "FCN", "DeepLabV3",
            "MODEL_REGISTRY", "MODEL_VARIANTS", "build_model",
            "variant_kwargs", "apply_scan_blocks", "apply_moe"]

@@ -18,10 +18,10 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["convert_mobilenetv2", "convert_resnet", "convert_convnext",
-           "convert_swin", "convert_named",
+           "convert_swin", "convert_named", "convert_tv_seg",
            "convert_hf_segformer", "load_pretrained_backbone",
-           "load_pretrained_segformer", "export_torch_state_dict",
-           "save_torch_checkpoint"]
+           "load_pretrained_segformer", "load_pretrained_tvseg",
+           "export_torch_state_dict", "save_torch_checkpoint"]
 
 # standard MobileNetV2 stage layout: (expand_ratio, repeats)
 _MBV2_STAGES = [(1, 1), (6, 2), (6, 3), (6, 4), (6, 3), (6, 3), (6, 1)]
@@ -202,6 +202,88 @@ def convert_swin(sd: dict):
                 "fc2": dense(base + ".mlp.3"),
             }
     return params, {}
+
+
+def convert_tv_seg(sd: dict, num_classes=None):
+    """torchvision SEGMENTATION-zoo checkpoint (fcn_resnet50/101 or
+    deeplabv3_resnet50/101: `backbone.*` + `classifier.*`
+    [+ `aux_classifier.*`]) -> (params, batch_stats) trees for
+    models/tvseg.FCN / DeepLabV3.
+
+    torchvision layout: classifier = FCNHead Sequential (0 conv3x3
+    no-bias, 1 BN, 2 ReLU, 3 Dropout, 4 class conv) for FCN;
+    DeepLabHead (0 ASPP{convs.0 1x1, convs.1-3 dilated 3x3, convs.4
+    pooling[1 conv, 2 bn], project[0 conv, 1 bn]}, 1 conv3x3, 2 BN,
+    4 class conv) for DeepLabV3. The head class convs port only when
+    their out-channels match `num_classes` (pass None to force); the
+    aux head ports under "aux_head" when present (dropped by the
+    caller when the model was built without aux). ResNet depth
+    (r50/r101) is inferred from the layer3 block count."""
+    bsd = {k[len("backbone."):]: v for k, v in sd.items()
+           if k.startswith("backbone.")}
+    n3 = 1 + max(int(k.split(".")[1]) for k in bsd
+                 if k.startswith("layer3."))
+    layers = (3, 4, n3, 3)
+    bp, bs = convert_resnet(bsd, layers=layers)
+    params, stats = {"backbone": bp}, {"backbone": bs}
+
+    def cls_conv(prefix):
+        w = sd[prefix + ".weight"]
+        if num_classes is not None and w.shape[0] != num_classes:
+            return None  # class-count mismatch: keep the init head
+        return {"kernel": _conv(w),
+                "bias": np.asarray(sd[prefix + ".bias"], np.float32)}
+
+    if "classifier.0.convs.0.0.weight" in sd:  # DeepLabHead
+        for i in range(4):
+            params[f"aspp_b{i}"], stats[f"aspp_b{i}"] = _cna(
+                sd, f"classifier.0.convs.{i}.0.weight",
+                f"classifier.0.convs.{i}.1")
+        params["aspp_pool"], stats["aspp_pool"] = _cna(
+            sd, "classifier.0.convs.4.1.weight", "classifier.0.convs.4.2")
+        params["aspp_project"], stats["aspp_project"] = _cna(
+            sd, "classifier.0.project.0.weight", "classifier.0.project.1")
+        params["head"], stats["head"] = _cna(
+            sd, "classifier.1.weight", "classifier.2")
+    else:  # FCNHead
+        params["head"], stats["head"] = _cna(
+            sd, "classifier.0.weight", "classifier.1")
+    head_cls = cls_conv("classifier.4")
+    if head_cls is not None:
+        params["cls_conv"] = head_cls
+    if "aux_classifier.0.weight" in sd:
+        ap, as_ = _cna(sd, "aux_classifier.0.weight", "aux_classifier.1")
+        params["aux_head"] = {"aux_conv": ap}
+        stats["aux_head"] = {"aux_conv": as_}
+        aux_cls = cls_conv("aux_classifier.4")
+        if aux_cls is not None:
+            params["aux_head"]["aux_cls"] = aux_cls
+    return params, stats
+
+
+def load_pretrained_tvseg(model_params, model_stats, path_or_sd,
+                          num_classes=None):
+    """Merge a torchvision segmentation-zoo checkpoint into an
+    FCN/DeepLabV3 model's trees (full model: backbone + heads). The aux
+    head is dropped when the model was built without one; class convs
+    port only on channel match (convert_tv_seg)."""
+    import copy
+
+    if isinstance(path_or_sd, (str, bytes)):
+        import torch
+        sd = torch.load(path_or_sd, map_location="cpu", weights_only=True)
+        sd = {k: v.numpy() for k, v in sd.items()}
+    else:
+        sd = {k: np.asarray(v) for k, v in path_or_sd.items()}
+    p, s = convert_tv_seg(sd, num_classes=num_classes)
+    params = copy.deepcopy(jax_to_py(model_params))
+    stats = copy.deepcopy(jax_to_py(model_stats))
+    if "aux_head" in p and "aux_head" not in params:
+        p.pop("aux_head")
+        s.pop("aux_head", None)
+    _merge_checked(params, p, "params")
+    _merge_checked(stats, s, "stats")
+    return params, stats
 
 
 def convert_named(sd: dict):

@@ -18,7 +18,8 @@ import pytest
 import torch
 import torch.nn.functional as F
 
-from pytorch_segmentation_tpu.models import (FPN, BiSeNetV2, DeepLabV3Plus,
+from pytorch_segmentation_tpu.models import (FCN, FPN, BiSeNetV2,
+                                              DeepLabV3, DeepLabV3Plus,
                                               HRNet, OCRNet, PSPNet,
                                               SegFormer, UNet, UPerNet)
 from pytorch_segmentation_tpu.utils.port_torch import (
@@ -26,8 +27,8 @@ from pytorch_segmentation_tpu.utils.port_torch import (
     convert_resnet, convert_swin, jax_to_py)
 
 from torch_refs import (TFPN, TBiSeNetV2, TDeepLabV3Plus, THRNet, TOCRNet,
-                        TPSPNet, TSegFormer, TUNet, TUPerNet,
-                        randomize_bn_stats)
+                        TPSPNet, TSegFormer, TTVDeepLabV3, TTVFCN, TUNet,
+                        TUPerNet, randomize_bn_stats)
 
 
 def _split_sd(model, prefix="backbone."):
@@ -91,6 +92,12 @@ CASES = {
                 lambda nc: TPSPNet(nc, jpu=True), convert_resnet),
     "segformer": (lambda nc: SegFormer(num_classes=nc, dtype=jnp.float32),
                   TSegFormer, None),
+    # torchvision segmentation-zoo families (models/tvseg.py): os=8
+    # backbone, align_corners=False trailing upsample
+    "fcn": (lambda nc: FCN(num_classes=nc, dtype=jnp.float32),
+            TTVFCN, convert_resnet),
+    "deeplabv3": (lambda nc: DeepLabV3(num_classes=nc, dtype=jnp.float32),
+                  TTVDeepLabV3, convert_resnet),
     "bisenetv2": (lambda nc: BiSeNetV2(num_classes=nc, dtype=jnp.float32),
                   TBiSeNetV2, None),
     "upernet": (lambda nc: UPerNet(num_classes=nc, dtype=jnp.float32),

@@ -518,3 +518,128 @@ def test_swin_port_into_upernet(tmp_path):
         np.asarray(bb["merge2"]["reduction"]["kernel"]),
         sd["features.4.reduction.weight"].numpy().T)
     assert "ppm_bottleneck" in ckpt["model"]  # head present, at init
+
+
+def _tv_zoo_module(head="deeplabv3", num_classes=21, aux=True):
+    """A torchvision-NAMED segmentation-zoo module (fcn_resnet50 /
+    deeplabv3_resnet50 state_dict layout) for exercising convert_tv_seg
+    — the production converter for real zoo .pth files."""
+    import torch
+    from torch import nn as tnn
+    from torch_refs import TResNet, _TorchBottleneck
+
+    class _ASPP(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            def cna(k, d=1):
+                pad = 0 if k == 1 else d
+                return tnn.Sequential(
+                    tnn.Conv2d(2048, 256, k, padding=pad, dilation=d,
+                               bias=False),
+                    tnn.BatchNorm2d(256), tnn.ReLU())
+            self.convs = tnn.ModuleList(
+                [cna(1), cna(3, 12), cna(3, 24), cna(3, 36),
+                 tnn.Sequential(tnn.AdaptiveAvgPool2d(1),
+                                tnn.Conv2d(2048, 256, 1, bias=False),
+                                tnn.BatchNorm2d(256), tnn.ReLU())])
+            self.project = tnn.Sequential(
+                tnn.Conv2d(5 * 256, 256, 1, bias=False),
+                tnn.BatchNorm2d(256), tnn.ReLU(), tnn.Dropout(0.5))
+
+    class _Zoo(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = TResNet(_TorchBottleneck, (3, 4, 6, 3),
+                                    (False, True, True))
+            if head == "deeplabv3":
+                self.classifier = tnn.Sequential(
+                    _ASPP(), tnn.Conv2d(256, 256, 3, padding=1,
+                                        bias=False),
+                    tnn.BatchNorm2d(256), tnn.ReLU(),
+                    tnn.Conv2d(256, num_classes, 1))
+            else:  # fcn
+                self.classifier = tnn.Sequential(
+                    tnn.Conv2d(2048, 512, 3, padding=1, bias=False),
+                    tnn.BatchNorm2d(512), tnn.ReLU(), tnn.Dropout(0.1),
+                    tnn.Conv2d(512, num_classes, 1))
+            if aux:
+                self.aux_classifier = tnn.Sequential(
+                    tnn.Conv2d(1024, 256, 3, padding=1, bias=False),
+                    tnn.BatchNorm2d(256), tnn.ReLU(), tnn.Dropout(0.1),
+                    tnn.Conv2d(256, num_classes, 1))
+
+    torch.manual_seed(0)
+    return _Zoo()
+
+
+def test_tvseg_zoo_port_deeplabv3(tmp_path):
+    """A full deeplabv3_resnet50-layout checkpoint ports through the
+    port_weights CLI path: ASPP branches, pool branch, project, head,
+    class conv (nc matches), and the aux head is DROPPED because the
+    eval model is built without aux."""
+    import torch
+
+    from pytorch_segmentation_tpu.engine.checkpoint import load_checkpoint
+
+    m = _tv_zoo_module("deeplabv3", num_classes=5, aux=True)
+    sd = m.state_dict()
+    pth = tmp_path / "dlv3_r50.pth"
+    torch.save(sd, str(pth))
+
+    import port_weights
+    out = tmp_path / "dlv3.ckpt"
+    port_weights.run(str(pth), "deeplabv3", 5, str(out))
+    ckpt = load_checkpoint(str(out))
+    p = ckpt["model"]
+    np.testing.assert_allclose(
+        np.asarray(p["aspp_b2"]["conv"]["kernel"]),
+        sd["classifier.0.convs.2.0.weight"].numpy().transpose(2, 3, 1, 0))
+    np.testing.assert_allclose(
+        np.asarray(p["aspp_pool"]["conv"]["kernel"]),
+        sd["classifier.0.convs.4.1.weight"].numpy().transpose(2, 3, 1, 0))
+    np.testing.assert_allclose(
+        np.asarray(p["aspp_project"]["bn"]["scale"]),
+        sd["classifier.0.project.1.weight"].numpy())
+    np.testing.assert_allclose(
+        np.asarray(p["cls_conv"]["bias"]),
+        sd["classifier.4.bias"].numpy())
+    np.testing.assert_allclose(
+        np.asarray(ckpt["batch_stats"]["head"]["bn"]["mean"]),
+        sd["classifier.2.running_mean"].numpy())
+    assert "aux_head" not in p  # eval model has no aux head
+
+
+def test_tvseg_zoo_port_fcn_class_gate(tmp_path):
+    """FCN layout; a class-count MISMATCH keeps the init class conv
+    (the nc=21 zoo head must not port into an nc=3 model) while the
+    backbone+head CNA still port; the aux head ports when the model is
+    built with aux=True."""
+    import torch
+
+    from pytorch_segmentation_tpu.models import FCN
+    from pytorch_segmentation_tpu.utils.port_torch import (
+        jax_to_py, load_pretrained_tvseg)
+
+    m = _tv_zoo_module("fcn", num_classes=21, aux=True)
+    sd = {k: v.numpy() for k, v in m.state_dict().items()}
+
+    model = FCN(num_classes=3, aux=True, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32),
+                           train=False)
+    init_cls = np.asarray(variables["params"]["cls_conv"]["kernel"])
+    params, stats = load_pretrained_tvseg(
+        jax_to_py(variables["params"]), jax_to_py(variables["batch_stats"]),
+        sd, num_classes=3)
+    np.testing.assert_allclose(
+        np.asarray(params["head"]["conv"]["kernel"]),
+        sd["classifier.0.weight"].transpose(2, 3, 1, 0))
+    np.testing.assert_array_equal(np.asarray(params["cls_conv"]["kernel"]),
+                                  init_cls)  # gated: nc 21 != 3
+    np.testing.assert_allclose(
+        np.asarray(params["aux_head"]["aux_conv"]["conv"]["kernel"]),
+        sd["aux_classifier.0.weight"].transpose(2, 3, 1, 0))
+    # forward still runs with the merged trees
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+    assert out.shape == (1, 64, 64, 3)

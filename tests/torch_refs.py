@@ -1140,3 +1140,52 @@ class TSwin(nn.Module):
             if i in self.tap_idx:
                 taps.append(x.permute(0, 3, 1, 2))
         return taps
+
+
+class TTVFCN(nn.Module):
+    """torchvision fcn_resnet50/101 mirror (models/tvseg.FCN): dilated
+    os=8 ResNet + FCNHead (3x3 CNA 512 -> 1x1 cls), trailing x8
+    bilinear with align_corners=False (the torchvision default). Names
+    mirror the flax tree (convert_named heads + convert_resnet
+    backbone); dropout omitted like the flax model (param-free)."""
+
+    def __init__(self, num_classes, layers=(3, 4, 6, 3)):
+        super().__init__()
+        self.backbone = TResNet(_TorchBottleneck, layers,
+                                replace_stride_with_dilation=(False, True,
+                                                              True))
+        self.head = TConvNormAct(2048, 512, 3)
+        self.cls_conv = nn.Conv2d(512, num_classes, 1)
+
+    def forward(self, x):
+        y = self.backbone(x)[-1]
+        return _up(self.cls_conv(self.head(y)), 8, align=False)
+
+
+class TTVDeepLabV3(nn.Module):
+    """torchvision deeplabv3_resnet50/101 mirror (models/tvseg.DeepLabV3):
+    ASPP rates (12,24,36) with a global-pool branch, 1x1 project to 256,
+    extra 3x3 CNA, 1x1 cls, x8 align_corners=False upsample."""
+
+    def __init__(self, num_classes, layers=(3, 4, 6, 3),
+                 rates=(12, 24, 36)):
+        super().__init__()
+        self.backbone = TResNet(_TorchBottleneck, layers,
+                                replace_stride_with_dilation=(False, True,
+                                                              True))
+        self.aspp_b0 = TConvNormAct(2048, 256, 1)
+        for i, r in enumerate(rates):
+            setattr(self, f"aspp_b{i + 1}",
+                    TConvNormAct(2048, 256, 3, dilation=r))
+        self.aspp_pool = TConvNormAct(2048, 256, 1)
+        self.aspp_project = TConvNormAct(256 * 5, 256, 1)
+        self.head = TConvNormAct(256, 256, 3)
+        self.cls_conv = nn.Conv2d(256, num_classes, 1)
+
+    def forward(self, x):
+        y = self.backbone(x)[-1]
+        branches = [getattr(self, f"aspp_b{i}")(y) for i in range(4)]
+        p = self.aspp_pool(F.adaptive_avg_pool2d(y, 1))
+        branches.append(p.expand(-1, -1, y.shape[-2], y.shape[-1]))
+        y = self.aspp_project(torch.cat(branches, 1))
+        return _up(self.cls_conv(self.head(y)), 8, align=False)

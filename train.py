@@ -152,15 +152,17 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
     from pytorch_segmentation_tpu.models import variant_kwargs
     model_kw = variant_kwargs(model_name, variant)
     if remat and model_name in ("deeplabv3plus", "pspnet", "fpn",
-                                "fastfcn", "segformer", "bisenetv2"):
+                                "fastfcn", "segformer", "bisenetv2",
+                                "fcn", "deeplabv3"):
         model_kw["remat"] = True
     if aux_loss > 0 and model_name == "upernet":
         model_kw["aux"] = True  # FCN aux on C4 (models/upernet.py)
     elif aux_loss > 0:
-        if model_name not in ("pspnet", "fastfcn", "bisenetv2", "ocrnet"):
+        if model_name not in ("pspnet", "fastfcn", "bisenetv2", "ocrnet",
+                              "fcn", "deeplabv3"):
             raise SystemExit("--aux-loss is only supported by the "
-                             "pspnet/fastfcn/upernet/bisenetv2/ocrnet "
-                             "families")
+                             "pspnet/fastfcn/upernet/bisenetv2/ocrnet/"
+                             "fcn/deeplabv3 families")
         model_kw["aux"] = True  # bisenetv2 booster / ocrnet soft regions
     if scan_blocks or pp > 1:
         from pytorch_segmentation_tpu.models import apply_scan_blocks
