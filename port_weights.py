@@ -56,6 +56,7 @@ _BACKBONE_ARCH = {
     "upernet": "resnet50",  # variant r34 / mit-b* switch the converter
     "fcn": "resnet50",       # or a FULL fcn_resnet50/101 zoo checkpoint
     "deeplabv3": "resnet50",  # or a FULL deeplabv3_resnet50/101 ckpt
+    "lraspp": "mobilenetv3",  # or a FULL lraspp_mobilenet_v3_large ckpt
 }
 
 
@@ -102,7 +103,8 @@ def run(sd_path, model_name, num_classes, out_path, arch=None,
             params, stats, sd_path,
             backbone_only=model_name == "upernet")
         arch = f"mit ({variant or 'b0'}, huggingface)"
-    elif model_name in ("fcn", "deeplabv3") and _is_tv_seg_ckpt(sd_path):
+    elif model_name in ("fcn", "deeplabv3", "lraspp") and \
+            _is_tv_seg_ckpt(sd_path):
         # FULL torchvision segmentation-zoo checkpoint
         # (fcn_resnet50/101, deeplabv3_resnet50/101): backbone + heads,
         # class convs gated on channel match (utils/port_torch.py)
@@ -148,8 +150,8 @@ if __name__ == "__main__":
                              "the matching backbone port; segformer: "
                              "b0..b5, must match the HF checkpoint)")
     parser.add_argument("--arch", type=str, default=None,
-                        choices=["mobilenetv2", "resnet50", "resnet34",
-                                 "convnext", "swin"],
+                        choices=["mobilenetv2", "mobilenetv3", "resnet50",
+                                 "resnet34", "convnext", "swin"],
                         help="backbone converter (defaults by model)")
     parser.add_argument("--reverse", action="store_true",
                         help="framework checkpoint -> torch "

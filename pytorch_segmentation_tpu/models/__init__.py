@@ -10,6 +10,7 @@ from .fpn import FPN
 from .hrnet import HRNet
 from .ocrnet import OCRNet
 from .pspnet import PSPNet
+from .lraspp import LRASPP
 from .segformer import SegFormer
 from .tvseg import FCN, DeepLabV3
 from .unet import UNet
@@ -35,6 +36,7 @@ MODEL_REGISTRY = {
     "upernet": UPerNet,  # ResNet-50; variant="mit-b0".. for the MiT encoder
     "fcn": FCN,  # torchvision fcn_resnet50/101 semantics (tvseg.py)
     "deeplabv3": DeepLabV3,  # torchvision deeplabv3_resnet50/101
+    "lraspp": LRASPP,  # torchvision lraspp_mobilenet_v3_large (lraspp.py)
 }
 
 
@@ -141,6 +143,6 @@ def apply_moe(name: str, model_kw: dict, experts: int,
 __all__ = ["UNet", "BiSeNetV2", "DeepLabV3Plus", "HRNet", "OCRNet",
            "PSPNet", "FPN",
            "SegFormer",
-           "UPerNet", "FCN", "DeepLabV3",
+           "UPerNet", "FCN", "DeepLabV3", "LRASPP",
            "MODEL_REGISTRY", "MODEL_VARIANTS", "build_model",
            "variant_kwargs", "apply_scan_blocks", "apply_moe"]

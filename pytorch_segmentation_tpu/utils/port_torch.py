@@ -17,7 +17,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["convert_mobilenetv2", "convert_resnet", "convert_convnext",
+__all__ = ["convert_mobilenetv2", "convert_mobilenetv3", "convert_resnet",
+           "convert_convnext",
            "convert_swin", "convert_named", "convert_tv_seg",
            "convert_hf_segformer", "load_pretrained_backbone",
            "load_pretrained_segformer", "load_pretrained_tvseg",
@@ -204,11 +205,58 @@ def convert_swin(sd: dict):
     return params, {}
 
 
+def convert_mobilenetv3(sd: dict):
+    """torchvision mobilenet_v3_large state_dict (classification OR the
+    backbone of lraspp_mobilenet_v3_large — same `features.*` keys) ->
+    (params, batch_stats) subtrees matching
+    nn/backbones/mobilenetv3.MobileNetV3.
+
+    Block Sequential indices vary with the row config: [expand?]
+    depthwise [SE?] project — resolved from MOBILENETV3_LARGE_CFG. The
+    classification head (`classifier.*`, `features.16` stays: that 1x1
+    960 conv IS our "head" tap) is otherwise dropped; SE convs carry
+    biases (plain convs, no BN)."""
+    from ..nn.backbones.mobilenetv3 import MOBILENETV3_LARGE_CFG
+
+    params, stats = {}, {}
+    params["stem"], stats["stem"] = _cna(sd, "features.0.0.weight",
+                                         "features.0.1")
+    cin = 16
+    for i, (k, exp, out, use_se, _hs, _s) in enumerate(
+            MOBILENETV3_LARGE_CFG):
+        base = f"features.{i + 1}.block"
+        p, s = {}, {}
+        li = 0
+        if exp != cin:
+            p["expand"], s["expand"] = _cna(sd, f"{base}.{li}.0.weight",
+                                            f"{base}.{li}.1")
+            li += 1
+        p["depthwise"], s["depthwise"] = _cna(sd, f"{base}.{li}.0.weight",
+                                              f"{base}.{li}.1")
+        li += 1
+        if use_se:
+            p["se"] = {
+                "fc1": {"kernel": _conv(sd[f"{base}.{li}.fc1.weight"]),
+                        "bias": np.asarray(sd[f"{base}.{li}.fc1.bias"],
+                                           np.float32)},
+                "fc2": {"kernel": _conv(sd[f"{base}.{li}.fc2.weight"]),
+                        "bias": np.asarray(sd[f"{base}.{li}.fc2.bias"],
+                                           np.float32)}}
+            li += 1
+        p["project"], s["project"] = _cna(sd, f"{base}.{li}.0.weight",
+                                          f"{base}.{li}.1")
+        params[f"block{i}"], stats[f"block{i}"] = p, s
+        cin = out
+    params["head"], stats["head"] = _cna(sd, "features.16.0.weight",
+                                         "features.16.1")
+    return params, stats
+
+
 def convert_tv_seg(sd: dict, num_classes=None):
-    """torchvision SEGMENTATION-zoo checkpoint (fcn_resnet50/101 or
-    deeplabv3_resnet50/101: `backbone.*` + `classifier.*`
-    [+ `aux_classifier.*`]) -> (params, batch_stats) trees for
-    models/tvseg.FCN / DeepLabV3.
+    """torchvision SEGMENTATION-zoo checkpoint (fcn_resnet50/101,
+    deeplabv3_resnet50/101, or lraspp_mobilenet_v3_large: `backbone.*`
+    + `classifier.*` [+ `aux_classifier.*`]) -> (params, batch_stats)
+    trees for models/tvseg.FCN / DeepLabV3 / models/lraspp.LRASPP.
 
     torchvision layout: classifier = FCNHead Sequential (0 conv3x3
     no-bias, 1 BN, 2 ReLU, 3 Dropout, 4 class conv) for FCN;
@@ -221,11 +269,6 @@ def convert_tv_seg(sd: dict, num_classes=None):
     (r50/r101) is inferred from the layer3 block count."""
     bsd = {k[len("backbone."):]: v for k, v in sd.items()
            if k.startswith("backbone.")}
-    n3 = 1 + max(int(k.split(".")[1]) for k in bsd
-                 if k.startswith("layer3."))
-    layers = (3, 4, n3, 3)
-    bp, bs = convert_resnet(bsd, layers=layers)
-    params, stats = {"backbone": bp}, {"backbone": bs}
 
     def cls_conv(prefix):
         w = sd[prefix + ".weight"]
@@ -233,6 +276,25 @@ def convert_tv_seg(sd: dict, num_classes=None):
             return None  # class-count mismatch: keep the init head
         return {"kernel": _conv(w),
                 "bias": np.asarray(sd[prefix + ".bias"], np.float32)}
+
+    if "classifier.cbr.0.weight" in sd:  # LRASPP (mobilenet_v3 backbone)
+        bp, bs = convert_mobilenetv3(bsd)
+        params, stats = {"backbone": bp}, {"backbone": bs}
+        params["cbr"], stats["cbr"] = _cna(sd, "classifier.cbr.0.weight",
+                                           "classifier.cbr.1")
+        params["scale_conv"] = {
+            "kernel": _conv(sd["classifier.scale.1.weight"])}
+        for head in ("low_classifier", "high_classifier"):
+            c = cls_conv(f"classifier.{head}")
+            if c is not None:
+                params[head] = c
+        return params, stats
+
+    n3 = 1 + max(int(k.split(".")[1]) for k in bsd
+                 if k.startswith("layer3."))
+    layers = (3, 4, n3, 3)
+    bp, bs = convert_resnet(bsd, layers=layers)
+    params, stats = {"backbone": bp}, {"backbone": bs}
 
     if "classifier.0.convs.0.0.weight" in sd:  # DeepLabHead
         for i in range(4):
@@ -489,6 +551,8 @@ def load_pretrained_backbone(model_params, model_stats, path_or_sd,
         bp, bs = convert_convnext(sd)
     elif arch == "swin":
         bp, bs = convert_swin(sd)
+    elif arch == "mobilenetv3":
+        bp, bs = convert_mobilenetv3(sd)
     else:
         raise ValueError(f"unknown arch {arch!r}")
 

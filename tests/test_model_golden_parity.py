@@ -18,17 +18,18 @@ import pytest
 import torch
 import torch.nn.functional as F
 
-from pytorch_segmentation_tpu.models import (FCN, FPN, BiSeNetV2,
+from pytorch_segmentation_tpu.models import (FCN, FPN, LRASPP, BiSeNetV2,
                                               DeepLabV3, DeepLabV3Plus,
                                               HRNet, OCRNet, PSPNet,
                                               SegFormer, UNet, UPerNet)
 from pytorch_segmentation_tpu.utils.port_torch import (
-    _merge_checked, convert_convnext, convert_mobilenetv2, convert_named,
-    convert_resnet, convert_swin, jax_to_py)
+    _merge_checked, convert_convnext, convert_mobilenetv2,
+    convert_mobilenetv3, convert_named, convert_resnet, convert_swin,
+    jax_to_py)
 
-from torch_refs import (TFPN, TBiSeNetV2, TDeepLabV3Plus, THRNet, TOCRNet,
-                        TPSPNet, TSegFormer, TTVDeepLabV3, TTVFCN, TUNet,
-                        TUPerNet, randomize_bn_stats)
+from torch_refs import (TFPN, TLRASPP, TBiSeNetV2, TDeepLabV3Plus, THRNet,
+                        TOCRNet, TPSPNet, TSegFormer, TTVDeepLabV3, TTVFCN,
+                        TUNet, TUPerNet, randomize_bn_stats)
 
 
 def _split_sd(model, prefix="backbone."):
@@ -98,6 +99,11 @@ CASES = {
             TTVFCN, convert_resnet),
     "deeplabv3": (lambda nc: DeepLabV3(num_classes=nc, dtype=jnp.float32),
                   TTVDeepLabV3, convert_resnet),
+    # LR-ASPP on dilated MobileNetV3-Large; the torchvision-named
+    # backbone mirror exercises convert_mobilenetv3 (SE indices,
+    # variable block Sequential layout, dilated tail)
+    "lraspp": (lambda nc: LRASPP(num_classes=nc, dtype=jnp.float32),
+               TLRASPP, convert_mobilenetv3),
     "bisenetv2": (lambda nc: BiSeNetV2(num_classes=nc, dtype=jnp.float32),
                   TBiSeNetV2, None),
     "upernet": (lambda nc: UPerNet(num_classes=nc, dtype=jnp.float32),
@@ -171,7 +177,8 @@ def test_full_model_gradient_parity(name, rng):
 
     x = rng.standard_normal((1, 96, 96, 3)).astype(np.float32)
     labels = rng.integers(0, nc, (1, 96, 96)).astype(np.int32)
-    head = "final_layer" if name == "hrnet" else "cls_conv"
+    head = {"hrnet": "final_layer",
+            "lraspp": "high_classifier"}.get(name, "cls_conv")
 
     def loss_fn(head_params):
         p = dict(variables["params"])

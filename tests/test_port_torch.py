@@ -643,3 +643,60 @@ def test_tvseg_zoo_port_fcn_class_gate(tmp_path):
     out = model.apply({"params": params, "batch_stats": stats},
                       jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
     assert out.shape == (1, 64, 64, 3)
+
+
+def test_lraspp_zoo_port(tmp_path):
+    """A full lraspp_mobilenet_v3_large-layout checkpoint (torchvision
+    `classifier.cbr/scale/low_classifier/high_classifier` naming) ports
+    through the port_weights CLI path."""
+    import torch
+    from torch import nn as tnn
+
+    from pytorch_segmentation_tpu.engine.checkpoint import load_checkpoint
+    from torch_refs import TMobileNetV3
+
+    class _Zoo(tnn.Module):
+        def __init__(self, nc):
+            super().__init__()
+            self.backbone = TMobileNetV3(dilated=True)
+
+            class _Head(tnn.Module):
+                def __init__(self):
+                    super().__init__()
+                    self.cbr = tnn.Sequential(
+                        tnn.Conv2d(960, 128, 1, bias=False),
+                        tnn.BatchNorm2d(128), tnn.ReLU())
+                    self.scale = tnn.Sequential(
+                        tnn.AdaptiveAvgPool2d(1),
+                        tnn.Conv2d(960, 128, 1, bias=False), tnn.Sigmoid())
+                    self.low_classifier = tnn.Conv2d(40, nc, 1)
+                    self.high_classifier = tnn.Conv2d(128, nc, 1)
+
+            self.classifier = _Head()
+
+    torch.manual_seed(0)
+    m = _Zoo(nc=4)
+    sd = m.state_dict()
+    pth = tmp_path / "lraspp.pth"
+    torch.save(sd, str(pth))
+
+    import port_weights
+    out = tmp_path / "lraspp.ckpt"
+    port_weights.run(str(pth), "lraspp", 4, str(out))
+    ckpt = load_checkpoint(str(out))
+    p = ckpt["model"]
+    np.testing.assert_allclose(
+        np.asarray(p["scale_conv"]["kernel"]),
+        sd["classifier.scale.1.weight"].numpy().transpose(2, 3, 1, 0))
+    np.testing.assert_allclose(
+        np.asarray(p["low_classifier"]["bias"]),
+        sd["classifier.low_classifier.bias"].numpy())
+    # SE port: block 3 (first SE row, expanded 72 -> squeeze 24)
+    np.testing.assert_allclose(
+        np.asarray(p["backbone"]["block3"]["se"]["fc1"]["kernel"]),
+        sd["backbone.features.4.block.2.fc1.weight"].numpy()
+          .transpose(2, 3, 1, 0))
+    np.testing.assert_allclose(
+        np.asarray(ckpt["batch_stats"]["backbone"]["block0"]["depthwise"]
+                   ["bn"]["var"]),
+        sd["backbone.features.1.block.0.1.running_var"].numpy())

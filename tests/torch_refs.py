@@ -1189,3 +1189,114 @@ class TTVDeepLabV3(nn.Module):
         branches.append(p.expand(-1, -1, y.shape[-2], y.shape[-1]))
         y = self.aspp_project(torch.cat(branches, 1))
         return _up(self.cls_conv(self.head(y)), 8, align=False)
+
+
+class _TSqueezeExcite(nn.Module):
+    """torchvision SqueezeExcitation: avgpool -> fc1 1x1 -> ReLU -> fc2
+    1x1 -> hardsigmoid scale."""
+
+    def __init__(self, channels, squeeze):
+        super().__init__()
+        self.fc1 = nn.Conv2d(channels, squeeze, 1)
+        self.fc2 = nn.Conv2d(squeeze, channels, 1)
+
+    def forward(self, x):
+        s = F.adaptive_avg_pool2d(x, 1)
+        s = self.fc2(F.relu(self.fc1(s)))
+        return x * F.hardsigmoid(s)
+
+
+def _t_cna_v3(cin, cout, k=1, stride=1, dilation=1, groups=1, hs=False):
+    pad = (k - 1) // 2 * dilation
+    return nn.Sequential(
+        nn.Conv2d(cin, cout, k, stride=stride, padding=pad,
+                  dilation=dilation, groups=groups, bias=False),
+        nn.BatchNorm2d(cout),
+        nn.Hardswish() if hs else nn.ReLU())
+
+
+class TMobileNetV3(nn.Module):
+    """torchvision mobilenet_v3_large feature trunk with torchvision
+    state_dict naming (`features.{0..16}`, block Sequential indices),
+    dilated tail (LR-ASPP config) — exercises convert_mobilenetv3.
+    Returns the 5 taps (16@s2, 24@s4, 40@s8, 112@s16, 960@s16)."""
+
+    # (kernel, expanded, out, use_se, use_hs, stride) — keep in sync with
+    # nn/backbones/mobilenetv3.MOBILENETV3_LARGE_CFG
+    CFG = ((3, 16, 16, False, False, 1), (3, 64, 24, False, False, 2),
+           (3, 72, 24, False, False, 1), (5, 72, 40, True, False, 2),
+           (5, 120, 40, True, False, 1), (5, 120, 40, True, False, 1),
+           (3, 240, 80, False, True, 2), (3, 200, 80, False, True, 1),
+           (3, 184, 80, False, True, 1), (3, 184, 80, False, True, 1),
+           (3, 480, 112, True, True, 1), (3, 672, 112, True, True, 1),
+           (5, 672, 160, True, True, 2), (5, 960, 160, True, True, 1),
+           (5, 960, 160, True, True, 1))
+
+    def __init__(self, dilated=True):
+        super().__init__()
+        feats = [_t_cna_v3(3, 16, 3, stride=2, hs=True)]
+        cin, dilation = 16, 1
+
+        class _Block(nn.Module):
+            def __init__(self, cin, k, exp, out, se, hs, s, d):
+                super().__init__()
+                layers = []
+                if exp != cin:
+                    layers.append(_t_cna_v3(cin, exp, 1, hs=hs))
+                layers.append(_t_cna_v3(exp, exp, k, stride=s, dilation=d,
+                                        groups=exp, hs=hs))
+                if se:
+                    sq = max(8, int(exp // 4 + 4) // 8 * 8)
+                    if sq < 0.9 * (exp // 4):  # _make_divisible 0.9 rule
+                        sq += 8
+                    layers.append(_TSqueezeExcite(exp, sq))
+                layers.append(nn.Sequential(
+                    nn.Conv2d(exp, out, 1, bias=False),
+                    nn.BatchNorm2d(out), nn.Identity()))
+                self.block = nn.Sequential(*layers)
+                self.use_res = s == 1 and cin == out
+
+            def forward(self, x):
+                y = self.block(x)
+                return x + y if self.use_res else y
+
+        for i, (k, exp, out, se, hs, s) in enumerate(self.CFG):
+            if dilated and i == 12:
+                dilation, s = 2, 1
+            feats.append(_Block(cin, k, exp, out, se, hs, s, dilation))
+            cin = out
+        feats.append(_t_cna_v3(160, 960, 1, hs=True))
+        self.features = nn.Sequential(*feats)
+        self.tap_idx = (1, 3, 6, 12, 16)
+
+    def forward(self, x):
+        taps = []
+        for i, mod in enumerate(self.features):
+            x = mod(x)
+            if i in self.tap_idx:
+                taps.append(x)
+        return taps
+
+
+class TLRASPP(nn.Module):
+    """models/lraspp.py mirror: torchvision-named backbone (so golden
+    parity exercises convert_mobilenetv3) + flax-name-mirrored head
+    modules (convert_named)."""
+
+    def __init__(self, num_classes):
+        super().__init__()
+        self.backbone = TMobileNetV3(dilated=True)
+        self.cbr = TConvNormAct(960, 128, 1)
+        self.scale_conv = nn.Conv2d(960, 128, 1, bias=False)
+        self.low_classifier = nn.Conv2d(40, num_classes, 1)
+        self.high_classifier = nn.Conv2d(128, num_classes, 1)
+
+    def forward(self, x):
+        taps = self.backbone(x)
+        low, high = taps[2], taps[4]
+        y = self.cbr(high)
+        s = torch.sigmoid(self.scale_conv(F.adaptive_avg_pool2d(high, 1)))
+        y = F.interpolate(y * s, size=low.shape[-2:], mode="bilinear",
+                          align_corners=False)
+        out = self.low_classifier(low) + self.high_classifier(y)
+        return _up(out, 8, align=False)
