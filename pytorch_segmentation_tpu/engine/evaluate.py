@@ -29,7 +29,8 @@ _EVAL_STEP_CACHE_MAX = 16  # (num_classes, align, sharding) combos are few;
 def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
          mesh=None, int8: bool = False,  # noqa: PT028 — reference API name
          quant_stats=None, tta_flip: bool = False, tta_scales=(),
-         report_path: str | None = None, ignore_index: int | None = None):
+         report_path: str | None = None, ignore_index: int | None = None,
+         tile=None, tile_overlap: float = 1 / 3):
     """model: engine.trainer.ModelBundle. Returns mean IoU (float).
 
     Prints the per-class table (or top-5 worst classes when >=10 classes)
@@ -49,6 +50,12 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
     table truncates to the 5 worst at >=10 classes, reference
     test.py:59-72) plus the raw confusion sums as JSON (test.py --report),
     for dashboards/regression tracking.
+
+    tile=(H, W) evaluates in mmseg "slide" mode (test.py --tile W H):
+    training-resolution windows over the eval-resolution batch, overlap
+    fraction tile_overlap, logits averaged on a canvas — the standard
+    protocol when the eval `-s` exceeds the training crop (see
+    steps.make_eval_step).
     """
     if quant_stats is not None:
         int8 = True
@@ -68,8 +75,9 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
     # rebuilding it would re-lower + recompile the whole model every epoch
     # (the model enters via state.apply_fn, a static jit field, so one
     # cached step serves any model; differing models just retrace).
+    tile = (int(tile[0]), int(tile[1])) if tile is not None else None
     key = (num_classes, align, replicated_sharding(mesh), int8, tta_flip,
-           tta_scales, ignore_index)
+           tta_scales, ignore_index, tile, tile_overlap)
     eval_step = _EVAL_STEP_CACHE.get(key)
     if eval_step is None:
         if len(_EVAL_STEP_CACHE) >= _EVAL_STEP_CACHE_MAX:
@@ -78,7 +86,8 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
                                    out_shardings=replicated_sharding(mesh),
                                    quant=int8, tta_flip=tta_flip,
                                    tta_scales=tta_scales,
-                                   ignore_index=ignore_index)
+                                   ignore_index=ignore_index,
+                                   tile=tile, tile_overlap=tile_overlap)
         _EVAL_STEP_CACHE[key] = eval_step
     state = TrainState(step=0, params=model.params,
                        batch_stats=model.batch_stats, opt_state=None,

@@ -250,10 +250,60 @@ def sample_valid_mask(valid, b: int):
     return valid.astype(bool)
 
 
+def tiled_logits(fwd_tile, images, tile_hw, overlap: float,
+                 edge_pad: float = 0.0):
+    """Sliding-window logits at the INPUT's resolution: run `fwd_tile`
+    (normalized tile [B,th,tw,3] -> f32 logits [B,th,tw,C]) over a static
+    grid of overlapping tile_hw windows, average overlapping logits on a
+    canvas, and return [B,H,W,C] f32.
+
+    The mmseg "slide" inference mode: when the eval resolution exceeds the
+    training resolution, whole-image forwards are out-of-distribution for
+    fixed-receptive-field heads (PPM/ASPP pool statistics change), so the
+    standard protocol evaluates training-resolution windows instead. The
+    grid is static per input shape (offsets are python ints), the tile
+    forward is traced ONCE inside a lax.fori_loop, and the canvas updates
+    are dynamic_slice/dynamic_update_slice — compile time is independent of
+    the grid size. Inputs smaller than a tile are edge-padded with
+    `edge_pad` (0 = ImageNet mean for normalized images) and cropped back.
+    """
+    from ..inference import _tile_offsets
+    b, h, w = images.shape[:3]
+    th, tw = int(tile_hw[0]), int(tile_hw[1])
+    hp, wp = max(h, th), max(w, tw)
+    x = jnp.pad(images, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)),
+                constant_values=edge_pad)
+    offs_h = _tile_offsets(hp, th, overlap)
+    offs_w = _tile_offsets(wp, tw, overlap)
+    nc = jax.eval_shape(
+        fwd_tile, jax.ShapeDtypeStruct((b, th, tw, 3), x.dtype)).shape[-1]
+    oh = jnp.asarray(offs_h, jnp.int32)
+    ow = jnp.asarray(offs_w, jnp.int32)
+    nw = len(offs_w)
+
+    def body(i, carry):
+        canvas, cnt = carry
+        y0, x0 = oh[i // nw], ow[i % nw]
+        tile = jax.lax.dynamic_slice(x, (0, y0, x0, 0), (b, th, tw, 3))
+        logits = fwd_tile(tile).astype(jnp.float32)
+        cur = jax.lax.dynamic_slice(canvas, (0, y0, x0, 0), (b, th, tw, nc))
+        canvas = jax.lax.dynamic_update_slice(canvas, cur + logits,
+                                              (0, y0, x0, 0))
+        ccur = jax.lax.dynamic_slice(cnt, (0, y0, x0, 0), (1, th, tw, 1))
+        cnt = jax.lax.dynamic_update_slice(cnt, ccur + 1.0, (0, y0, x0, 0))
+        return canvas, cnt
+
+    canvas = jnp.zeros((b, hp, wp, nc), jnp.float32)
+    cnt = jnp.zeros((1, hp, wp, 1), jnp.float32)
+    canvas, cnt = jax.lax.fori_loop(0, len(offs_h) * nw, body, (canvas, cnt))
+    return canvas[:, :h, :w] / cnt[:, :h, :w]
+
+
 def make_eval_step(num_classes: int, align_corners: bool = True,
                    use_pallas: bool = True, out_shardings=None,
                    quant: bool = False, tta_flip: bool = False,
-                   tta_scales: tuple = (), ignore_index: int | None = None):
+                   tta_scales: tuple = (), ignore_index: int | None = None,
+                   tile: tuple | None = None, tile_overlap: float = 1 / 3):
     """Returns jitted (state, images, segs, valid) -> (loss, tp, fn, fp)
     with padded samples masked out of the confusion counts. Pass
     out_shardings=replicated for multi-host meshes so every process can
@@ -291,9 +341,23 @@ def make_eval_step(num_classes: int, align_corners: bool = True,
     confusion counts (torch cross_entropy(ignore_index=) / mmseg
     reduce_zero_label-adjacent semantics). Forces the XLA path — the
     fused Pallas kernels implement the reference's all-pixel contract.
+
+    tile=(H, W) evaluates in mmseg "slide" mode (test.py --tile): the
+    forward runs on a static grid of tile-sized windows with
+    ~tile_overlap fraction of overlap (mmseg defaults stride = 2/3 of
+    the crop, i.e. overlap 1/3), overlapping logits are AVERAGED on a
+    canvas at the eval resolution, and the loss/confusion are computed
+    from the averaged logits. This is the standard protocol for
+    evaluating at resolutions above the training crop, where
+    whole-image forwards shift pooling statistics (PPM/ASPP global
+    branches) out of distribution. TTA composes per tile. Forces the
+    XLA tail (the canvas is already at label resolution).
     """
     tta_scales = tuple(tta_scales or ())
     if ignore_index is not None:
+        use_pallas = False
+    if tile is not None:
+        tile = (int(tile[0]), int(tile[1]))
         use_pallas = False
 
     def step(state: TrainState, images, segs, valid, quant_stats=None):
@@ -312,8 +376,18 @@ def make_eval_step(num_classes: int, align_corners: bool = True,
 
         # flip/multi-scale TTA (no-op returning fwd(images) when both off)
         from ..ops.tta import tta_logits
-        logits = tta_logits(fwd, images, scales=tta_scales, flip=tta_flip,
-                            align_corners=align_corners)
+        if tile is not None:
+            def fwd_tile(xx):
+                lg = tta_logits(fwd, xx, scales=tta_scales, flip=tta_flip,
+                                align_corners=align_corners)
+                if (lg.shape[1], lg.shape[2]) != tile:
+                    lg = resize_bilinear(lg.astype(jnp.float32), tile,
+                                         align_corners=align_corners)
+                return lg
+            logits = tiled_logits(fwd_tile, images, tile, tile_overlap)
+        else:
+            logits = tta_logits(fwd, images, scales=tta_scales,
+                                flip=tta_flip, align_corners=align_corners)
         th, tw = segs.shape[1], segs.shape[2]
         hh, ww = logits.shape[1], logits.shape[2]
         on_tpu = jax.devices()[0].platform == "tpu"

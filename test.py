@@ -73,6 +73,16 @@ def main():
                         help="write the full per-class metric table (all "
                              "classes, not just the printed worst-5) + raw "
                              "confusion sums as JSON")
+    parser.add_argument("--tile", type=int, nargs=2, default=None,
+                        metavar=("W", "H"),
+                        help="mmseg 'slide' evaluation: forward WxH "
+                             "windows (use the training crop size) over "
+                             "the eval resolution, averaging overlapping "
+                             "logits — the standard protocol when -s "
+                             "exceeds the training crop")
+    parser.add_argument("--tile-overlap", type=float, default=1 / 3,
+                        help="fraction of tile overlap for --tile "
+                             "(mmseg stride=2/3-crop default)")
     parser.add_argument("--tta-scales", type=float, nargs="+", default=[],
                         metavar="S",
                         help="multi-scale TTA, e.g. 0.75 1.0 1.25: extra "
@@ -120,7 +130,9 @@ def main():
                    quant_stats=quant_stats, tta_flip=opt.tta,
                    tta_scales=opt.tta_scales,
                    report_path=opt.report or None,
-                   ignore_index=opt.ignore_index)
+                   ignore_index=opt.ignore_index,
+                   tile=(opt.tile[1], opt.tile[0]) if opt.tile else None,
+                   tile_overlap=opt.tile_overlap)
     print("metrics: %8g" % metrics)
 
 
