@@ -30,7 +30,8 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
          mesh=None, int8: bool = False,  # noqa: PT028 — reference API name
          quant_stats=None, tta_flip: bool = False, tta_scales=(),
          report_path: str | None = None, ignore_index: int | None = None,
-         tile=None, tile_overlap: float = 1 / 3):
+         tile=None, tile_overlap: float = 1 / 3,
+         boundary_ratio: float | None = None):
     """model: engine.trainer.ModelBundle. Returns mean IoU (float).
 
     Prints the per-class table (or top-5 worst classes when >=10 classes)
@@ -56,6 +57,11 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
     fraction tile_overlap, logits averaged on a canvas — the standard
     protocol when the eval `-s` exceeds the training crop (see
     steps.make_eval_step).
+
+    boundary_ratio (test.py --boundary-iou [R]) additionally accumulates
+    per-class Boundary IoU (Cheng et al. 2021, ops/boundary.py; band
+    width R of the image diagonal, official default 0.02) — printed as
+    a mean and per-class in the --report JSON.
     """
     if quant_stats is not None:
         int8 = True
@@ -77,7 +83,7 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
     # cached step serves any model; differing models just retrace).
     tile = (int(tile[0]), int(tile[1])) if tile is not None else None
     key = (num_classes, align, replicated_sharding(mesh), int8, tta_flip,
-           tta_scales, ignore_index, tile, tile_overlap)
+           tta_scales, ignore_index, tile, tile_overlap, boundary_ratio)
     eval_step = _EVAL_STEP_CACHE.get(key)
     if eval_step is None:
         if len(_EVAL_STEP_CACHE) >= _EVAL_STEP_CACHE_MAX:
@@ -87,7 +93,8 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
                                    quant=int8, tta_flip=tta_flip,
                                    tta_scales=tta_scales,
                                    ignore_index=ignore_index,
-                                   tile=tile, tile_overlap=tile_overlap)
+                                   tile=tile, tile_overlap=tile_overlap,
+                                   boundary_ratio=boundary_ratio)
         _EVAL_STEP_CACHE[key] = eval_step
     state = TrainState(step=0, params=model.params,
                        batch_stats=model.batch_stats, opt_state=None,
@@ -106,6 +113,8 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
     tp = np.zeros(num_classes)
     fn = np.zeros(num_classes)
     fp = np.zeros(num_classes)
+    b_int = np.zeros(num_classes)
+    b_uni = np.zeros(num_classes)
     val_loss = 0.0
     n_batches = 0
     n_read = 0
@@ -117,12 +126,16 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
         # ONE batched host read (per-array reads pay a ~33 ms tunnel
         # round-trip each) — called one batch late so the read overlaps the
         # CURRENT batch's device compute
-        nonlocal val_loss, tp, fn, fp, n_read
-        loss, tp_i, fn_i, fp_i = jax.device_get(res)
+        nonlocal val_loss, tp, fn, fp, b_int, b_uni, n_read
+        got = jax.device_get(res)
+        loss, tp_i, fn_i, fp_i = got[:4]
         val_loss += float(loss)
         tp += tp_i
         fn += fn_i
         fp += fp_i
+        if len(got) == 6:
+            b_int += got[4]
+            b_uni += got[5]
         n_read += 1
 
     for images, segs, valid in pbar:
@@ -168,6 +181,10 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
         drain(pending)
 
     T, P, R, miou, F1 = (np.asarray(m) for m in compute_metrics(tp, fn, fp))
+    biou = None
+    if boundary_ratio is not None:
+        from ..ops.boundary import boundary_iou
+        biou = np.asarray(boundary_iou(b_int, b_uni))
     if report_path and jax.process_index() == 0:
         import json
         report = {
@@ -179,9 +196,14 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
                  "precision": float(P[ci]), "recall": float(R[ci]),
                  "iou": float(miou[ci]), "f1": float(F1[ci]),
                  "tp": float(tp[ci]), "fn": float(fn[ci]),
-                 "fp": float(fp[ci])}
+                 "fp": float(fp[ci]),
+                 **({"boundary_iou": float(biou[ci])}
+                    if biou is not None else {})}
                 for ci, c in enumerate(classes)],
         }
+        if biou is not None:
+            report["mean_boundary_iou"] = float(biou.mean())
+            report["boundary_ratio"] = boundary_ratio
         with open(report_path, "w") as f:
             json.dump(report, f, indent=1)
     if log and jax.process_index() == 0:
@@ -197,6 +219,9 @@ def test(model, fetcher, show_first_batch: bool = True, log: bool = True,
                 print("cls: %8s, targets: %8d, pre: %8g, rec: %8g, "
                       "iou: %8g, F1: %8g"
                       % (classes[ci], T[ci], P[ci], R[ci], miou[ci], F1[ci]))
+        if biou is not None:
+            print("mean boundary iou (band %g of diagonal): %8g"
+                  % (boundary_ratio, biou.mean()))
     return float(miou.mean())
 
 

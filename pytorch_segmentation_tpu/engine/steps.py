@@ -303,7 +303,8 @@ def make_eval_step(num_classes: int, align_corners: bool = True,
                    use_pallas: bool = True, out_shardings=None,
                    quant: bool = False, tta_flip: bool = False,
                    tta_scales: tuple = (), ignore_index: int | None = None,
-                   tile: tuple | None = None, tile_overlap: float = 1 / 3):
+                   tile: tuple | None = None, tile_overlap: float = 1 / 3,
+                   boundary_ratio: float | None = None):
     """Returns jitted (state, images, segs, valid) -> (loss, tp, fn, fp)
     with padded samples masked out of the confusion counts. Pass
     out_shardings=replicated for multi-host meshes so every process can
@@ -352,12 +353,20 @@ def make_eval_step(num_classes: int, align_corners: bool = True,
     whole-image forwards shift pooling statistics (PPM/ASPP global
     branches) out of distribution. TTA composes per tile. Forces the
     XLA tail (the canvas is already at label resolution).
+
+    boundary_ratio=R additionally returns per-class boundary
+    intersection/union sums (Boundary IoU, ops/boundary.py; R = band
+    width as a fraction of the image diagonal, official default 0.02) —
+    the step then yields (loss, tp, fn, fp, b_int, b_uni). Predictions
+    are needed at label resolution, so this forces the XLA tail.
     """
     tta_scales = tuple(tta_scales or ())
     if ignore_index is not None:
         use_pallas = False
     if tile is not None:
         tile = (int(tile[0]), int(tile[1]))
+        use_pallas = False
+    if boundary_ratio is not None:
         use_pallas = False
 
     def step(state: TrainState, images, segs, valid, quant_stats=None):
@@ -446,6 +455,15 @@ def make_eval_step(num_classes: int, align_corners: bool = True,
         tp = jnp.diagonal(cm)
         fn = jnp.sum(cm, axis=1) - tp
         fp = jnp.sum(cm, axis=0) - tp
+        if boundary_ratio is not None:
+            from ..ops.boundary import boundary_confusion, boundary_pixels
+            pix = jnp.broadcast_to(sample_mask[:, None, None], segs.shape)
+            if ignore_index is not None:
+                pix = pix & pix_valid
+            b_int, b_uni = boundary_confusion(
+                pred, segs, num_classes,
+                boundary_pixels(th, tw, boundary_ratio), valid=pix)
+            return loss, tp, fn, fp, b_int, b_uni
         return loss, tp, fn, fp
 
     return jit_with_options(step, out_shardings=out_shardings,

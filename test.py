@@ -80,6 +80,13 @@ def main():
                              "the eval resolution, averaging overlapping "
                              "logits — the standard protocol when -s "
                              "exceeds the training crop")
+    parser.add_argument("--boundary-iou", type=float, nargs="?",
+                        const=0.02, default=None, metavar="R",
+                        help="also report Boundary IoU (Cheng et al. "
+                             "2021): IoU of the width-R*diagonal inner "
+                             "boundary bands of pred vs target per class "
+                             "(default band ratio 0.02); adds a mean line "
+                             "and per-class values in --report")
     parser.add_argument("--tile-overlap", type=float, default=1 / 3,
                         help="fraction of tile overlap for --tile "
                              "(mmseg stride=2/3-crop default)")
@@ -132,7 +139,8 @@ def main():
                    report_path=opt.report or None,
                    ignore_index=opt.ignore_index,
                    tile=(opt.tile[1], opt.tile[0]) if opt.tile else None,
-                   tile_overlap=opt.tile_overlap)
+                   tile_overlap=opt.tile_overlap,
+                   boundary_ratio=opt.boundary_iou)
     print("metrics: %8g" % metrics)
 
 
