@@ -21,15 +21,17 @@ import torch.nn.functional as F
 from pytorch_segmentation_tpu.models import (FCN, FPN, LRASPP, BiSeNetV2,
                                               DeepLabV3, DeepLabV3Plus,
                                               HRNet, OCRNet, PSPNet,
-                                              SegFormer, UNet, UPerNet)
+                                              SegFormer, SegNeXt, UNet,
+                                              UPerNet)
 from pytorch_segmentation_tpu.utils.port_torch import (
     _merge_checked, convert_convnext, convert_mobilenetv2,
     convert_mobilenetv3, convert_named, convert_resnet, convert_swin,
     jax_to_py)
 
 from torch_refs import (TFPN, TLRASPP, TBiSeNetV2, TDeepLabV3Plus, THRNet,
-                        TOCRNet, TPSPNet, TSegFormer, TTVDeepLabV3, TTVFCN,
-                        TUNet, TUPerNet, randomize_bn_stats)
+                        TOCRNet, TPSPNet, TSegFormer, TSegNeXt,
+                        TTVDeepLabV3, TTVFCN, TUNet, TUPerNet,
+                        randomize_bn_stats)
 
 
 def _split_sd(model, prefix="backbone."):
@@ -93,6 +95,12 @@ CASES = {
                 lambda nc: TPSPNet(nc, jpu=True), convert_resnet),
     "segformer": (lambda nc: SegFormer(num_classes=nc, dtype=jnp.float32),
                   TSegFormer, None),
+    # MSCAN conv-attention encoder + LightHam NMF decoder at the 1-block
+    # 'tiny' dims; exercises the deterministic-bases NMF (7 eval steps of
+    # multiplicative updates must agree through f32), layer scales, GN
+    "segnext": (lambda nc: SegNeXt(num_classes=nc, variant="tiny",
+                                   dtype=jnp.float32),
+                lambda nc: TSegNeXt(nc, variant="tiny"), None),
     # torchvision segmentation-zoo families (models/tvseg.py): os=8
     # backbone, align_corners=False trailing upsample
     "fcn": (lambda nc: FCN(num_classes=nc, dtype=jnp.float32),

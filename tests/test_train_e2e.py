@@ -13,7 +13,8 @@ from pytorch_segmentation_tpu.data import (CocoDataset, DataLoader, Fetcher,
 from pytorch_segmentation_tpu.engine import (ModelBundle, Trainer,
                                              load_checkpoint, test)
 from pytorch_segmentation_tpu.models import (FPN, DeepLabV3Plus, HRNet,
-                                             OCRNet, UNet, UPerNet)
+                                             OCRNet, SegNeXt, UNet,
+                                             UPerNet)
 
 
 @pytest.fixture(scope="module")
@@ -62,7 +63,11 @@ def test_eval_miou_beats_random(trained):
     # stride-4 logits like hrnet; extra epochs for the same reason
     (lambda nc: OCRNet(num_classes=nc, base_channels=8, ocr_channels=64,
                        key_channels=32, dtype=jnp.float32), 16, 0.12),
-], ids=["deeplabv3plus", "hrnet", "fpn", "upernet", "ocrnet"])
+    # MSCAN+LightHam at the tiny dims: layer-scale 1e-2 start means slow
+    # early progress; extra epochs like the other small-signal heads
+    (lambda nc: SegNeXt(num_classes=nc, variant="tiny", dtype=jnp.float32),
+     16, 0.12),
+], ids=["deeplabv3plus", "hrnet", "fpn", "upernet", "ocrnet", "segnext"])
 def test_models_learn(build, epochs, miou_min, synthetic_coco):
     """Every non-default model family must be SHOWN to learn (loss drop +
     mIoU above random), not just compile (VERDICT round-1 weak #3; UNet is

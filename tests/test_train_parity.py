@@ -28,14 +28,15 @@ from pytorch_segmentation_tpu.engine.steps import (TrainState,
                                                    make_train_step)
 from pytorch_segmentation_tpu.models import (FPN, BiSeNetV2, DeepLabV3Plus,
                                               HRNet, OCRNet, PSPNet,
-                                              SegFormer, UNet, UPerNet)
+                                              SegFormer, SegNeXt, UNet,
+                                              UPerNet)
 from pytorch_segmentation_tpu.ops.loss import compute_loss
 from pytorch_segmentation_tpu.utils.port_torch import (convert_mobilenetv2,
                                                        convert_resnet)
 
 from test_model_golden_parity import _port
 from torch_refs import (TFPN, TBiSeNetV2, TDeepLabV3Plus, THRNet, TOCRNet,
-                        TPSPNet, TSegFormer, TUNet, TUPerNet,
+                        TPSPNet, TSegFormer, TSegNeXt, TUNet, TUPerNet,
                         randomize_bn_stats)
 
 LR, MOMENTUM, N_STEPS = 1e-2, 0.9, 6
@@ -108,6 +109,12 @@ TRAJ_CASES = {
         lambda: TUPerNet(NC, layers=(1, 1, 1, 1), channels=64),
         lambda sd: convert_resnet(sd, layers=(1, 1, 1, 1)),
         "cls_conv", "fpn_bottleneck"),
+    # MSCAN+LightHam: BN dynamics inside the conv-attention blocks plus
+    # the NMF decoder's f32 iterations through SGD steps
+    "segnext": (
+        lambda: SegNeXt(num_classes=NC, variant="tiny", dtype=jnp.float32),
+        lambda: TSegNeXt(NC, variant="tiny"), None,
+        "cls_conv", "backbone/stem1"),
 }
 
 
@@ -166,9 +173,13 @@ def test_sgd_trajectory_parity(name, rng):
     # accumulate trajectory drift faster than the (normalized) loss — both
     # frameworks are exact per step, but f32 reduction-order noise compounds
     # through N optimizer steps — hence the looser tolerance.
-    bn_ours = np.asarray(state.batch_stats[bn_mod]["bn"]["mean"])
-    bn_ref = tsd[f"{bn_mod}.bn.running_mean"]
+    node = state.batch_stats
+    for part in bn_mod.split("/"):  # "/" = nested module path (segnext)
+        node = node[part]
+    bn_ours = np.asarray(node["bn"]["mean"])
+    tkey = bn_mod.replace("/", ".")
+    bn_ref = tsd[f"{tkey}.bn.running_mean"]
     np.testing.assert_allclose(bn_ours, bn_ref, atol=0.03)
-    var_ours = np.asarray(state.batch_stats[bn_mod]["bn"]["var"])
-    var_ref = tsd[f"{bn_mod}.bn.running_var"]
+    var_ours = np.asarray(node["bn"]["var"])
+    var_ref = tsd[f"{tkey}.bn.running_var"]
     np.testing.assert_allclose(var_ours, var_ref, rtol=0.05, atol=0.05)

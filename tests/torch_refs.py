@@ -41,6 +41,8 @@ class TConvNormAct(nn.Module):
             return F.relu(x)
         if self.activate == "relu6":
             return F.relu6(x)
+        if self.activate == "gelu":
+            return F.gelu(x)  # exact (erf), like jax approximate=False
         return x
 
 
@@ -72,9 +74,9 @@ def randomize_bn_stats(model, seed=0):
                     0.1 * torch.randn(m.running_mean.shape, generator=g))
                 m.running_var.copy_(
                     0.5 + torch.rand(m.running_var.shape, generator=g))
-        elif isinstance(m, nn.LayerNorm):
-            # non-trivial LN affines (fresh LNs are weight=1/bias=0, which
-            # would hide scale<->bias mapping bugs in the weight port)
+        elif isinstance(m, (nn.LayerNorm, nn.GroupNorm)):
+            # non-trivial LN/GN affines (fresh ones are weight=1/bias=0,
+            # which would hide scale<->bias mapping bugs in the weight port)
             with torch.no_grad():
                 m.weight.copy_(0.5 + torch.rand(m.weight.shape, generator=g))
                 m.bias.copy_(0.1 * torch.randn(m.bias.shape, generator=g))
@@ -1300,3 +1302,168 @@ class TLRASPP(nn.Module):
                           align_corners=False)
         out = self.low_classifier(low) + self.high_classifier(y)
         return _up(out, 8, align=False)
+
+
+class _TLayerScale(nn.Module):
+    """models/segnext.py _Scale mirror: the 1-D `weight` ports to the
+    flax 'scale' param through convert_named."""
+
+    def __init__(self, dim, init=1e-2):
+        super().__init__()
+        self.weight = nn.Parameter(init * torch.ones(dim))
+
+    def forward(self, x):
+        return self.weight[None, :, None, None] * x
+
+
+class _TMSCA(nn.Module):
+    """models/segnext.py _MSCA (mmseg MSCAAttention names)."""
+
+    def __init__(self, dim):
+        super().__init__()
+        dw = dict(groups=dim)
+        self.conv0 = nn.Conv2d(dim, dim, 5, padding=2, **dw)
+        self.conv0_1 = nn.Conv2d(dim, dim, (1, 7), padding=(0, 3), **dw)
+        self.conv0_2 = nn.Conv2d(dim, dim, (7, 1), padding=(3, 0), **dw)
+        self.conv1_1 = nn.Conv2d(dim, dim, (1, 11), padding=(0, 5), **dw)
+        self.conv1_2 = nn.Conv2d(dim, dim, (11, 1), padding=(5, 0), **dw)
+        self.conv2_1 = nn.Conv2d(dim, dim, (1, 21), padding=(0, 10), **dw)
+        self.conv2_2 = nn.Conv2d(dim, dim, (21, 1), padding=(10, 0), **dw)
+        self.conv3 = nn.Conv2d(dim, dim, 1)
+
+    def forward(self, x):
+        attn = self.conv0(x)
+        a0 = self.conv0_2(self.conv0_1(attn))
+        a1 = self.conv1_2(self.conv1_1(attn))
+        a2 = self.conv2_2(self.conv2_1(attn))
+        attn = self.conv3(attn + a0 + a1 + a2)
+        return attn * x
+
+
+class _TMSCABlock(nn.Module):
+    """models/segnext.py _Block: BN -> spatial attention (+ls1),
+    BN -> MixFFN (+ls2)."""
+
+    def __init__(self, dim, mlp_ratio):
+        super().__init__()
+        self.norm1 = nn.BatchNorm2d(dim, momentum=0.1, eps=1e-5)
+        self.attn = nn.Module()
+        self.attn.proj_1 = nn.Conv2d(dim, dim, 1)
+        self.attn.spatial_gating_unit = _TMSCA(dim)
+        self.attn.proj_2 = nn.Conv2d(dim, dim, 1)
+        self.layer_scale_1 = _TLayerScale(dim)
+        self.norm2 = nn.BatchNorm2d(dim, momentum=0.1, eps=1e-5)
+        hidden = dim * mlp_ratio
+        self.fc1 = nn.Conv2d(dim, hidden, 1)
+        self.dwconv = nn.Conv2d(hidden, hidden, 3, padding=1, groups=hidden)
+        self.fc2 = nn.Conv2d(hidden, dim, 1)
+        self.layer_scale_2 = _TLayerScale(dim)
+
+    def forward(self, x):
+        h = self.norm1(x)
+        # spatial attention's residual is over the NORMED input (mmseg
+        # MSCASpatialAttention adds its own shortcut inside)
+        a = self.attn.proj_2(
+            self.attn.spatial_gating_unit(F.gelu(self.attn.proj_1(h))))
+        x = x + self.layer_scale_1(a + h)
+        h = self.norm2(x)
+        h = self.fc2(F.gelu(self.dwconv(self.fc1(h))))
+        return x + self.layer_scale_2(h)
+
+
+def _t_nmf2d(x, bases_dr, steps, eps=1e-6):
+    """models/segnext.py nmf2d mirror: x [B, C, H, W] f32, bases [D, R]
+    (the shared deterministic init), multiplicative updates + final coef
+    update."""
+    b, d, h, w = x.shape
+    xf = x.reshape(b, d, h * w).transpose(1, 2)  # [B, N, D]
+    bases = torch.as_tensor(bases_dr)[None].expand(b, -1, -1)  # [B, D, R]
+    coef = torch.softmax(torch.bmm(xf, bases), dim=-1)  # [B, N, R]
+
+    def coef_update(coef, bases):
+        num = torch.bmm(xf, bases)
+        den = torch.bmm(coef, torch.bmm(bases.transpose(1, 2), bases))
+        return coef * num / (den + eps)
+
+    for _ in range(steps):
+        coef = coef_update(coef, bases)
+        num = torch.bmm(xf.transpose(1, 2), coef)  # [B, D, R]
+        den = torch.bmm(bases, torch.bmm(coef.transpose(1, 2), coef))
+        bases = bases * num / (den + eps)
+    coef = coef_update(coef, bases)
+    out = torch.bmm(bases, coef.transpose(1, 2))  # [B, D, N]
+    return out.reshape(b, d, h, w)
+
+
+class _TGNConv(nn.Module):
+    """models/segnext.py _GNConv: 1x1 (no bias) + GN(32) + ReLU."""
+
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, 1, bias=False)
+        self.gn = nn.GroupNorm(32, cout, eps=1e-5)
+
+    def forward(self, x):
+        return F.relu(self.gn(self.conv(x)))
+
+
+class TSegNeXt(nn.Module):
+    """models/segnext.py mirror: MSCAN encoder + LightHam head, flax
+    module names throughout (convert_named)."""
+
+    def __init__(self, num_classes, variant="tiny"):
+        super().__init__()
+        from pytorch_segmentation_tpu.models.segnext import (MSCAN_VARIANTS,
+                                                             nmf_bases)
+        depths, dims, ratios, ham_ch, rank = MSCAN_VARIANTS[variant]
+        self.rank, self.ham_ch = rank, ham_ch
+        self.bases = nmf_bases(ham_ch, rank)
+        bb = nn.Module()
+        bb.stem1 = TConvNormAct(3, dims[0] // 2, 3, stride=2,
+                                activate="gelu")
+        bb.stem2 = TConvNormAct(dims[0] // 2, dims[0], 3, stride=2,
+                                activate=None)
+        for s in range(1, 4):
+            setattr(bb, f"embed{s}",
+                    TConvNormAct(dims[s - 1], dims[s], 3, stride=2,
+                                 activate=None))
+        for s, (depth, dim, ratio) in enumerate(zip(depths, dims, ratios)):
+            for i in range(depth):
+                setattr(bb, f"stage{s}_block{i}", _TMSCABlock(dim, ratio))
+            setattr(bb, f"stage{s}_norm", nn.LayerNorm(dim, eps=1e-6))
+        self.backbone = bb
+        self.squeeze = _TGNConv(sum(dims[1:]), ham_ch)
+        ham = nn.Module()
+        ham.ham_in = nn.Conv2d(ham_ch, ham_ch, 1)
+        ham.ham_out = nn.Conv2d(ham_ch, ham_ch, 1, bias=False)
+        ham.ham_out_gn = nn.GroupNorm(32, ham_ch, eps=1e-5)
+        self.hamburger = ham
+        self.align = _TGNConv(ham_ch, ham_ch)
+        self.cls_conv = nn.Conv2d(ham_ch, num_classes, 1)
+        self.depths = depths
+
+    def forward(self, x):
+        bb = self.backbone
+        x = bb.stem2(bb.stem1(x))
+        taps = []
+        for s in range(4):
+            if s > 0:
+                x = getattr(bb, f"embed{s}")(x)
+            for i in range(self.depths[s]):
+                x = getattr(bb, f"stage{s}_block{i}")(x)
+            x = getattr(bb, f"stage{s}_norm")(
+                x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+            taps.append(x)
+        base_hw = taps[1].shape[-2:]
+        feats = [taps[1]] + [
+            F.interpolate(t, size=base_hw, mode="bilinear",
+                          align_corners=False) for t in taps[2:]]
+        y = self.squeeze(torch.cat(feats, dim=1))
+        h = F.relu(self.hamburger.ham_in(y))
+        h = _t_nmf2d(h, self.bases, steps=6 if self.training else 7)
+        h = self.hamburger.ham_out_gn(self.hamburger.ham_out(h))
+        y = F.relu(y + h)
+        y = self.align(y)
+        out = self.cls_conv(y)
+        return F.interpolate(out, scale_factor=8, mode="bilinear",
+                             align_corners=False)
