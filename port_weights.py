@@ -77,6 +77,8 @@ def run(sd_path, model_name, num_classes, out_path, arch=None,
         arch = "convnext"  # torchvision convnext_{tiny,small,base}
     if arch is None and variant.startswith("swin-") and model_name == "upernet":
         arch = "swin"  # torchvision swin_{t,s,b}
+    if arch is None and variant.startswith("vit-") and model_name == "upernet":
+        arch = "vit"  # torchvision vit_b_16 / vit_l_16
     arch = arch or _BACKBONE_ARCH.get(model_name)
     if arch is None and model_name != "segformer":
         raise SystemExit(f"--arch required for model {model_name!r} "
@@ -151,7 +153,7 @@ if __name__ == "__main__":
                              "b0..b5, must match the HF checkpoint)")
     parser.add_argument("--arch", type=str, default=None,
                         choices=["mobilenetv2", "mobilenetv3", "resnet50",
-                                 "resnet34", "convnext", "swin"],
+                                 "resnet34", "convnext", "swin", "vit"],
                         help="backbone converter (defaults by model)")
     parser.add_argument("--reverse", action="store_true",
                         help="framework checkpoint -> torch "

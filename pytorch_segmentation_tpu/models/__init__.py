@@ -75,6 +75,10 @@ MODEL_VARIANTS = {
         # Swin encoders (the Swin paper's segmentation pairing)
         **{f"swin-{v}": {"encoder": "swin", "swin_variant": v}
            for v in ("t", "s", "b", "pico")},
+        # plain-ViT encoders (mmseg upernet_vit "mln" recipe; ports
+        # torchvision vit_b_16 / vit_l_16 classification checkpoints)
+        **{f"vit-{v}": {"encoder": "vit", "vit_variant": v}
+           for v in ("b16", "l16", "pico")},
     },
     # torchvision-zoo backbone depths (fcn_resnet50/101 analogs)
     "fcn": {

@@ -42,6 +42,7 @@ from flax import linen as nn
 from ..nn.backbones.convnext import CONVNEXT_VARIANTS, ConvNeXt
 from ..nn.backbones.resnet import ResNet
 from ..nn.backbones.swin import SWIN_VARIANTS, SwinTransformer
+from ..nn.backbones.vit import VIT_VARIANTS, ViT
 from ..nn.blocks import ConvNormAct, conv_kernel_init
 from ..ops.pool import adaptive_avg_pool2d
 from ..ops.resize import resize_bilinear
@@ -52,12 +53,13 @@ __all__ = ["UPerNet"]
 
 class UPerNet(nn.Module):
     num_classes: int
-    encoder: str = "resnet"  # 'resnet' | 'mit' | 'convnext' | 'swin'
+    encoder: str = "resnet"  # 'resnet'|'mit'|'convnext'|'swin'|'vit'
     backbone_layers: tuple = (3, 4, 6, 3)  # ResNet-50
     block: str = "bottleneck"
     mit_variant: str = "b0"  # encoder='mit' size (SEGFORMER_VARIANTS)
     convnext_variant: str = "t"  # encoder='convnext' (CONVNEXT_VARIANTS)
     swin_variant: str = "t"  # encoder='swin' size (SWIN_VARIANTS)
+    vit_variant: str = "b16"  # encoder='vit' size (VIT_VARIANTS)
     channels: int = 512
     pool_scales: tuple = (1, 2, 3, 6)
     dtype: jnp.dtype = jnp.bfloat16
@@ -93,6 +95,31 @@ class UPerNet(nn.Module):
                                     window=window, dtype=self.dtype,
                                     remat=self.remat,
                                     name="backbone")(x, train=train)
+        elif self.encoder == "vit":
+            layers, dim, heads, patch, base_grid, out_idx = \
+                VIT_VARIANTS[self.vit_variant]
+            taps16 = ViT(layers=layers, dim=dim, heads=heads, patch=patch,
+                         base_grid=base_grid, out_indices=out_idx,
+                         dtype=self.dtype, remat=self.remat,
+                         name="backbone")(x, train=train)
+            # MultiLevelNeck (mmseg upernet_vit "mln"): per tap a 1x1
+            # lateral, bilinear rescale to strides 4/8/16/32
+            # (align_corners=False), then a 3x3 conv — raw biased convs
+            # (mmseg MultiLevelNeck norm_cfg=None/act_cfg=None)
+            feats = []
+            for i, (t, s) in enumerate(zip(taps16, (4, 2, 1, 0.5))):
+                y = nn.Conv(dim, (1, 1), dtype=self.dtype,
+                            param_dtype=jnp.float32,
+                            kernel_init=conv_kernel_init,
+                            name=f"neck_lat{i}")(t)
+                hw = (int(t.shape[1] * s), int(t.shape[2] * s))
+                if s != 1:
+                    y = resize_bilinear(y, hw, align_corners=False)
+                y = nn.Conv(dim, (3, 3), padding=((1, 1), (1, 1)),
+                            dtype=self.dtype, param_dtype=jnp.float32,
+                            kernel_init=conv_kernel_init,
+                            name=f"neck_conv{i}")(y)
+                feats.append(y)
         else:
             feats = ResNet(block=self.block, layers=self.backbone_layers,
                            dtype=self.dtype, axis_name=self.axis_name,

@@ -19,7 +19,8 @@ import numpy as np
 
 __all__ = ["convert_mobilenetv2", "convert_mobilenetv3", "convert_resnet",
            "convert_convnext",
-           "convert_swin", "convert_named", "convert_tv_seg",
+           "convert_swin", "convert_vit", "convert_named",
+           "convert_tv_seg",
            "convert_hf_segformer", "load_pretrained_backbone",
            "load_pretrained_segformer", "load_pretrained_tvseg",
            "export_torch_state_dict", "save_torch_checkpoint"]
@@ -348,6 +349,70 @@ def load_pretrained_tvseg(model_params, model_stats, path_or_sd,
     return params, stats
 
 
+def convert_vit(sd: dict):
+    """torchvision vit_b_16 / vit_l_16 classification state_dict ->
+    (params, batch_stats) subtrees matching nn/backbones/vit.ViT.
+
+    torchvision layout: conv_proj (patch conv), class_token,
+    encoder.pos_embedding [1, 1+196, C], encoder.layers.encoder_layer_i
+    with ln_1 / self_attention (FUSED in_proj qkv + out_proj) / ln_2 /
+    mlp.{0,3} Linears. The classification head (heads.*) and the final
+    encoder.ln are dropped (mmseg ViT final_norm=False — the taps feed
+    the MultiLevelNeck unnormalized). Position embeddings port at the
+    stored 14x14 grid; the model resizes them at trace time for other
+    input sizes (nn/backbones/vit.py).
+    """
+    params: dict = {"conv_proj": {"kernel": _conv(sd["conv_proj.weight"]),
+                                  "bias": np.asarray(sd["conv_proj.bias"],
+                                                     np.float32)},
+                    "class_token": np.asarray(sd["class_token"],
+                                              np.float32),
+                    "pos_embedding": np.asarray(
+                        sd["encoder.pos_embedding"], np.float32)}
+    i = 0
+    while f"encoder.layers.encoder_layer_{i}.ln_1.weight" in sd:
+        pre = f"encoder.layers.encoder_layer_{i}"
+
+        def lin(name):
+            w = np.asarray(sd[f"{pre}.{name}.weight"], np.float32)
+            b = np.asarray(sd[f"{pre}.{name}.bias"], np.float32)
+            return {"kernel": np.ascontiguousarray(w.T), "bias": b}
+
+        blk = {
+            "ln1": {"scale": np.asarray(sd[f"{pre}.ln_1.weight"],
+                                        np.float32),
+                    "bias": np.asarray(sd[f"{pre}.ln_1.bias"],
+                                       np.float32)},
+            "ln2": {"scale": np.asarray(sd[f"{pre}.ln_2.weight"],
+                                        np.float32),
+                    "bias": np.asarray(sd[f"{pre}.ln_2.bias"],
+                                       np.float32)},
+            # torch MHA fused in_proj rows are [q; k; v] — transposed
+            # they become the qkv Dense's output columns in the same
+            # order the model's reshape splits them
+            "qkv": {"kernel": np.ascontiguousarray(np.asarray(
+                        sd[f"{pre}.self_attention.in_proj_weight"],
+                        np.float32).T),
+                    "bias": np.asarray(
+                        sd[f"{pre}.self_attention.in_proj_bias"],
+                        np.float32)},
+            "proj": {"kernel": np.ascontiguousarray(np.asarray(
+                         sd[f"{pre}.self_attention.out_proj.weight"],
+                         np.float32).T),
+                     "bias": np.asarray(
+                         sd[f"{pre}.self_attention.out_proj.bias"],
+                         np.float32)},
+            "fc1": lin("mlp.0"),
+            "fc2": lin("mlp.3"),
+        }
+        params[f"block{i}"] = blk
+        i += 1
+    if i == 0:
+        raise ValueError("no encoder.layers.encoder_layer_* keys — not a "
+                         "torchvision ViT state_dict")
+    return params, {}
+
+
 def convert_named(sd: dict):
     """Generic torch state_dict -> (params, batch_stats) trees for models
     whose torch module names mirror our flax module names (ConvNormAct
@@ -553,6 +618,8 @@ def load_pretrained_backbone(model_params, model_stats, path_or_sd,
         bp, bs = convert_swin(sd)
     elif arch == "mobilenetv3":
         bp, bs = convert_mobilenetv3(sd)
+    elif arch == "vit":
+        bp, bs = convert_vit(sd)
     else:
         raise ValueError(f"unknown arch {arch!r}")
 

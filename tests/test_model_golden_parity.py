@@ -26,11 +26,11 @@ from pytorch_segmentation_tpu.models import (FCN, FPN, LRASPP, BiSeNetV2,
 from pytorch_segmentation_tpu.utils.port_torch import (
     _merge_checked, convert_convnext, convert_mobilenetv2,
     convert_mobilenetv3, convert_named, convert_resnet, convert_swin,
-    jax_to_py)
+    convert_vit, jax_to_py)
 
 from torch_refs import (TFPN, TLRASPP, TBiSeNetV2, TDeepLabV3Plus, THRNet,
                         TOCRNet, TPSPNet, TSegFormer, TSegNeXt,
-                        TTVDeepLabV3, TTVFCN, TUNet, TUPerNet,
+                        TTVDeepLabV3, TTVFCN, TUNet, TUPerNet, TViT,
                         randomize_bn_stats)
 
 
@@ -145,6 +145,15 @@ CASES = {
                            swin_variant="pico", dtype=jnp.float32),
         lambda nc: TUPerNet(nc, encoder="swin"),
         convert_swin),
+    # plain-ViT encoder at the 4-layer 'pico' dims: the torchvision-named
+    # mirror (fused in_proj MHA, class token, pos embedding) exercises
+    # convert_vit; at 320^2 the 4x4 pos grid interpolates to 20x20, so
+    # the trace-time resize path is in the parity circuit too
+    "upernet-vit": (
+        lambda nc: UPerNet(num_classes=nc, encoder="vit",
+                           vit_variant="pico", dtype=jnp.float32),
+        lambda nc: TUPerNet(nc, encoder="vit"),
+        convert_vit),
 }
 
 

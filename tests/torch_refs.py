@@ -736,6 +736,16 @@ class TUPerNet(nn.Module):
         elif encoder == "swin":
             self.backbone = TSwin()  # pico config
             chans = [16 * (2 ** i) for i in range(4)]
+        elif encoder == "vit":
+            self.backbone = TViT()  # pico config (4 layers, dim 32)
+            dim = 32
+            chans = [dim] * 4
+            # MultiLevelNeck (models/upernet.py encoder='vit'): 1x1
+            # lateral -> bilinear rescale to strides 4/8/16/32 -> 3x3
+            for i in range(4):
+                setattr(self, f"neck_lat{i}", nn.Conv2d(dim, dim, 1))
+                setattr(self, f"neck_conv{i}",
+                        nn.Conv2d(dim, dim, 3, padding=1))
         else:
             block = block or _TorchBottleneck
             self.backbone = TResNet(block, layers)
@@ -757,6 +767,16 @@ class TUPerNet(nn.Module):
         feats = self.backbone(x)
         if self.encoder == "resnet":
             feats = feats[1:]  # C2..C5 (mit/convnext taps are already 4)
+        elif self.encoder == "vit":
+            necked = []
+            for i, (t, s) in enumerate(zip(feats, (4, 2, 1, 0.5))):
+                y = getattr(self, f"neck_lat{i}")(t)
+                hw = (int(t.shape[-2] * s), int(t.shape[-1] * s))
+                if s != 1:
+                    y = F.interpolate(y, size=hw, mode="bilinear",
+                                      align_corners=False)
+                necked.append(getattr(self, f"neck_conv{i}")(y))
+            feats = necked
         sizes = [f.shape[-2:] for f in feats]
         c5 = feats[3]
         branches = [c5]
@@ -1467,3 +1487,68 @@ class TSegNeXt(nn.Module):
         out = self.cls_conv(y)
         return F.interpolate(out, scale_factor=8, mode="bilinear",
                              align_corners=False)
+
+
+class _TViTBlock(nn.Module):
+    """torchvision EncoderBlock naming: ln_1 / self_attention (fused
+    in_proj) / ln_2 / mlp.{0,3}."""
+
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.ln_1 = nn.LayerNorm(dim, eps=1e-6)
+        self.self_attention = nn.MultiheadAttention(dim, heads,
+                                                    batch_first=True)
+        self.ln_2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = nn.Sequential(nn.Linear(dim, 4 * dim), nn.GELU(),
+                                 nn.Dropout(0.0), nn.Linear(4 * dim, dim))
+
+    def forward(self, x):
+        h, _ = self.self_attention(self.ln_1(x), self.ln_1(x),
+                                   self.ln_1(x), need_weights=False)
+        x = x + h
+        return x + self.mlp(self.ln_2(x))
+
+
+class TViT(nn.Module):
+    """nn/backbones/vit.py mirror with torchvision vit_b_16 naming
+    (exercises convert_vit): conv_proj, class_token,
+    encoder.pos_embedding, encoder.layers.encoder_layer_i."""
+
+    def __init__(self, layers=4, dim=32, heads=2, patch=16, base_grid=4,
+                 out_indices=(0, 1, 2, 3)):
+        super().__init__()
+        self.patch, self.base_grid = patch, base_grid
+        self.out_indices, self.n_layers, self.dim = out_indices, layers, dim
+        self.conv_proj = nn.Conv2d(3, dim, patch, stride=patch)
+        self.class_token = nn.Parameter(0.02 * torch.randn(1, 1, dim))
+        enc = nn.Module()
+        enc.pos_embedding = nn.Parameter(
+            0.02 * torch.randn(1, 1 + base_grid ** 2, dim))
+        enc.layers = nn.Module()
+        for i in range(layers):
+            setattr(enc.layers, f"encoder_layer_{i}",
+                    _TViTBlock(dim, heads))
+        self.encoder = enc
+
+    def forward(self, x):
+        x = self.conv_proj(x)  # [B, C, gh, gw]
+        b, c, gh, gw = x.shape
+        tokens = x.flatten(2).transpose(1, 2)  # [B, N, C]
+        pos = self.encoder.pos_embedding
+        grid = pos[:, 1:].reshape(1, self.base_grid, self.base_grid,
+                                  c).permute(0, 3, 1, 2)
+        if (gh, gw) != (self.base_grid, self.base_grid):
+            grid = F.interpolate(grid, size=(gh, gw), mode="bilinear",
+                                 align_corners=False)
+        pos = torch.cat([pos[:, :1],
+                         grid.permute(0, 2, 3, 1).reshape(1, gh * gw, c)],
+                        dim=1)
+        seq = torch.cat([self.class_token.expand(b, -1, -1), tokens], 1)
+        seq = seq + pos
+        taps = []
+        for i in range(self.n_layers):
+            seq = getattr(self.encoder.layers, f"encoder_layer_{i}")(seq)
+            if i in self.out_indices:
+                taps.append(seq[:, 1:].transpose(1, 2).reshape(b, c, gh,
+                                                               gw))
+        return taps
