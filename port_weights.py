@@ -57,6 +57,7 @@ _BACKBONE_ARCH = {
     "fcn": "resnet50",       # or a FULL fcn_resnet50/101 zoo checkpoint
     "deeplabv3": "resnet50",  # or a FULL deeplabv3_resnet50/101 ckpt
     "lraspp": "mobilenetv3",  # or a FULL lraspp_mobilenet_v3_large ckpt
+    "segmenter": "vit",      # torchvision vit_b_16 / vit_l_16
 }
 
 

@@ -12,6 +12,7 @@ from .ocrnet import OCRNet
 from .pspnet import PSPNet
 from .lraspp import LRASPP
 from .segformer import SegFormer
+from .segmenter import Segmenter
 from .segnext import SegNeXt
 from .tvseg import FCN, DeepLabV3
 from .unet import UNet
@@ -35,6 +36,7 @@ MODEL_REGISTRY = {
     "fastfcn": _fastfcn,
     "segformer": SegFormer,  # MiT-B0; variant="b1".."b5" via kwargs
     "segnext": SegNeXt,  # MSCAN-T + LightHam; variant="s"/"b" (segnext.py)
+    "segmenter": Segmenter,  # ViT + Mask Transformer (segmenter.py)
     "upernet": UPerNet,  # ResNet-50; variant="mit-b0".. for the MiT encoder
     "fcn": FCN,  # torchvision fcn_resnet50/101 semantics (tvseg.py)
     "deeplabv3": DeepLabV3,  # torchvision deeplabv3_resnet50/101
@@ -63,6 +65,8 @@ MODEL_VARIANTS = {
     },
     # MSCAN sizes (paper mscan-t/s/b; "tiny" = 1-block test dims)
     "segnext": {v: {"variant": v} for v in ("tiny", "t", "s", "b")},
+    # ViT trunk sizes for the Mask Transformer ("pico" = test dims)
+    "segmenter": {v: {"variant": v} for v in ("pico", "b16", "l16")},
     "upernet": {
         "r50": {},  # the default bottleneck (3,4,6,3) backbone
         "r34": {"block": "basic", "backbone_layers": (3, 4, 6, 3)},
@@ -150,7 +154,7 @@ def apply_moe(name: str, model_kw: dict, experts: int,
 
 __all__ = ["UNet", "BiSeNetV2", "DeepLabV3Plus", "HRNet", "OCRNet",
            "PSPNet", "FPN",
-           "SegFormer", "SegNeXt",
+           "SegFormer", "SegNeXt", "Segmenter",
            "UPerNet", "FCN", "DeepLabV3", "LRASPP",
            "MODEL_REGISTRY", "MODEL_VARIANTS", "build_model",
            "variant_kwargs", "apply_scan_blocks", "apply_moe"]

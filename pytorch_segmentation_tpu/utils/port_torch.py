@@ -454,6 +454,8 @@ def convert_named(sd: dict):
             # standalone module, dispatched on weight rank:
             #   4-D = conv (OIHW -> HWIO), 2-D = nn.Linear ([out,in] ->
             #   flax Dense kernel [in,out]), 1-D = LayerNorm (-> scale).
+            # Bare nn.Parameters with their own names (e.g. segmenter's
+            # cls_emb) map to the same-named flax param verbatim.
             node = ensure(params, parts[:-1])
             if leaf == "weight":
                 if v.ndim == 4:
@@ -462,8 +464,10 @@ def convert_named(sd: dict):
                     node["kernel"] = np.ascontiguousarray(v.T)
                 else:
                     node["scale"] = v
-            else:
+            elif leaf == "bias":
                 node["bias"] = v
+            else:
+                node[leaf] = v
     return params, stats
 
 

@@ -1552,3 +1552,82 @@ class TViT(nn.Module):
                 taps.append(seq[:, 1:].transpose(1, 2).reshape(b, c, gh,
                                                                gw))
         return taps
+
+
+class _TFlaxViTBlock(nn.Module):
+    """nn/backbones/vit._ViTBlock with FLAX names (ln1/qkv/proj/ln2/
+    fc1/fc2) for convert_named ports (the decoder side of TSegmenter;
+    the torchvision-named _TViTBlock is for convert_vit)."""
+
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.heads = heads
+        self.ln1 = nn.LayerNorm(dim, eps=1e-6)
+        self.qkv = nn.Linear(dim, 3 * dim)
+        self.proj = nn.Linear(dim, dim)
+        self.ln2 = nn.LayerNorm(dim, eps=1e-6)
+        self.fc1 = nn.Linear(dim, 4 * dim)
+        self.fc2 = nn.Linear(4 * dim, dim)
+
+    def forward(self, x):
+        b, t, c = x.shape
+        hd = c // self.heads
+        qkv = self.qkv(self.ln1(x)).reshape(b, t, 3, self.heads, hd)
+        qkv = qkv.permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0] * hd ** -0.5, qkv[1], qkv[2]
+        attn = (q @ k.transpose(-2, -1)).softmax(-1)
+        y = (attn @ v).transpose(1, 2).reshape(b, t, c)
+        x = x + self.proj(y)
+        return x + self.fc2(F.gelu(self.fc1(self.ln2(x))))
+
+
+class TSegmenter(nn.Module):
+    """models/segmenter.py mirror: TViT trunk (torchvision names ->
+    convert_vit) + Mask Transformer decoder with flax-mirrored names
+    (convert_named; cls_emb is a bare Parameter that ports verbatim)."""
+
+    class _Decoder(nn.Module):
+        def __init__(self, num_classes, dim, heads, n_layers=2):
+            super().__init__()
+            self.proj_dec = nn.Linear(dim, dim)
+            self.cls_emb = nn.Parameter(0.02 * torch.randn(1, num_classes,
+                                                           dim))
+            for i in range(n_layers):
+                setattr(self, f"block{i}", _TFlaxViTBlock(dim, heads))
+            self.n_layers = n_layers
+            self.decoder_norm = nn.LayerNorm(dim, eps=1e-6)
+            self.proj_patch = nn.Linear(dim, dim, bias=False)
+            self.proj_classes = nn.Linear(dim, dim, bias=False)
+            self.mask_norm = nn.LayerNorm(num_classes, eps=1e-6)
+
+        def forward(self, x):  # [B, N, C]
+            b, n, _ = x.shape
+            x = self.proj_dec(x)
+            x = torch.cat([x, self.cls_emb.expand(b, -1, -1)], dim=1)
+            for i in range(self.n_layers):
+                x = getattr(self, f"block{i}")(x)
+            x = self.decoder_norm(x)
+            patches, cls_tok = x[:, :n], x[:, n:]
+            patches = self.proj_patch(patches)
+            cls_tok = self.proj_classes(cls_tok)
+            patches = patches / patches.norm(dim=-1, keepdim=True)
+            cls_tok = cls_tok / cls_tok.norm(dim=-1, keepdim=True)
+            return self.mask_norm(patches @ cls_tok.transpose(1, 2))
+
+    def __init__(self, num_classes, layers=4, dim=32, heads=2, patch=16,
+                 base_grid=4):
+        super().__init__()
+        self.backbone = TViT(layers=layers, dim=dim, heads=heads,
+                             patch=patch, base_grid=base_grid,
+                             out_indices=(layers - 1,))
+        self.decoder = self._Decoder(num_classes, dim, heads)
+        self.patch = patch
+
+    def forward(self, x):
+        h, w = x.shape[-2:]
+        feat = self.backbone(x)[-1]  # [B, C, gh, gw]
+        b, c, gh, gw = feat.shape
+        masks = self.decoder(feat.flatten(2).transpose(1, 2))
+        masks = masks.transpose(1, 2).reshape(b, -1, gh, gw)
+        return F.interpolate(masks, size=(h, w), mode="bilinear",
+                             align_corners=False)

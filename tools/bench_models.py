@@ -29,13 +29,16 @@ def main():
     import sys
     names = sys.argv[1:] or ("unet", "deeplabv3plus", "hrnet", "pspnet",
                              "fpn", "fastfcn", "upernet")
-    for name in names:
+    from pytorch_segmentation_tpu.models import variant_kwargs
+    for spec in names:
+        name, _, variant = spec.partition(":")  # e.g. upernet:vit-b16
         img = sizes[name] if on_tpu else 128
         images = jax.random.normal(jax.random.PRNGKey(1),
                                    (bs, img, img, 3), jnp.float32)
         segs = jnp.zeros((bs, img, img), jnp.int32)
         model = MODEL_REGISTRY[name](num_classes=21, dtype=jnp.bfloat16,
-                                     full_res_output=not on_tpu)
+                                     full_res_output=not on_tpu,
+                                     **variant_kwargs(name, variant))
         align = getattr(model, "up_align_corners", True)
         state = create_train_state(model, jax.random.PRNGKey(0),
                                    jnp.zeros((1, 64, 64, 3), jnp.float32),
@@ -54,7 +57,7 @@ def main():
                 s, loss = step(s, images, segs)
             float(loss)
             best = min(best, (time.perf_counter() - t0) / 8)
-        print(f"{name:16s} @{img}^2 {best * 1e3:8.2f} ms/step  "
+        print(f"{spec:16s} @{img}^2 {best * 1e3:8.2f} ms/step  "
               f"{bs / best:7.1f} img/s", flush=True)
 
 

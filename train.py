@@ -153,7 +153,8 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
     model_kw = variant_kwargs(model_name, variant)
     if remat and model_name in ("deeplabv3plus", "pspnet", "fpn",
                                 "fastfcn", "segformer", "bisenetv2",
-                                "fcn", "deeplabv3", "segnext"):
+                                "fcn", "deeplabv3", "segnext",
+                                "segmenter"):
         model_kw["remat"] = True
     if aux_loss > 0 and model_name == "upernet":
         model_kw["aux"] = True  # FCN aux on C4 (models/upernet.py)
