@@ -321,8 +321,11 @@ if __name__ == "__main__":
                         help="jax.profiler trace of first-epoch steps "
                              "-> runs/profile")
     parser.add_argument("--remat", action="store_true",
-                        help="rematerialize backbone activations "
-                             "(less HBM, bigger batches)")
+                        help="rematerialize backbone activations — only "
+                             "for configs whose activations exceed HBM "
+                             "(b4/b5-scale, very large inputs); measured "
+                             "6-13%% pure overhead where the batch "
+                             "already fits (PERF.md)")
     parser.add_argument("--lr-schedule", type=str, default="constant",
                         choices=["constant", "cosine", "poly"],
                         help="'poly' = (1-step/total)^0.9, the standard "
