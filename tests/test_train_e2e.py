@@ -13,8 +13,8 @@ from pytorch_segmentation_tpu.data import (CocoDataset, DataLoader, Fetcher,
 from pytorch_segmentation_tpu.engine import (ModelBundle, Trainer,
                                              load_checkpoint, test)
 from pytorch_segmentation_tpu.models import (FPN, DeepLabV3Plus, HRNet,
-                                             OCRNet, SegNeXt, UNet,
-                                             UPerNet)
+                                             OCRNet, Segmenter, SegNeXt,
+                                             UNet, UPerNet)
 
 
 @pytest.fixture(scope="module")
@@ -67,7 +67,12 @@ def test_eval_miou_beats_random(trained):
     # early progress; extra epochs like the other small-signal heads
     (lambda nc: SegNeXt(num_classes=nc, variant="tiny", dtype=jnp.float32),
      16, 0.12),
-], ids=["deeplabv3plus", "hrnet", "fpn", "upernet", "ocrnet", "segnext"])
+    # ViT + Mask Transformer at pico dims (the CLI verify drive reached
+    # mIoU 0.29 in 2 epochs at this config)
+    (lambda nc: Segmenter(num_classes=nc, variant="pico",
+                          dtype=jnp.float32), 5, 0.15),
+], ids=["deeplabv3plus", "hrnet", "fpn", "upernet", "ocrnet", "segnext",
+        "segmenter"])
 def test_models_learn(build, epochs, miou_min, synthetic_coco):
     """Every non-default model family must be SHOWN to learn (loss drop +
     mIoU above random), not just compile (VERDICT round-1 weak #3; UNet is
