@@ -27,7 +27,10 @@ Decoder (LightHamHead) on the stride-8/16/32 taps, resized to stride 8
   Hamburger = 1x1 -> ReLU -> NMF2D -> 1x1+GN, ReLU(x + out)
   NMF2D: rank-R non-negative matrix factorization of the [N, D] feature
   map by multiplicative updates (6 steps train / 7 eval, Ham paper
-  defaults), entirely batched matmuls; run in f32 for stability.
+  defaults), entirely batched matmuls; run in f32 for stability. The
+  backward is the Ham ONE-STEP GRADIENT: the update iterations are a
+  stop-gradient region and only the final coef update differentiates
+  (mmseg runs local_inference under no_grad) — see nmf2d.
 
 Documented deviations (framework conventions + determinism):
   - stochastic regularizers omitted (drop-path 0.1 / head dropout 0.1),
@@ -211,32 +214,41 @@ def nmf_bases(dim: int, rank: int) -> np.ndarray:
 def nmf2d(x, rank: int, steps: int, eps: float = 1e-6):
     """Rank-`rank` NMF of non-negative x [B, H, W, D] by multiplicative
     updates (Lee & Seung; Ham paper NMF2D). All work is batched MXU
-    matmuls in f32; `steps` update iterations then one final coef update.
+    matmuls in f32.
+
+    Gradient semantics are the Ham paper's ONE-STEP GRADIENT (its §3.3;
+    mmseg runs local_inference under torch.no_grad()): the `steps`
+    update iterations are a stop-gradient region, and the backward flows
+    only through the single final coef update + reconstruction —
+    backprop through the MU iterations is unstable and pays `steps`
+    extra matmul chains of memory for nothing.
     """
     b_, h, w, d = x.shape
     dtype = x.dtype
     xf = x.reshape(b_, h * w, d).astype(jnp.float32)
     bases = jnp.broadcast_to(jnp.asarray(nmf_bases(d, rank)),
                              (b_, d, rank))
-    coef = jax.nn.softmax(jnp.einsum("bnd,bdr->bnr", xf, bases), axis=-1)
 
-    def coef_update(coef, bases):
-        num = jnp.einsum("bnd,bdr->bnr", xf, bases)
+    def coef_update(xin, coef, bases):
+        num = jnp.einsum("bnd,bdr->bnr", xin, bases)
         den = jnp.einsum("bns,bsr->bnr", coef,
                          jnp.einsum("bds,bdr->bsr", bases, bases))
         return coef * num / (den + eps)
 
     def body(_, bc):
         bases, coef = bc
-        coef = coef_update(coef, bases)
-        num = jnp.einsum("bnd,bnr->bdr", xf, coef)
+        coef = coef_update(xs, coef, bases)
+        num = jnp.einsum("bnd,bnr->bdr", xs, coef)
         den = jnp.einsum("bds,bsr->bdr", bases,
                          jnp.einsum("bns,bnr->bsr", coef, coef))
         bases = bases * num / (den + eps)
         return bases, coef
 
+    xs = jax.lax.stop_gradient(xf)
+    coef = jax.nn.softmax(jnp.einsum("bnd,bdr->bnr", xs, bases), axis=-1)
     bases, coef = jax.lax.fori_loop(0, steps, body, (bases, coef))
-    coef = coef_update(coef, bases)
+    bases = jax.lax.stop_gradient(bases)
+    coef = coef_update(xf, jax.lax.stop_gradient(coef), bases)
     out = jnp.einsum("bdr,bnr->bnd", bases, coef)
     return out.reshape(b_, h, w, d).astype(dtype)
 

@@ -14,7 +14,7 @@ Structure (torchvision naming semantics):
 
 Segmentation adaptations (mmseg upernet_vit conventions):
   - the position-embedding grid (14x14 for the 224-trained zoo weights)
-    is bilinearly resized at TRACE time to the actual patch grid, so one
+    is bicubically resized at TRACE time to the actual patch grid (the torchvision interpolate_embeddings / mmseg resize_pos_embed convention), so one
     set of ported params serves any /16-divisible input;
   - four intermediate taps (out_indices, e.g. 2/5/8/11 for B/16) are
     returned as stride-16 NHWC maps (cls token dropped); the
@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...ops.resize import resize_bilinear
+from ...ops.resize import resize_bicubic
 from ..blocks import conv_kernel_init
 
 __all__ = ["ViT", "VIT_VARIANTS"]
@@ -114,10 +114,11 @@ class ViT(nn.Module):
         pos_grid = pos[:, 1:].reshape(1, self.base_grid, self.base_grid,
                                       self.dim)
         if (gh, gw) != (self.base_grid, self.base_grid):
-            # trace-time bilinear resize of the position grid (the mmseg
-            # resize_pos_embed adaptation; align_corners=False)
-            pos_grid = resize_bilinear(pos_grid, (gh, gw),
-                                       align_corners=False)
+            # trace-time BICUBIC resize of the position grid — both
+            # torchvision's interpolate_embeddings and mmseg's
+            # resize_pos_embed use bicubic (align_corners=False)
+            pos_grid = resize_bicubic(pos_grid, (gh, gw),
+                                      align_corners=False)
         pos = jnp.concatenate([pos[:, :1],
                                pos_grid.reshape(1, gh * gw, self.dim)],
                               axis=1)

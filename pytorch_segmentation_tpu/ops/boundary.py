@@ -42,13 +42,23 @@ def boundary_pixels(h: int, w: int, ratio: float = 0.02) -> int:
 
 def mask_to_band(mask: jax.Array, d: int) -> jax.Array:
     """Inner boundary band of a bool mask [..., H, W]: mask minus its
-    erosion by a (2d+1)^2 square, zero-padded (edges count as boundary)."""
+    erosion by a (2d+1)^2 square, zero-padded (edges count as boundary).
+
+    The square structuring element is separable, so the erosion runs as
+    two 1-D min-pools — 2*(2d+1) window ops per pixel instead of
+    (2d+1)^2 (XLA does not decompose reduce_window itself; at the
+    official d=15 band this is ~15x less work)."""
     mf = mask.astype(jnp.float32)
     pad = [(0, 0)] * (mask.ndim - 2) + [(d, d), (d, d)]
     mf = jnp.pad(mf, pad)  # zeros: outside the image reads as background
-    window = (1,) * (mask.ndim - 2) + (2 * d + 1, 2 * d + 1)
-    eroded = -jax.lax.reduce_window(-mf, -jnp.inf, jax.lax.max, window,
-                                    (1,) * mask.ndim, "VALID")
+    ones = (1,) * (mask.ndim - 2)
+    strides = (1,) * mask.ndim
+    eroded = -jax.lax.reduce_window(-mf, -jnp.inf, jax.lax.max,
+                                    ones + (2 * d + 1, 1), strides,
+                                    "VALID")
+    eroded = -jax.lax.reduce_window(-eroded, -jnp.inf, jax.lax.max,
+                                    ones + (1, 2 * d + 1), strides,
+                                    "VALID")
     return mask & (eroded < 0.5)
 
 

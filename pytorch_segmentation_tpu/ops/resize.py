@@ -27,6 +27,7 @@ import numpy as np
 
 __all__ = [
     "resize_bilinear",
+    "resize_bicubic",
     "resize_nearest",
     "upsample2x",
 ]
@@ -59,6 +60,69 @@ def _interp_weights(in_size: int, out_size: int, align_corners: bool):
     mat[np.arange(out_size), i0] += w0
     mat[np.arange(out_size), i1] += w1
     return mat
+
+
+def _cubic_kernel(t: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Keys cubic convolution weight at distance |t| (torch's
+    cubic_convolution1/2 with A=-0.75)."""
+    t = np.abs(t)
+    w = np.where(t <= 1.0, ((a + 2.0) * t - (a + 3.0)) * t * t + 1.0,
+                 np.where(t < 2.0,
+                          (((t - 5.0) * t + 8.0) * t - 4.0) * a, 0.0))
+    return w
+
+
+@functools.lru_cache(maxsize=64)
+def _bicubic_weights(in_size: int, out_size: int, align_corners: bool):
+    """Dense [out_size, in_size] bicubic interpolation matrix matching
+    torch interpolate(mode='bicubic'): 4 taps i-1..i+2 with Keys a=-0.75
+    weights; source coords are NOT clamped (the torch cubic convention —
+    unlike bilinear), out-of-range taps clamp to the edge pixels."""
+    if in_size == out_size:
+        return np.eye(out_size, dtype=np.float32)
+    out = np.arange(out_size, dtype=np.float64)
+    if align_corners:
+        src = np.zeros(1, np.float64) if out_size == 1 \
+            else out * (in_size - 1) / (out_size - 1)
+    else:
+        src = (out + 0.5) * (in_size / out_size) - 0.5
+    i = np.floor(src).astype(np.int64)
+    t = src - i
+    mat = np.zeros((out_size, in_size), dtype=np.float32)
+    rows = np.arange(out_size)
+    for k in (-1, 0, 1, 2):
+        idx = np.clip(i + k, 0, in_size - 1)
+        np.add.at(mat, (rows, idx),
+                  _cubic_kernel(t - k).astype(np.float32))
+    return mat
+
+
+def resize_bicubic(x: jax.Array, out_hw, align_corners: bool = False,
+                   compute_dtype=None) -> jax.Array:
+    """Bicubic-resize NHWC (or HWC) `x` to `out_hw=(H, W)` — exact torch
+    interpolate(mode='bicubic') semantics, as two MXU einsums like
+    resize_bilinear. Used for ViT position-embedding grids (torchvision's
+    interpolate_embeddings and mmseg's resize_pos_embed are bicubic)."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    b, h, w, c = x.shape
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    if (oh, ow) == (h, w):
+        return x[0] if squeeze else x
+    orig_dtype = x.dtype
+    if compute_dtype is None:
+        compute_dtype = jnp.float32 if x.dtype in (jnp.float32, jnp.float64) \
+            else jnp.bfloat16
+    mh = jnp.asarray(_bicubic_weights(h, oh, align_corners), compute_dtype)
+    mw = jnp.asarray(_bicubic_weights(w, ow, align_corners), compute_dtype)
+    y = x.astype(compute_dtype)
+    y = jnp.einsum("oh,bhwc->bowc", mh, y,
+                   precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("pw,bowc->bopc", mw, y,
+                   precision=jax.lax.Precision.HIGHEST)
+    y = y.astype(orig_dtype)
+    return y[0] if squeeze else y
 
 
 @functools.lru_cache(maxsize=256)

@@ -52,3 +52,29 @@ def test_mask_nearest_int():
     out = resize_nearest(m, (8, 8))
     assert out.shape == (1, 8, 8)
     assert out.dtype == jnp.int32
+
+
+def test_bicubic_matches_torch():
+    """resize_bicubic == torch interpolate(mode='bicubic') for both
+    align_corners settings, up- and down-scaling (the ViT pos-embedding
+    path, nn/backbones/vit.py)."""
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+
+    from pytorch_segmentation_tpu.ops.resize import resize_bicubic
+
+    rs = np.random.RandomState(0)
+    for (h, w), (oh, ow) in (((14, 14), (32, 32)), ((14, 14), (20, 20)),
+                             ((9, 7), (5, 4)), ((4, 4), (11, 3))):
+        x = rs.randn(2, h, w, 5).astype(np.float32)
+        t = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        for align in (False, True):
+            ours = np.asarray(resize_bicubic(x, (oh, ow),
+                                             align_corners=align))
+            ref = F.interpolate(t, size=(oh, ow), mode="bicubic",
+                                align_corners=align)
+            ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
+            np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5,
+                                       err_msg=f"{(h, w)}->{(oh, ow)} "
+                                               f"align={align}")

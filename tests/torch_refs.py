@@ -1393,24 +1393,26 @@ class _TMSCABlock(nn.Module):
 
 def _t_nmf2d(x, bases_dr, steps, eps=1e-6):
     """models/segnext.py nmf2d mirror: x [B, C, H, W] f32, bases [D, R]
-    (the shared deterministic init), multiplicative updates + final coef
-    update."""
+    (the shared deterministic init). The Ham one-step gradient: the MU
+    iterations run under no_grad (mmseg local_inference); only the final
+    coef update + reconstruction are differentiable."""
     b, d, h, w = x.shape
     xf = x.reshape(b, d, h * w).transpose(1, 2)  # [B, N, D]
     bases = torch.as_tensor(bases_dr)[None].expand(b, -1, -1)  # [B, D, R]
-    coef = torch.softmax(torch.bmm(xf, bases), dim=-1)  # [B, N, R]
 
-    def coef_update(coef, bases):
-        num = torch.bmm(xf, bases)
+    def coef_update(xin, coef, bases):
+        num = torch.bmm(xin, bases)
         den = torch.bmm(coef, torch.bmm(bases.transpose(1, 2), bases))
         return coef * num / (den + eps)
 
-    for _ in range(steps):
-        coef = coef_update(coef, bases)
-        num = torch.bmm(xf.transpose(1, 2), coef)  # [B, D, R]
-        den = torch.bmm(bases, torch.bmm(coef.transpose(1, 2), coef))
-        bases = bases * num / (den + eps)
-    coef = coef_update(coef, bases)
+    with torch.no_grad():
+        coef = torch.softmax(torch.bmm(xf, bases), dim=-1)  # [B, N, R]
+        for _ in range(steps):
+            coef = coef_update(xf, coef, bases)
+            num = torch.bmm(xf.transpose(1, 2), coef)  # [B, D, R]
+            den = torch.bmm(bases, torch.bmm(coef.transpose(1, 2), coef))
+            bases = bases * num / (den + eps)
+    coef = coef_update(xf, coef, bases)
     out = torch.bmm(bases, coef.transpose(1, 2))  # [B, D, N]
     return out.reshape(b, d, h, w)
 
@@ -1538,7 +1540,7 @@ class TViT(nn.Module):
         grid = pos[:, 1:].reshape(1, self.base_grid, self.base_grid,
                                   c).permute(0, 3, 1, 2)
         if (gh, gw) != (self.base_grid, self.base_grid):
-            grid = F.interpolate(grid, size=(gh, gw), mode="bilinear",
+            grid = F.interpolate(grid, size=(gh, gw), mode="bicubic",
                                  align_corners=False)
         pos = torch.cat([pos[:, :1],
                          grid.permute(0, 2, 3, 1).reshape(1, gh * gw, c)],

@@ -154,8 +154,11 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
     if remat and model_name in ("deeplabv3plus", "pspnet", "fpn",
                                 "fastfcn", "segformer", "bisenetv2",
                                 "fcn", "deeplabv3", "segnext",
-                                "segmenter"):
+                                "segmenter", "upernet"):
         model_kw["remat"] = True
+    elif remat:
+        raise SystemExit(f"--remat is not supported for {model_name} "
+                         "(no remat-capable block stages)")
     if aux_loss > 0 and model_name == "upernet":
         model_kw["aux"] = True  # FCN aux on C4 (models/upernet.py)
     elif aux_loss > 0:
