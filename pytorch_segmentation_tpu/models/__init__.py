@@ -5,6 +5,7 @@ reference's hard-coded selection (train.py:57-59, SURVEY.md §2.2).
 """
 
 from .bisenetv2 import BiSeNetV2
+from .danet import DANet
 from .deeplabv3plus import DeepLabV3Plus
 from .fpn import FPN
 from .hrnet import HRNet
@@ -28,6 +29,7 @@ def _fastfcn(**kw):
 MODEL_REGISTRY = {
     "unet": UNet,
     "bisenetv2": BiSeNetV2,
+    "danet": DANet,  # dual attention over dilated ResNet (danet.py)
     "deeplabv3plus": DeepLabV3Plus,
     "hrnet": HRNet,
     "ocrnet": OCRNet,  # HRNet + object-contextual head; width via --variant
@@ -93,6 +95,10 @@ MODEL_VARIANTS = {
         "r50": {},
         "r101": {"backbone_layers": (3, 4, 23, 3)},
     },
+    "danet": {
+        "r50": {},
+        "r101": {"backbone_layers": (3, 4, 23, 3)},
+    },
     # HRNet widths (mmseg ocrnet_hr18/hr48 analogs; w32 = the zoo's
     # hrnet default so --model ocrnet upgrades its decoder in place)
     "ocrnet": {
@@ -152,7 +158,7 @@ def apply_moe(name: str, model_kw: dict, experts: int,
     return model_kw
 
 
-__all__ = ["UNet", "BiSeNetV2", "DeepLabV3Plus", "HRNet", "OCRNet",
+__all__ = ["UNet", "BiSeNetV2", "DANet", "DeepLabV3Plus", "HRNet", "OCRNet",
            "PSPNet", "FPN",
            "SegFormer", "SegNeXt", "Segmenter",
            "UPerNet", "FCN", "DeepLabV3", "LRASPP",

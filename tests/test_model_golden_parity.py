@@ -19,7 +19,8 @@ import torch
 import torch.nn.functional as F
 
 from pytorch_segmentation_tpu.models import (FCN, FPN, LRASPP, BiSeNetV2,
-                                              DeepLabV3, DeepLabV3Plus,
+                                              DANet, DeepLabV3,
+                                              DeepLabV3Plus,
                                               HRNet, OCRNet, PSPNet,
                                               SegFormer, Segmenter,
                                               SegNeXt, UNet, UPerNet)
@@ -28,7 +29,8 @@ from pytorch_segmentation_tpu.utils.port_torch import (
     convert_mobilenetv3, convert_named, convert_resnet, convert_swin,
     convert_vit, jax_to_py)
 
-from torch_refs import (TFPN, TLRASPP, TBiSeNetV2, TDeepLabV3Plus, THRNet,
+from torch_refs import (TFPN, TLRASPP, TBiSeNetV2, TDANet, TDeepLabV3Plus,
+                        THRNet,
                         TOCRNet, TPSPNet, TSegFormer, TSegmenter,
                         TSegNeXt, TTVDeepLabV3, TTVFCN, TUNet, TUPerNet,
                         TViT, randomize_bn_stats)
@@ -89,6 +91,11 @@ CASES = {
                lambda nc: TOCRNet(nc, base=18), None),
     "pspnet": (lambda nc: PSPNet(num_classes=nc, dtype=jnp.float32),
                TPSPNet, convert_resnet),
+    # dual attention (PAM softmax position attention + CAM
+    # rowmax-minus-energy channel attention) with the branch gammas
+    # ported to 0.5 so the attention paths contribute to the parity
+    "danet": (lambda nc: DANet(num_classes=nc, dtype=jnp.float32),
+              TDANet, convert_resnet),
     "fpn": (lambda nc: FPN(num_classes=nc, dtype=jnp.float32),
             TFPN, convert_resnet),
     "fastfcn": (lambda nc: PSPNet(num_classes=nc, jpu=True,

@@ -12,7 +12,8 @@ from pytorch_segmentation_tpu.data import (CocoDataset, DataLoader, Fetcher,
                                            PostFetch)
 from pytorch_segmentation_tpu.engine import (ModelBundle, Trainer,
                                              load_checkpoint, test)
-from pytorch_segmentation_tpu.models import (FPN, DeepLabV3Plus, HRNet,
+from pytorch_segmentation_tpu.models import (FPN, DANet, DeepLabV3Plus,
+                                             HRNet,
                                              OCRNet, Segmenter, SegNeXt,
                                              UNet, UPerNet)
 
@@ -71,8 +72,12 @@ def test_eval_miou_beats_random(trained):
     # mIoU 0.29 in 2 epochs at this config)
     (lambda nc: Segmenter(num_classes=nc, variant="pico",
                           dtype=jnp.float32), 5, 0.15),
+    # dual attention: zero-init gammas mean the gates must LEARN to open;
+    # shallow backbone keeps the [N,N] attention compile affordable
+    (lambda nc: DANet(num_classes=nc, backbone_layers=(1, 1, 1, 1),
+                      dtype=jnp.float32), 5, 0.15),
 ], ids=["deeplabv3plus", "hrnet", "fpn", "upernet", "ocrnet", "segnext",
-        "segmenter"])
+        "segmenter", "danet"])
 def test_models_learn(build, epochs, miou_min, synthetic_coco):
     """Every non-default model family must be SHOWN to learn (loss drop +
     mIoU above random), not just compile (VERDICT round-1 weak #3; UNet is

@@ -26,7 +26,8 @@ import torch.nn.functional as F
 
 from pytorch_segmentation_tpu.engine.steps import (TrainState,
                                                    make_train_step)
-from pytorch_segmentation_tpu.models import (FPN, BiSeNetV2, DeepLabV3Plus,
+from pytorch_segmentation_tpu.models import (FPN, BiSeNetV2, DANet,
+                                              DeepLabV3Plus,
                                               HRNet, OCRNet, PSPNet,
                                               SegFormer, SegNeXt, UNet,
                                               UPerNet)
@@ -35,7 +36,8 @@ from pytorch_segmentation_tpu.utils.port_torch import (convert_mobilenetv2,
                                                        convert_resnet)
 
 from test_model_golden_parity import _port
-from torch_refs import (TFPN, TBiSeNetV2, TDeepLabV3Plus, THRNet, TOCRNet,
+from torch_refs import (TFPN, TBiSeNetV2, TDANet, TDeepLabV3Plus, THRNet,
+                        TOCRNet,
                         TPSPNet, TSegFormer, TSegNeXt, TUNet, TUPerNet,
                         randomize_bn_stats)
 
@@ -89,6 +91,15 @@ TRAJ_CASES = {
         lambda: TPSPNet(NC, layers=(1, 1, 1, 1)),
         lambda sd: convert_resnet(sd, layers=(1, 1, 1, 1)),
         "cls_conv", "head"),
+    # dual attention: the PAM/CAM softmax attentions and scalar gamma
+    # gates (ported at 0.5) are inside the SGD loop, so gate/attention
+    # gradient dynamics and both branch BNs are in the parity circuit
+    "danet": (
+        lambda: DANet(num_classes=NC, backbone_layers=(1, 1, 1, 1),
+                      dtype=jnp.float32),
+        lambda: TDANet(NC, layers=(1, 1, 1, 1)),
+        lambda sd: convert_resnet(sd, layers=(1, 1, 1, 1)),
+        "cls_conv", "pam_out"),
     "fpn": (
         lambda: FPN(num_classes=NC, backbone_layers=(1, 1, 1, 1),
                     dtype=jnp.float32),

@@ -522,6 +522,58 @@ class TPSPNet(nn.Module):
         return _up(self.cls_conv(y), 8)
 
 
+class TDANet(nn.Module):
+    """DANet mirror (models/danet.py — an addition beyond the reference;
+    Fu et al. CVPR'19 dual attention, mmseg DAHead math). Dilated os=8
+    ResNet-50 -> two 3x3 CNA 2048->512 branch entries; PAM (1x1 q/k to
+    64, 1x1 v to 512, softmax position attention, zero-ish scalar gate)
+    and CAM (channel attention with the paper's rowmax-minus-energy
+    softmax, scalar gate); 3x3 CNA branch exits, summed -> 1x1 cls ->
+    x8 (align=False). Gammas init 0.5 (not the paper's 0) so the parity
+    test actually exercises the attention math — at 0 a broken attention
+    path would still "pass". Names mirror the flax tree
+    (convert_named)."""
+
+    def __init__(self, num_classes, layers=(3, 4, 6, 3), channels=512):
+        super().__init__()
+        self.backbone = TResNet(
+            _TorchBottleneck, layers,
+            replace_stride_with_dilation=(False, True, True))
+        ch = channels
+        self.pam_in = TConvNormAct(2048, ch, 3)
+        self.pam_query = nn.Conv2d(ch, ch // 8, 1)
+        self.pam_key = nn.Conv2d(ch, ch // 8, 1)
+        self.pam_value = nn.Conv2d(ch, ch, 1)
+        self.pam_gamma = _TLayerScale(1, 0.5)
+        self.pam_out = TConvNormAct(ch, ch, 3)
+        self.cam_in = TConvNormAct(2048, ch, 3)
+        self.cam_gamma = _TLayerScale(1, 0.5)
+        self.cam_out = TConvNormAct(ch, ch, 3)
+        self.cls_conv = nn.Conv2d(ch, num_classes, 1)
+
+    def forward(self, x):
+        y = self.backbone(x)[-1]
+        p = self.pam_in(y)
+        bsz, ch, h, w = p.shape
+        n = h * w
+        q = self.pam_query(p).view(bsz, -1, n).permute(0, 2, 1)
+        k = self.pam_key(p).view(bsz, -1, n)
+        attn = torch.softmax(torch.bmm(q, k), dim=-1)  # [B, N, N]
+        v = self.pam_value(p).view(bsz, -1, n)
+        out = torch.bmm(v, attn.permute(0, 2, 1)).view(bsz, ch, h, w)
+        p = self.pam_out(self.pam_gamma(out) + p)
+
+        c = self.cam_in(y)
+        proj = c.view(bsz, ch, n)
+        energy = torch.bmm(proj, proj.transpose(1, 2))  # [B, C, C]
+        energy = (energy.max(-1, keepdim=True)[0].expand_as(energy)
+                  - energy)
+        cattn = torch.softmax(energy, dim=-1)
+        out = torch.bmm(cattn, proj).view(bsz, ch, h, w)
+        c = self.cam_out(self.cam_gamma(out) + c)
+        return _up(self.cls_conv(p + c), 8, align=False)
+
+
 class TFPN(nn.Module):
     """Semantic-FPN mirror (models/fpn.py — an addition beyond the
     reference; Kirillov et al. Panoptic-FPN semantic branch with BN in

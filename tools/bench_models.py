@@ -26,7 +26,7 @@ def main():
              "pspnet": 513, "fpn": 512, "fastfcn": 513, "segformer": 512,
              "upernet": 512, "bisenetv2": 512, "ocrnet": 512,
              "fcn": 513, "deeplabv3": 513, "lraspp": 512, "segnext": 512,
-             "segmenter": 512}
+             "segmenter": 512, "danet": 512}
     import sys
     names = sys.argv[1:] or ("unet", "deeplabv3plus", "hrnet", "pspnet",
                              "fpn", "fastfcn", "upernet")

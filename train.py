@@ -154,7 +154,7 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
     if remat and model_name in ("deeplabv3plus", "pspnet", "fpn",
                                 "fastfcn", "segformer", "bisenetv2",
                                 "fcn", "deeplabv3", "segnext",
-                                "segmenter", "upernet"):
+                                "segmenter", "upernet", "danet"):
         model_kw["remat"] = True
     elif remat:
         raise SystemExit(f"--remat is not supported for {model_name} "
@@ -163,11 +163,11 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
         model_kw["aux"] = True  # FCN aux on C4 (models/upernet.py)
     elif aux_loss > 0:
         if model_name not in ("pspnet", "fastfcn", "bisenetv2", "ocrnet",
-                              "fcn", "deeplabv3"):
+                              "fcn", "deeplabv3", "danet"):
             raise SystemExit("--aux-loss is only supported by the "
                              "pspnet/fastfcn/upernet/bisenetv2/ocrnet/"
-                             "fcn/deeplabv3 families")
-        model_kw["aux"] = True  # bisenetv2 booster / ocrnet soft regions
+                             "fcn/deeplabv3/danet families")
+        model_kw["aux"] = True  # bisenetv2 booster / danet branch heads
     if scan_blocks or pp > 1:
         from pytorch_segmentation_tpu.models import apply_scan_blocks
         apply_scan_blocks(model_name, model_kw, True)
