@@ -34,7 +34,7 @@ from pytorch_segmentation_tpu.utils.runtime import setup_runtime
 IMG = 513  # per-model override below: /32 models need 512 (hrnet's
 # shape-doubling fuse and unet's upsample2x+concat reject 513)
 SIZES = {"unet": 512, "deeplabv3plus": 513, "hrnet": 512, "pspnet": 513,
-         "fpn": 512, "fastfcn": 513, "segformer": 512}
+         "fpn": 512, "fastfcn": 513, "segformer": 512, "danet": 512}
 B = 32  # overridden by argv[2]
 
 
