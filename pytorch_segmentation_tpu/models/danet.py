@@ -97,9 +97,19 @@ class DANet(nn.Module):
             b, n, ch // 8)
         k = _proj(ch // 8, self.dtype, "pam_key")(p).reshape(b, n, ch // 8)
         v = _proj(ch, self.dtype, "pam_value")(p).reshape(b, n, ch)
-        scores = jnp.einsum("bnc,bmc->bnm", q, k)  # bf16 MXU
-        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-        ctx = jnp.einsum("bnm,bmc->bnc", attn.astype(p.dtype), v)
+
+        def _pam_attn(q, k, v):
+            scores = jnp.einsum("bnc,bmc->bnm", q, k)  # bf16 MXU
+            attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+            return jnp.einsum("bnm,bmc->bnc", attn.astype(v.dtype), v)
+
+        if self.remat:
+            # the [B,N,N] scores/softmax (N=4096 at 512^2 os=8: ~1 GB of
+            # f32 per bs32 batch) dominate this family's memory — remat
+            # recomputes them in the backward instead of saving them
+            # (param-free segment, so plain jax.checkpoint applies)
+            _pam_attn = jax.checkpoint(_pam_attn)
+        ctx = _pam_attn(q, k, v)
         p = _Scale(1, 0.0, name="pam_gamma")(ctx.reshape(b, h, w, ch)) + p
         p = ConvNormAct(ch, kernel_size=3, dtype=self.dtype,
                         axis_name=self.axis_name,
@@ -110,25 +120,31 @@ class DANet(nn.Module):
                         axis_name=self.axis_name,
                         name="cam_in")(y, train=train)
         cf = c.reshape(b, n, ch)
-        energy = jnp.einsum("bni,bnj->bij", cf, cf).astype(jnp.float32)
-        # the paper's stability trick: softmax of rowmax - energy (NOT a
-        # plain max-shifted softmax — it REVERSES the ordering, so the
-        # weakest-correlated channel gets the largest weight; reproduced
-        # exactly, it is part of the published architecture)
-        energy = jnp.max(energy, axis=-1, keepdims=True) - energy
-        cattn = jax.nn.softmax(energy, axis=-1)
-        cctx = jnp.einsum("bij,bnj->bni", cattn.astype(c.dtype), cf)
+
+        def _cam_attn(cf):
+            energy = jnp.einsum("bni,bnj->bij", cf, cf).astype(jnp.float32)
+            # the paper's stability trick: softmax of rowmax - energy (NOT
+            # a plain max-shifted softmax — it REVERSES the ordering, so
+            # the weakest-correlated channel gets the largest weight;
+            # reproduced exactly, it is part of the published architecture)
+            energy = jnp.max(energy, axis=-1, keepdims=True) - energy
+            cattn = jax.nn.softmax(energy, axis=-1)
+            return jnp.einsum("bij,bnj->bni", cattn.astype(cf.dtype), cf)
+
+        if self.remat:
+            _cam_attn = jax.checkpoint(_cam_attn)
+        cctx = _cam_attn(cf)
         c = _Scale(1, 0.0, name="cam_gamma")(cctx.reshape(b, h, w, ch)) + c
         c = ConvNormAct(ch, kernel_size=3, dtype=self.dtype,
                         axis_name=self.axis_name,
                         name="cam_out")(c, train=train)
 
         # --- fuse + classify -------------------------------------------
-        def _cls(t, name):
+        def _cls(t, name, upsample=True):
             t = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
                         param_dtype=jnp.float32,
                         kernel_init=conv_kernel_init, name=name)(t)
-            if self.full_res_output:
+            if self.full_res_output and upsample:
                 t = resize_bilinear(t, (8 * t.shape[1], 8 * t.shape[2]),
                                     align_corners=self.up_align_corners)
             return t
@@ -137,9 +153,12 @@ class DANet(nn.Module):
         if self.aux:
             # params must exist from the train=False init, so both branch
             # classifiers are built unconditionally (two 1x1 convs);
-            # only train mode returns them
-            pam_y = _cls(p, "pam_cls")
-            cam_y = _cls(c, "cam_cls")
+            # only train mode returns them. Aux logits stay at stride 8
+            # (the pspnet/fcn aux convention — compute_loss resizes to
+            # label resolution anyway; materializing full-res aux logit
+            # tensors + grads buys nothing)
+            pam_y = _cls(p, "pam_cls", upsample=False)
+            cam_y = _cls(c, "cam_cls", upsample=False)
             if train:
                 return out, (pam_y, cam_y)
         return out
