@@ -1,0 +1,333 @@
+"""Outcome-level accuracy parity: torch-reconstructed reference vs this
+framework, trained side by side to convergence, compared on val mIoU.
+
+This is the strongest accuracy-parity evidence achievable in this
+environment (no VOC data / zoo weights / network — see
+docs/MIOU_PARITY_RUNBOOK.md for the blocked real-data protocol): both
+frameworks start from IDENTICAL weights (torch init ported through the
+production converters), consume IDENTICAL normalized batches in IDENTICAL
+order with augmentation off (the approximated-augmentation question is
+measured separately by tools/parity_augment.py), run the same optimizer
+(SGD+momentum, the reference Trainer default — reference train.py:95
+`--lr 1e-3` default, SGD unless `--adam`), and train for hundreds of
+steps — far past the horizon where f32 reduction-order noise makes
+trajectories chaotically diverge. The claim under test is therefore
+outcome-level: *the two frameworks converge to the same answer*, not
+merely that they track step-for-step (tests/test_train_parity.py already
+pins the first few steps to 5e-3).
+
+Pre-registered gate (recorded before the first full run): the plateau
+val-mIoU difference |JAX - torch|, where plateau = mean of the last 3
+periodic evals, must be <= 0.005 (0.5 points on the 0-100 scale) per
+model, and must not exceed the measured torch-vs-torch noise floor
+(--noise-floor: same init, different batch order) by more than 2x.
+
+Run (CPU-only by design; the torch side has no TPU):
+    python tools/parity_e2e.py --models unet,deeplabv3plus,hrnet \
+        --steps 400 --out PARITY_E2E.md
+
+The pytest gate (tests/test_parity_e2e.py) runs a short-horizon version
+of the same harness.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.abspath(osp.join(osp.dirname(__file__), "..")))
+sys.path.insert(0, osp.abspath(osp.join(osp.dirname(__file__), "..",
+                                        "tests")))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+import optax
+import torch
+import torch.nn.functional as F
+
+from pytorch_segmentation_tpu.engine.steps import TrainState, make_train_step
+from pytorch_segmentation_tpu.models import DeepLabV3Plus, HRNet, UNet
+from pytorch_segmentation_tpu.ops.loss import compute_loss
+from pytorch_segmentation_tpu.utils.port_torch import (convert_mobilenetv2,
+                                                       convert_resnet)
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+NC = 3  # background / box / tri — the synthetic task of utils/synthetic.py
+
+
+def make_shapes_data(n: int, hw: int, rng: np.random.Generator):
+    """In-memory version of utils/synthetic.make_synthetic_coco's task:
+    colored rectangles (class 1) and triangles (class 2) over noisy
+    backgrounds, returned as normalized f32 NHWC images + int32 labels so
+    both frameworks consume byte-identical arrays."""
+    xs = np.empty((n, hw, hw, 3), np.float32)
+    ys = np.empty((n, hw, hw), np.int32)
+    for i in range(n):
+        img = np.full((hw, hw, 3), rng.integers(40, 216, 3), np.uint8)
+        img = (img + rng.normal(0, 8, img.shape)).clip(0, 255).astype(
+            np.uint8)
+        lbl = np.zeros((hw, hw), np.int32)
+        for _ in range(int(rng.integers(1, 3))):
+            cls = int(rng.integers(0, 2))
+            cx = int(rng.integers(hw // 4, 3 * hw // 4))
+            cy = int(rng.integers(hw // 4, 3 * hw // 4))
+            r = int(rng.integers(hw // 8, hw // 4))
+            if cls == 0:
+                poly = [cx - r, cy - r, cx + r, cy - r, cx + r, cy + r,
+                        cx - r, cy + r]
+            else:
+                poly = [cx, cy - r, cx + r, cy + r, cx - r, cy + r]
+            pts = np.asarray([np.clip(v, 1, hw - 2) for v in poly],
+                             np.int32).reshape(-1, 2)
+            color = tuple(int(c) for c in rng.integers(0, 255, 3))
+            cv2.fillPoly(img, [pts], color)
+            mask = np.zeros((hw, hw), np.uint8)
+            cv2.fillPoly(mask, [pts], 1)
+            lbl[mask > 0] = cls + 1
+        xs[i] = (img.astype(np.float32) / 255.0 - IMAGENET_MEAN) \
+            / IMAGENET_STD
+        ys[i] = lbl
+    return xs, ys
+
+
+def miou_from_preds(preds: np.ndarray, labels: np.ndarray,
+                    nc: int = NC) -> float:
+    """Shared numpy mIoU (reference test.py:55-72 zero-guard semantics —
+    the frameworks' own metric kernels are separately unit-tested against
+    this formula in tests/test_loss_metrics.py)."""
+    conf = np.bincount((labels.reshape(-1) * nc + preds.reshape(-1)),
+                       minlength=nc * nc).reshape(nc, nc)
+    tp = np.diag(conf).astype(np.float64)
+    union = conf.sum(0) + conf.sum(1) - tp
+    iou = np.where(union > 0, tp / np.maximum(union, 1), 0.0)
+    return float(iou.mean())
+
+
+# name -> (flax ctor, torch-mirror ctor, backbone converter). FULL model
+# configs — unlike the trajectory tests these are the production depths
+# (reference models/{unet,deeplabv3plus,hrnet}.py).
+def _cases():
+    from torch_refs import TDeepLabV3Plus, THRNet, TUNet
+    return {
+        "unet": (lambda: UNet(num_classes=NC, dtype=jnp.float32),
+                 lambda: TUNet(NC), convert_mobilenetv2),
+        "deeplabv3plus": (
+            lambda: DeepLabV3Plus(num_classes=NC, dtype=jnp.float32),
+            lambda: TDeepLabV3Plus(NC),
+            lambda sd: convert_resnet(sd, layers=(3, 4, 6, 3))),
+        "hrnet": (lambda: HRNet(num_classes=NC, dtype=jnp.float32),
+                  lambda: THRNet(NC), None),
+    }
+
+
+def _train_torch(tmodel, batches, lr, momentum, eval_every, val, log):
+    topt = torch.optim.SGD(tmodel.parameters(), lr=lr, momentum=momentum)
+    evals, losses = [], []
+    tmodel.train()
+    for i, (x, y) in enumerate(batches):
+        topt.zero_grad()
+        out = tmodel(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+        tl = F.cross_entropy(out, torch.from_numpy(y).long())
+        tl.backward()
+        topt.step()
+        losses.append(float(tl.detach()))
+        if (i + 1) % eval_every == 0 or i == len(batches) - 1:
+            evals.append((i + 1, _eval_torch(tmodel, val)))
+            tmodel.train()
+            log(f"  torch step {i + 1}: loss {losses[-1]:.4f} "
+                f"val mIoU {evals[-1][1]:.4f}")
+    return evals, losses
+
+
+def _eval_torch(tmodel, val, bs=8):
+    xs, ys = val
+    tmodel.eval()
+    preds = []
+    with torch.no_grad():
+        for i in range(0, len(xs), bs):
+            out = tmodel(torch.from_numpy(
+                np.transpose(xs[i:i + bs], (0, 3, 1, 2))))
+            preds.append(out.argmax(1).numpy())
+    return miou_from_preds(np.concatenate(preds), ys)
+
+
+def _train_jax(model, variables, batches, lr, momentum, eval_every, val,
+               log):
+    tx = optax.sgd(lr, momentum=momentum)
+    params = jax.tree.map(jnp.asarray, variables["params"])
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=jax.tree.map(
+                           jnp.asarray, variables["batch_stats"]),
+                       opt_state=tx.init(params), tx=tx,
+                       apply_fn=model.apply)
+    step = make_train_step(loss_fn=compute_loss, accumulate=1,
+                           donate=False)
+
+    @jax.jit
+    def predict(params, stats, x):
+        logits = model.apply({"params": params, "batch_stats": stats}, x,
+                             train=False)
+        return jnp.argmax(logits, -1)
+
+    def _eval(state):
+        xs, ys = val
+        preds = [np.asarray(predict(state.params, state.batch_stats,
+                                    jnp.asarray(xs[i:i + 8])))
+                 for i in range(0, len(xs), 8)]
+        return miou_from_preds(np.concatenate(preds), ys)
+
+    evals, losses = [], []
+    for i, (x, y) in enumerate(batches):
+        state, loss = step(state, jnp.asarray(x), jnp.asarray(y))
+        losses.append(float(loss))
+        if (i + 1) % eval_every == 0 or i == len(batches) - 1:
+            evals.append((i + 1, _eval(state)))
+            log(f"  jax   step {i + 1}: loss {losses[-1]:.4f} "
+                f"val mIoU {evals[-1][1]:.4f}")
+    return evals, losses
+
+
+def _plateau(evals, k=3):
+    return float(np.mean([m for _, m in evals[-k:]]))
+
+
+def run_parity(name: str, steps: int = 400, hw: int = 64, bs: int = 8,
+               lr: float = 1e-2, momentum: float = 0.9,
+               train_n: int = 256, val_n: int = 64, seed: int = 0,
+               eval_every: int = 50, noise_floor: bool = False,
+               log=print) -> dict:
+    """Train torch mirror + JAX framework from identical weights on
+    identical batches; return the parity record."""
+    from test_model_golden_parity import _port
+
+    build, tbuild, conv = _cases()[name]
+    rng = np.random.default_rng(seed)
+    tr = make_shapes_data(train_n, hw, rng)
+    val = make_shapes_data(val_n, hw, rng)
+
+    # identical batch order for both frameworks: epoch-shuffled indices
+    order_rng = np.random.default_rng(seed + 1)
+    idx = []
+    while len(idx) < steps * bs:
+        idx.extend(order_rng.permutation(train_n))
+    idx = np.asarray(idx[:steps * bs]).reshape(steps, bs)
+    batches = [(tr[0][b], tr[1][b]) for b in idx]
+
+    torch.manual_seed(seed)
+    tmodel = tbuild()
+    model = build()
+    variables = _port(model, tmodel, conv, sample_hw=(hw, hw))
+
+    t0 = time.time()
+    log(f"[{name}] torch training ({steps} steps)...")
+    tevals, tlosses = _train_torch(tmodel, batches, lr, momentum,
+                                   eval_every, val, log)
+    t_torch = time.time() - t0
+
+    t0 = time.time()
+    log(f"[{name}] jax training ({steps} steps)...")
+    jevals, jlosses = _train_jax(model, variables, batches, lr, momentum,
+                                 eval_every, val, log)
+    t_jax = time.time() - t0
+
+    rec = {
+        "model": name, "steps": steps, "hw": hw, "bs": bs, "lr": lr,
+        "torch_miou": tevals[-1][1], "jax_miou": jevals[-1][1],
+        "torch_plateau": _plateau(tevals), "jax_plateau": _plateau(jevals),
+        "delta_final": abs(tevals[-1][1] - jevals[-1][1]),
+        "delta_plateau": abs(_plateau(tevals) - _plateau(jevals)),
+        "loss_step1_delta": abs(tlosses[0] - jlosses[0]),
+        "torch_evals": tevals, "jax_evals": jevals,
+        "t_torch_s": round(t_torch, 1), "t_jax_s": round(t_jax, 1),
+    }
+
+    if noise_floor:
+        # same init, different batch ORDER: the intrinsic outcome spread
+        # of the torch reference against itself
+        torch.manual_seed(seed)
+        tmodel2 = tbuild()
+        order2 = np.random.default_rng(seed + 999)
+        idx2 = []
+        while len(idx2) < steps * bs:
+            idx2.extend(order2.permutation(train_n))
+        idx2 = np.asarray(idx2[:steps * bs]).reshape(steps, bs)
+        batches2 = [(tr[0][b], tr[1][b]) for b in idx2]
+        log(f"[{name}] torch noise-floor run...")
+        nevals, _ = _train_torch(tmodel2, batches2, lr, momentum,
+                                 eval_every, val, log)
+        rec["noise_floor_plateau_delta"] = abs(
+            _plateau(tevals) - _plateau(nevals))
+        rec["torch2_plateau"] = _plateau(nevals)
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--models", default="unet,deeplabv3plus,hrnet")
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--hw", type=int, default=64)
+    ap.add_argument("--bs", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=1e-2)
+    ap.add_argument("--train-n", type=int, default=256)
+    ap.add_argument("--val-n", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--eval-every", type=int, default=50)
+    ap.add_argument("--noise-floor", action="store_true")
+    ap.add_argument("--tolerance", type=float, default=0.005,
+                    help="pre-registered |plateau delta| gate")
+    ap.add_argument("--out", default="",
+                    help="markdown file to append the result table to")
+    ap.add_argument("--json", default="", help="write records as JSON")
+    opt = ap.parse_args()
+
+    torch.set_num_threads(max(1, os.cpu_count()))
+    recs = []
+    for name in opt.models.split(","):
+        recs.append(run_parity(
+            name.strip(), steps=opt.steps, hw=opt.hw, bs=opt.bs, lr=opt.lr,
+            train_n=opt.train_n, val_n=opt.val_n, seed=opt.seed,
+            eval_every=opt.eval_every, noise_floor=opt.noise_floor))
+
+    lines = ["| model | steps | torch mIoU (final/plateau) | "
+             "jax mIoU (final/plateau) | Δplateau | noise floor | pass |",
+             "|---|---|---|---|---|---|---|"]
+    ok = True
+    for r in recs:
+        nf = r.get("noise_floor_plateau_delta")
+        gate = r["delta_plateau"] <= opt.tolerance and (
+            nf is None or r["delta_plateau"] <= max(2 * nf, opt.tolerance))
+        ok &= gate
+        lines.append(
+            f"| {r['model']} | {r['steps']} | "
+            f"{r['torch_miou']:.4f}/{r['torch_plateau']:.4f} | "
+            f"{r['jax_miou']:.4f}/{r['jax_plateau']:.4f} | "
+            f"{r['delta_plateau']:.4f} | "
+            f"{'%.4f' % nf if nf is not None else '—'} | "
+            f"{'PASS' if gate else 'FAIL'} |")
+    table = "\n".join(lines)
+    print(table)
+    if opt.out:
+        with open(opt.out, "a") as f:
+            f.write(f"\n## parity_e2e --steps {opt.steps} --hw {opt.hw} "
+                    f"--bs {opt.bs} --lr {opt.lr} --seed {opt.seed} "
+                    f"(tolerance {opt.tolerance})\n\n{table}\n")
+    if opt.json:
+        with open(opt.json, "w") as f:
+            json.dump(recs, f, indent=1)
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
