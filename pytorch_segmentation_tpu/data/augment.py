@@ -90,6 +90,16 @@ class AugmentConfig:
     # bilinear warp; 0 forces pure nearest. Masks always warp nearest
     # (sharing the image's tap, the to_deterministic contract).
     image_warp_order: int | None = None
+    # banded_warp=True realizes the general warp as the two-pass
+    # (Catmull-Smith) decomposition sampled by the GATHER-FREE
+    # banded-matmul Pallas kernel (ops/pallas/banded_resample.py):
+    # interpolation matrices are built on the fly in VMEM and applied on
+    # the MXU, so order=1 becomes DETERMINISTIC exact per-pass bilinear at
+    # ~15 ms/pass vs ~64 ms for the packed single-tap gather warp
+    # (tools/bench_banded.py). Same geometry fields as separable_warp
+    # (square images only — the 90-deg transpose factoring); the pass-1
+    # intermediate stays bf16 (no u8 requantization).
+    banded_warp: bool = True
     # separable_warp=True realizes the general warp as the two-pass
     # (Catmull-Smith) LANE-gather sampler (_sample_two_pass): order=1
     # becomes DETERMINISTIC separable bilinear (no stochastic tap).
@@ -101,6 +111,14 @@ class AugmentConfig:
     # Square images only (the 90-deg transpose factoring needs square
     # frames); legacy samplers otherwise.
     separable_warp: bool = False
+    # photo_bf16=True carries the photometric pool's scan state in bf16
+    # instead of f32: the pool is bandwidth-bound (13 sequential
+    # full-batch [B,H,W,3] iterations, ~28 of the 55 ms policy — profiled
+    # round 4), and the REFERENCE pool operates on uint8 (imgaug rounds
+    # every op's output to integer 0..255), so the bf16 carry's <=1
+    # intensity-step rounding is the same quantization class. Op-internal
+    # math stays f32.
+    photo_bf16: bool = True
     # per_sample_photo_order=True draws the photometric pool order per
     # SAMPLE (the reference SomeOf random_order=True semantics) instead of
     # per batch; costs 13x the pool's op applications under vmap —
@@ -569,6 +587,41 @@ def _sample_two_pass(imgs_u8, segs_u8, vt, sx, sy_msk, mode, cval, use_bil,
     return out_img, out_seg
 
 
+def _sample_two_pass_banded(imgs_u8, segs_u8, vt, sx, sy_msk, mode, cval,
+                            use_bil, tf):
+    """Two-pass warp via the banded-matmul resampler — identical geometry
+    fields to _sample_two_pass, but each pass is the gather-free Pallas
+    kernel (ops/pallas/banded_resample.py): exact deterministic bilinear
+    (or nearest, per the sample's order draw) with seg always nearest.
+    Unlike the lane-gather sampler the pass-1 intermediate is NOT
+    re-quantized to u8 (bf16 carries it at +-0.5 intensity)."""
+    from ..ops.pallas.banded_resample import banded_resample_rows
+
+    n = segs_u8.shape[1]
+    planes = jnp.concatenate(
+        [jnp.moveaxis(imgs_u8, -1, 1).astype(jnp.bfloat16),
+         segs_u8[:, None].astype(jnp.bfloat16)], 1)      # [B, 4, H, W]
+    # pass-1 input = (effective source)^T: src^T normally; src itself when
+    # the sample gathers from the transposed source (tf: |rot| > 45 deg)
+    pt = jnp.where(tf[:, None, None, None], planes,
+                   jnp.swapaxes(planes, 2, 3))
+    m = mode[:, None, None]
+    mid = banded_resample_rows(pt, _boundary(vt, n, m), use_bil)
+    mid = jnp.swapaxes(mid, 2, 3).astype(jnp.bfloat16)   # [B,4,out-row,x]
+    out2 = banded_resample_rows(mid, _boundary(sx, n, m), use_bil)
+    rgb2 = jnp.moveaxis(out2[:, :3], 1, -1)              # [B, H, W, 3] f32
+    seg2 = jnp.round(out2[:, 3]).astype(jnp.int32)
+    # constant-mode fill from the TOTAL source coords (legacy semantics;
+    # sy_msk omits the elastic jitter — border effect <= alpha px)
+    img_in = (sx >= 0) & (sx <= n - 1) & (sy_msk >= 0) & (sy_msk <= n - 1)
+    seg_in = ((sx >= -0.5) & (sx <= n - 0.5)
+              & (sy_msk >= -0.5) & (sy_msk <= n - 0.5))
+    out_img = jnp.where((m == 0)[..., None] & ~img_in[..., None],
+                        cval[:, None, None, None], rgb2)
+    out_seg = jnp.where(seg_in, seg2, 0)
+    return out_img, out_seg
+
+
 def _geometric_coords(key, h, w, gates, cfg: AugmentConfig):
     """Per-sample warp coordinates + sampling params (vmapped); the actual
     gather runs once at BATCH level (_sample_*_packed) where the global
@@ -611,13 +664,15 @@ def _geometric_batch(keys, imgs_u8, segs_u8, gates, cfg: AugmentConfig):
     gather (1 for nearest/stochastic, 4 for exact order=1)."""
     h, w = segs_u8.shape[1], segs_u8.shape[2]
 
-    if cfg.separable_warp and h == w:
+    if (cfg.banded_warp or cfg.separable_warp) and h == w:
         def coords2(k, g):
             return _twopass_coords(jax.random.fold_in(k, 2), h, w, g, cfg)
         vt, sx, sy_msk, mode, cval, use_bil, tf = jax.vmap(coords2)(keys,
                                                                     gates)
-        return _sample_two_pass(imgs_u8, segs_u8, vt, sx, sy_msk, mode,
-                                cval, use_bil, tf)
+        sampler = (_sample_two_pass_banded if cfg.banded_warp
+                   else _sample_two_pass)
+        return sampler(imgs_u8, segs_u8, vt, sx, sy_msk, mode,
+                       cval, use_bil, tf)
 
     def coords(k, g):
         return _geometric_coords(jax.random.fold_in(k, 2), h, w, g, cfg)
@@ -903,11 +958,15 @@ def _photometric_batch(key_order, keys, x, gates, cfg: AugmentConfig):
     per-sample ordering via vmapped switch — under vmap every branch
     executes at every scan position (13x13 op applications vs 13), so this
     is measurement-gated (tools/bench_augment.py ab; PERF.md)."""
+    carry_dt = jnp.bfloat16 if cfg.photo_bf16 else jnp.float32
     if cfg.per_sample_photo_order:
         def one_sample(k, img, g):
             branches = [
                 (lambda im, i=i, op=op: jnp.where(
-                    g[i], op(jax.random.fold_in(k, 100 + i), im, cfg), im))
+                    g[i],
+                    op(jax.random.fold_in(k, 100 + i),
+                       im.astype(jnp.float32), cfg),
+                    im.astype(jnp.float32)).astype(carry_dt))
                 for i, op in enumerate(_PHOTO_OPS)]
 
             def body(im, idx):
@@ -915,18 +974,19 @@ def _photometric_batch(key_order, keys, x, gates, cfg: AugmentConfig):
 
             perm = jax.random.permutation(jax.random.fold_in(k, 977),
                                           _N_PHOTO)
-            im, _ = jax.lax.scan(body, img, perm)
+            im, _ = jax.lax.scan(body, img.astype(carry_dt), perm)
             return im
 
         x = jax.vmap(one_sample)(keys, x, gates)
-        return jnp.clip(x, 0.0, 255.0)
+        return jnp.clip(x.astype(jnp.float32), 0.0, 255.0)
 
     branches = []
     for i, op in enumerate(_PHOTO_OPS):
         def branch(xb, i=i, op=op):
             def one(k, img, g):
+                img = img.astype(jnp.float32)
                 out = op(jax.random.fold_in(k, 100 + i), img, cfg)
-                return jnp.where(g, out, img)
+                return jnp.where(g, out, img).astype(carry_dt)
             return jax.vmap(one)(keys, xb, gates[:, i])
         branches.append(branch)
 
@@ -935,8 +995,8 @@ def _photometric_batch(key_order, keys, x, gates, cfg: AugmentConfig):
     def body(xb, idx):
         return jax.lax.switch(idx, branches, xb), None
 
-    x, _ = jax.lax.scan(body, x, perm)
-    return jnp.clip(x, 0.0, 255.0)
+    x, _ = jax.lax.scan(body, x.astype(carry_dt), perm)
+    return jnp.clip(x.astype(jnp.float32), 0.0, 255.0)
 
 
 # ---------------------------------------------------------------------------

@@ -117,15 +117,21 @@ def ab_twopass():
     images = jax.random.randint(key, (B, H, W, 3), 0, 255, jnp.uint8)
     segs = jnp.zeros((B, H, W), jnp.uint8)
     cases = [
-        ("legacy default", AugmentConfig(separable_warp=False)),
-        ("twopass default", AugmentConfig(separable_warp=True)),
-        ("legacy order=1", AugmentConfig(separable_warp=False,
+        ("legacy default", AugmentConfig(banded_warp=False,
+                                         separable_warp=False)),
+        ("banded default", AugmentConfig(banded_warp=True)),
+        ("twopass default", AugmentConfig(banded_warp=False,
+                                          separable_warp=True)),
+        ("legacy order=1", AugmentConfig(banded_warp=False,
+                                         separable_warp=False,
                                          image_warp_order=1)),
-        ("twopass order=1", AugmentConfig(separable_warp=True,
-                                          image_warp_order=1)),
+        ("banded order=1", AugmentConfig(banded_warp=True,
+                                         image_warp_order=1)),
         ("legacy psample-photo", AugmentConfig(
-            separable_warp=False, per_sample_photo_order=True)),
-        ("legacy rbg-rng", AugmentConfig(separable_warp=False,
+            banded_warp=False, separable_warp=False,
+            per_sample_photo_order=True)),
+        ("legacy rbg-rng", AugmentConfig(banded_warp=False,
+                                         separable_warp=False,
                                          rng_impl="rbg")),
     ]
     import sys

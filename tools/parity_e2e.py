@@ -131,11 +131,22 @@ def _cases():
     }
 
 
-def _train_torch(tmodel, batches, lr, momentum, eval_every, val, log):
+def _poly_lr(lr, i, total):
+    # the DeepLab poly schedule (arXiv:1706.05587 §4.1), decaying to 0 —
+    # applied identically in both frameworks so the CONVERGED endpoint is
+    # compared, not a point on the noisy constant-lr climb
+    return lr * (1.0 - i / total) ** 0.9
+
+
+def _train_torch(tmodel, batches, lr, momentum, eval_every, val, log,
+                 schedule="constant"):
     topt = torch.optim.SGD(tmodel.parameters(), lr=lr, momentum=momentum)
     evals, losses = [], []
     tmodel.train()
     for i, (x, y) in enumerate(batches):
+        if schedule == "poly":
+            for g in topt.param_groups:
+                g["lr"] = _poly_lr(lr, i, len(batches))
         topt.zero_grad()
         out = tmodel(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
         tl = F.cross_entropy(out, torch.from_numpy(y).long())
@@ -163,8 +174,15 @@ def _eval_torch(tmodel, val, bs=8):
 
 
 def _train_jax(model, variables, batches, lr, momentum, eval_every, val,
-               log):
-    tx = optax.sgd(lr, momentum=momentum)
+               log, schedule="constant"):
+    if schedule == "poly":
+        # optax polynomial_schedule(init, 0, 0.9, T) == _poly_lr at the
+        # same update index (optax counts from 0, as does the torch loop)
+        tx = optax.sgd(optax.polynomial_schedule(lr, 0.0, 0.9,
+                                                 len(batches)),
+                       momentum=momentum)
+    else:
+        tx = optax.sgd(lr, momentum=momentum)
     params = jax.tree.map(jnp.asarray, variables["params"])
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        batch_stats=jax.tree.map(
@@ -206,7 +224,7 @@ def run_parity(name: str, steps: int = 400, hw: int = 64, bs: int = 8,
                lr: float = 1e-2, momentum: float = 0.9,
                train_n: int = 256, val_n: int = 64, seed: int = 0,
                eval_every: int = 50, noise_floor: bool = False,
-               log=print) -> dict:
+               schedule: str = "constant", log=print) -> dict:
     """Train torch mirror + JAX framework from identical weights on
     identical batches; return the parity record."""
     from test_model_golden_parity import _port
@@ -232,17 +250,18 @@ def run_parity(name: str, steps: int = 400, hw: int = 64, bs: int = 8,
     t0 = time.time()
     log(f"[{name}] torch training ({steps} steps)...")
     tevals, tlosses = _train_torch(tmodel, batches, lr, momentum,
-                                   eval_every, val, log)
+                                   eval_every, val, log, schedule)
     t_torch = time.time() - t0
 
     t0 = time.time()
     log(f"[{name}] jax training ({steps} steps)...")
     jevals, jlosses = _train_jax(model, variables, batches, lr, momentum,
-                                 eval_every, val, log)
+                                 eval_every, val, log, schedule)
     t_jax = time.time() - t0
 
     rec = {
         "model": name, "steps": steps, "hw": hw, "bs": bs, "lr": lr,
+        "schedule": schedule,
         "torch_miou": tevals[-1][1], "jax_miou": jevals[-1][1],
         "torch_plateau": _plateau(tevals), "jax_plateau": _plateau(jevals),
         "delta_final": abs(tevals[-1][1] - jevals[-1][1]),
@@ -265,7 +284,7 @@ def run_parity(name: str, steps: int = 400, hw: int = 64, bs: int = 8,
         batches2 = [(tr[0][b], tr[1][b]) for b in idx2]
         log(f"[{name}] torch noise-floor run...")
         nevals, _ = _train_torch(tmodel2, batches2, lr, momentum,
-                                 eval_every, val, log)
+                                 eval_every, val, log, schedule)
         rec["noise_floor_plateau_delta"] = abs(
             _plateau(tevals) - _plateau(nevals))
         rec["torch2_plateau"] = _plateau(nevals)
@@ -284,6 +303,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval-every", type=int, default=50)
     ap.add_argument("--noise-floor", action="store_true")
+    ap.add_argument("--schedule", default="constant",
+                    choices=["constant", "poly"])
+    ap.add_argument("--noise-floor-models", default="",
+                    help="comma list to restrict the extra torch run to")
     ap.add_argument("--tolerance", type=float, default=0.005,
                     help="pre-registered |plateau delta| gate")
     ap.add_argument("--out", default="",
@@ -293,11 +316,15 @@ def main():
 
     torch.set_num_threads(max(1, os.cpu_count()))
     recs = []
+    nf_models = [m for m in opt.noise_floor_models.split(",") if m]
     for name in opt.models.split(","):
+        name = name.strip()
+        nf = opt.noise_floor and (not nf_models or name in nf_models)
         recs.append(run_parity(
-            name.strip(), steps=opt.steps, hw=opt.hw, bs=opt.bs, lr=opt.lr,
+            name, steps=opt.steps, hw=opt.hw, bs=opt.bs, lr=opt.lr,
             train_n=opt.train_n, val_n=opt.val_n, seed=opt.seed,
-            eval_every=opt.eval_every, noise_floor=opt.noise_floor))
+            eval_every=opt.eval_every, noise_floor=nf,
+            schedule=opt.schedule))
 
     lines = ["| model | steps | torch mIoU (final/plateau) | "
              "jax mIoU (final/plateau) | Δplateau | noise floor | pass |",
