@@ -12,6 +12,7 @@ from .hrnet import HRNet
 from .ocrnet import OCRNet
 from .pspnet import PSPNet
 from .lraspp import LRASPP
+from .maskformer import MaskFormer, make_maskformer_loss
 from .segformer import SegFormer
 from .segmenter import Segmenter
 from .segnext import SegNeXt
@@ -39,6 +40,9 @@ MODEL_REGISTRY = {
     "segformer": SegFormer,  # MiT-B0; variant="b1".."b5" via kwargs
     "segnext": SegNeXt,  # MSCAN-T + LightHam; variant="s"/"b" (segnext.py)
     "segmenter": Segmenter,  # ViT + Mask Transformer (segmenter.py)
+    # mask classification (set prediction): train.py pairs it with
+    # make_maskformer_loss; eval forward emits semantic logits
+    "maskformer": MaskFormer,
     "upernet": UPerNet,  # ResNet-50; variant="mit-b0".. for the MiT encoder
     "fcn": FCN,  # torchvision fcn_resnet50/101 semantics (tvseg.py)
     "deeplabv3": DeepLabV3,  # torchvision deeplabv3_resnet50/101
@@ -69,6 +73,13 @@ MODEL_VARIANTS = {
     "segnext": {v: {"variant": v} for v in ("tiny", "t", "s", "b")},
     # ViT trunk sizes for the Mask Transformer ("pico" = test dims)
     "segmenter": {v: {"variant": v} for v in ("pico", "b16", "l16")},
+    "maskformer": {
+        "r50": {},  # the paper's R50 semantic config (Q=100, 6 layers)
+        # NOT a paper variant: shallow test dims for CPU drives
+        "tiny": {"backbone_layers": (1, 1, 1, 1), "dim": 64,
+                 "mask_dim": 64, "fpn_channels": 64, "num_queries": 8,
+                 "heads": 4, "dec_layers": 2},
+    },
     "upernet": {
         "r50": {},  # the default bottleneck (3,4,6,3) backbone
         "r34": {"block": "basic", "backbone_layers": (3, 4, 6, 3)},
@@ -160,7 +171,7 @@ def apply_moe(name: str, model_kw: dict, experts: int,
 
 __all__ = ["UNet", "BiSeNetV2", "DANet", "DeepLabV3Plus", "HRNet", "OCRNet",
            "PSPNet", "FPN",
-           "SegFormer", "SegNeXt", "Segmenter",
+           "MaskFormer", "SegFormer", "SegNeXt", "Segmenter",
            "UPerNet", "FCN", "DeepLabV3", "LRASPP",
            "MODEL_REGISTRY", "MODEL_VARIANTS", "build_model",
            "variant_kwargs", "apply_scan_blocks", "apply_moe"]

@@ -18,7 +18,8 @@ import pytest
 import torch
 import torch.nn.functional as F
 
-from pytorch_segmentation_tpu.models import (FCN, FPN, LRASPP, BiSeNetV2,
+from pytorch_segmentation_tpu.models import (FCN, FPN, LRASPP,
+                                              MaskFormer, BiSeNetV2,
                                               DANet, DeepLabV3,
                                               DeepLabV3Plus,
                                               HRNet, OCRNet, PSPNet,
@@ -29,7 +30,8 @@ from pytorch_segmentation_tpu.utils.port_torch import (
     convert_mobilenetv3, convert_named, convert_resnet, convert_swin,
     convert_vit, jax_to_py)
 
-from torch_refs import (TFPN, TLRASPP, TBiSeNetV2, TDANet, TDeepLabV3Plus,
+from torch_refs import (TFPN, TLRASPP, TMaskFormer,
+                        TBiSeNetV2, TDANet, TDeepLabV3Plus,
                         THRNet,
                         TOCRNet, TPSPNet, TSegFormer, TSegmenter,
                         TSegNeXt, TTVDeepLabV3, TTVFCN, TUNet, TUPerNet,
@@ -169,6 +171,14 @@ CASES = {
         lambda nc: Segmenter(num_classes=nc, variant="pico",
                              dtype=jnp.float32),
         TSegmenter, convert_vit),
+    # mask classification (set prediction): the eval-mode semantic scores
+    # are the softmax/sigmoid composition of BOTH heads, so matching them
+    # transitively pins the query transformer, pixel decoder, class head
+    # and mask-embedding MLP (models/maskformer.py; query_embed ports
+    # verbatim, sine pos embeddings are identical constants)
+    "maskformer": (
+        lambda nc: MaskFormer(num_classes=nc, dtype=jnp.float32),
+        TMaskFormer, convert_resnet),
 }
 
 
@@ -212,7 +222,8 @@ def test_full_model_gradient_parity(name, rng):
     # spot-check module: a conv head, or (for segmenter) the decoder's
     # proj_dec Linear — "a/b" paths walk nested modules
     head = {"hrnet": "final_layer", "lraspp": "high_classifier",
-            "segmenter": "decoder/proj_dec"}.get(name, "cls_conv")
+            "segmenter": "decoder/proj_dec",
+            "maskformer": "pixel_proj"}.get(name, "cls_conv")
     top = head.split("/")[0]
 
     def loss_fn(head_params):

@@ -20,6 +20,7 @@ against the flax models with ported weights:
 
 from __future__ import annotations
 
+import numpy as np
 import torch
 import torch.nn as nn
 import torch.nn.functional as F
@@ -1685,3 +1686,134 @@ class TSegmenter(nn.Module):
         masks = masks.transpose(1, 2).reshape(b, -1, gh, gw)
         return F.interpolate(masks, size=(h, w), mode="bilinear",
                              align_corners=False)
+
+
+def _t_sine_pos_embed(h, w, dim):
+    """models/maskformer.py _sine_pos_embed mirror (identical numpy)."""
+    half = dim // 2
+    y = np.arange(h, dtype=np.float32)[:, None]
+    x = np.arange(w, dtype=np.float32)[None, :]
+    omega = 1.0 / (10000.0 ** (np.arange(half // 2, dtype=np.float32)
+                               / (half // 2)))
+    out = []
+    for pos in (np.broadcast_to(y, (h, w)), np.broadcast_to(x, (h, w))):
+        ang = pos[..., None] * omega
+        out.append(np.sin(ang))
+        out.append(np.cos(ang))
+    pe = np.concatenate(out, -1).reshape(h * w, 2 * (half // 2) * 2)
+    if pe.shape[-1] < dim:
+        pe = np.pad(pe, ((0, 0), (0, dim - pe.shape[-1])))
+    return torch.from_numpy(pe[:, :dim].copy())
+
+
+class _TMFAttention(nn.Module):
+    """models/maskformer.py _MHA mirror (separate q/k/v/proj Linears,
+    DETR additive pos on q/k only)."""
+
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.q = nn.Linear(dim, dim)
+        self.k = nn.Linear(dim, dim)
+        self.v = nn.Linear(dim, dim)
+        self.proj = nn.Linear(dim, dim)
+        self.heads = heads
+        self.dim = dim
+
+    def forward(self, q, k, v, q_pos=None, k_pos=None):
+        b, nq, _ = q.shape
+        nk = k.shape[1]
+        hd = self.dim // self.heads
+        qi = q if q_pos is None else q + q_pos
+        ki = k if k_pos is None else k + k_pos
+        qh = self.q(qi).reshape(b, nq, self.heads, hd)
+        kh = self.k(ki).reshape(b, nk, self.heads, hd)
+        vh = self.v(v).reshape(b, nk, self.heads, hd)
+        scores = torch.einsum("bqhd,bkhd->bhqk", qh * (hd ** -0.5), kh)
+        attn = scores.softmax(-1)
+        y = torch.einsum("bhqk,bkhd->bqhd", attn, vh)
+        return self.proj(y.reshape(b, nq, self.dim))
+
+
+class _TMFDecoderLayer(nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.self_attn = _TMFAttention(dim, heads)
+        self.cross_attn = _TMFAttention(dim, heads)
+        self.fc1 = nn.Linear(dim, 4 * dim)
+        self.fc2 = nn.Linear(4 * dim, dim)
+        self.ln1 = nn.LayerNorm(dim, eps=1e-5)
+        self.ln2 = nn.LayerNorm(dim, eps=1e-5)
+        self.ln3 = nn.LayerNorm(dim, eps=1e-5)
+
+    def forward(self, q, mem, q_pos, m_pos):
+        q = self.ln1(q + self.self_attn(q, q, q, q_pos=q_pos, k_pos=q_pos))
+        q = self.ln2(q + self.cross_attn(q, mem, mem, q_pos=q_pos,
+                                         k_pos=m_pos))
+        return self.ln3(q + self.fc2(F.relu(self.fc1(q))))
+
+
+class TMaskFormer(nn.Module):
+    """models/maskformer.py mirror (Cheng et al. 2021 semantic config —
+    an addition beyond the reference): ResNet -> FPN pixel decoder ->
+    stride-4 pixel embedding; Q queries through post-norm DETR layers on
+    C5 tokens + sine pos; class head K+1, 3-layer mask MLP; mask logits
+    by embedding dot product. Names mirror the flax tree (convert_named;
+    query_embed is a bare Parameter, verbatim port). forward returns
+    semantic scores (or (cls, mask, sem) with return_heads=True)."""
+
+    def __init__(self, num_classes, layers=(3, 4, 6, 3), block=None,
+                 num_queries=100, dim=256, mask_dim=256, heads=8,
+                 dec_layers=6, fpn_channels=256):
+        super().__init__()
+        block = block or _TorchBottleneck
+        self.backbone = TResNet(block, layers)
+        chans = [64 * block.expansion * (2 ** i) for i in range(4)]
+        for i in range(4):
+            setattr(self, f"lat{i}",
+                    TConvNormAct(chans[i], fpn_channels, 1, activate=None))
+        self.pix0 = TConvNormAct(fpn_channels, fpn_channels, 3)
+        self.pixel_proj = nn.Conv2d(fpn_channels, mask_dim, 3, padding=1)
+        self.input_proj = nn.Conv2d(chans[3], dim, 1)
+        self.query_embed = nn.Parameter(torch.randn(num_queries, dim))
+        for i in range(dec_layers):
+            setattr(self, f"dec{i}", _TMFDecoderLayer(dim, heads))
+        self.dec_norm = nn.LayerNorm(dim, eps=1e-5)
+        self.cls_head = nn.Linear(dim, num_classes + 1)
+        self.mask_mlp0 = nn.Linear(dim, dim)
+        self.mask_mlp1 = nn.Linear(dim, dim)
+        self.mask_mlp2 = nn.Linear(dim, mask_dim)
+        self.dec_layers = dec_layers
+        self.num_classes = num_classes
+
+    def forward(self, x, return_heads=False):
+        feats = self.backbone(x)[1:]
+        sizes = [f.shape[-2:] for f in feats]
+        p = self.lat3(feats[3])
+        pyramid = [p]
+        for i in (2, 1, 0):
+            lat = getattr(self, f"lat{i}")(feats[i])
+            p = lat + F.interpolate(p, size=sizes[i], mode="nearest")
+            pyramid.insert(0, p)
+        pixel_emb = self.pixel_proj(self.pix0(pyramid[0]))
+
+        c5 = feats[3]
+        b, _, h5, w5 = c5.shape
+        mem = self.input_proj(c5).flatten(2).transpose(1, 2)
+        m_pos = _t_sine_pos_embed(h5, w5, mem.shape[-1])[None]
+        q_pos = self.query_embed[None]
+        q = torch.zeros(b, self.query_embed.shape[0],
+                        self.query_embed.shape[1])
+        for i in range(self.dec_layers):
+            q = getattr(self, f"dec{i}")(q, mem, q_pos, m_pos)
+        q = self.dec_norm(q)
+
+        cls_logits = self.cls_head(q)
+        e = self.mask_mlp2(F.relu(self.mask_mlp1(F.relu(self.mask_mlp0(q)))))
+        mask_logits = torch.einsum("bqc,bchw->bqhw", e, pixel_emb)
+        p_cls = cls_logits.softmax(-1)[..., :self.num_classes]
+        sem = torch.einsum("bqc,bqhw->bchw", p_cls, mask_logits.sigmoid())
+        sem = F.interpolate(sem, scale_factor=4, mode="bilinear",
+                            align_corners=False)
+        if return_heads:
+            return cls_logits, mask_logits, sem
+        return sem

@@ -72,7 +72,8 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
           distill_weight=1.0, distill_temp=2.0, class_weights="",
           label_smoothing=0.0, ohem=0.0, ohem_thresh=0.7, zero=False,
           moe=0, moe_top_k=2, ep=1, spatial=1, ignore_index=None,
-          cutmix=0.0, mosaic=0.0, balance=0.0):
+          cutmix=0.0, mosaic=0.0, balance=0.0,
+          matcher="sinkhorn"):
     ds_cls, train_file, val_file = DATASETS[dataset]
     train_coco = osp.join(data_dir, train_file)
     val_coco = osp.join(data_dir, val_file)
@@ -208,10 +209,20 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
 
     from pytorch_segmentation_tpu.ops.loss import build_loss
     cw = parse_class_weights(class_weights, len(train_data.classes))
-    loss_fn = build_loss(loss, align_corners=getattr(
-        model, "up_align_corners", True), class_weights=cw,
-        label_smoothing=label_smoothing, ohem_frac=ohem,
-        ohem_thresh=ohem_thresh, ignore_index=ignore_index)
+    if model_name == "maskformer":
+        # mask classification trains on the set-prediction criterion
+        # (matching + cls CE + focal + dice), not per-pixel CE
+        from pytorch_segmentation_tpu.models import make_maskformer_loss
+        if loss != "ce":
+            raise SystemExit("--loss is fixed to the set-prediction "
+                             "criterion for --model maskformer")
+        loss_fn = make_maskformer_loss(len(train_data.classes),
+                                       matcher=matcher)
+    else:
+        loss_fn = build_loss(loss, align_corners=getattr(
+            model, "up_align_corners", True), class_weights=cw,
+            label_smoothing=label_smoothing, ohem_frac=ohem,
+            ohem_thresh=ohem_thresh, ignore_index=ignore_index)
     trainer = Trainer(model, train_fetcher, loss_fn=loss_fn, zero=zero,
                       distill_fn=distill_fn, distill_weight=distill_weight,
                       distill_temp=distill_temp,
@@ -370,6 +381,12 @@ if __name__ == "__main__":
                              "(decode/rasterize/resize once; ~1 MB per "
                              "513^2 sample — see data/datasets.py)")
     from pytorch_segmentation_tpu.ops.loss import LOSSES
+    parser.add_argument("--matcher", type=str, default="sinkhorn",
+                        choices=["sinkhorn", "hungarian"],
+                        help="maskformer query<->class matcher: 'sinkhorn' "
+                             "runs on device (entropy-regularized OT, "
+                             "jittable); 'hungarian' is exact via a host "
+                             "scipy callback (one host sync per step)")
     parser.add_argument("--loss", type=str, default="ce",
                         choices=list(LOSSES),
                         help="training loss: 'ce' = the reference's "
@@ -507,6 +524,7 @@ if __name__ == "__main__":
           cache_images=opt.cache_images, momentum=opt.momentum,
           weight_decay=opt.weight_decay, clip_grad=opt.clip_grad,
           patience=opt.patience, aux_loss=opt.aux_loss, tp=opt.tp,
+          matcher=opt.matcher,
           variant=opt.variant, pp=opt.pp,
           pp_microbatches=opt.pp_microbatches,
           scan_blocks=opt.scan_blocks, distill=opt.distill,
