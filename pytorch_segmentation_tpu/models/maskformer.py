@@ -33,9 +33,14 @@ entropy-regularized OT (Sinkhorn over the [Q, K+dummy] cost matrix,
 fixed iteration count, f32) with per-class argmax decode — fully
 jittable, no host round-trip. matcher='hungarian' instead calls
 scipy.optimize.linear_sum_assignment through jax.pure_callback (exact,
-but a host sync inside the step — measured, tools/bench_maskformer.py).
-Costs and losses follow the paper: lambda_cls 1 / focal 20 / dice 1,
-no-object weight 0.1.
+but a host sync inside the step). NOTE: the tunneled axon PJRT runtime
+does not implement host callbacks at all ("axon_pjrt does not support
+host send/recv callbacks"), so on this environment's TPU the Sinkhorn
+matcher is not merely faster — it is the only runnable option; the
+Hungarian path works on CPU and standard TPU runtimes and anchors the
+Sinkhorn optimality tests (tests/test_maskformer.py). Costs and losses
+follow the paper: lambda_cls 1 / focal 20 / dice 1, no-object 0.1.
+On-chip: 264.5 img/s train @512^2 bf16 bs32 (tools/bench_models.py).
 """
 
 from __future__ import annotations

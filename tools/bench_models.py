@@ -26,13 +26,14 @@ def main():
              "pspnet": 513, "fpn": 512, "fastfcn": 513, "segformer": 512,
              "upernet": 512, "bisenetv2": 512, "ocrnet": 512,
              "fcn": 513, "deeplabv3": 513, "lraspp": 512, "segnext": 512,
-             "segmenter": 512, "danet": 512}
+             "segmenter": 512, "danet": 512, "maskformer": 512}
     import sys
     names = sys.argv[1:] or ("unet", "deeplabv3plus", "hrnet", "pspnet",
                              "fpn", "fastfcn", "upernet")
     from pytorch_segmentation_tpu.models import variant_kwargs
     for spec in names:
         name, _, variant = spec.partition(":")  # e.g. upernet:vit-b16
+        variant, _, mtch = variant.partition("@")  # maskformer matcher
         img = sizes[name] if on_tpu else 128
         images = jax.random.normal(jax.random.PRNGKey(1),
                                    (bs, img, img, 3), jnp.float32)
@@ -41,12 +42,17 @@ def main():
                                      full_res_output=not on_tpu,
                                      **variant_kwargs(name, variant))
         align = getattr(model, "up_align_corners", True)
+        if name == "maskformer":
+            # set-prediction criterion; matcher via e.g.
+            # `maskformer:r50@hungarian` (default sinkhorn, on device)
+            from pytorch_segmentation_tpu.models import make_maskformer_loss
+            loss_fn = make_maskformer_loss(21, matcher=mtch or "sinkhorn")
+        else:
+            loss_fn = make_loss_fn(align_corners=align, use_pallas=on_tpu)
         state = create_train_state(model, jax.random.PRNGKey(0),
                                    jnp.zeros((1, 64, 64, 3), jnp.float32),
                                    optax.sgd(1e-3, momentum=0.9))
-        step = make_train_step(loss_fn=make_loss_fn(align_corners=align,
-                                                    use_pallas=on_tpu),
-                               accumulate=1)
+        step = make_train_step(loss_fn=loss_fn, accumulate=1)
         s = state
         for _ in range(3):
             s, loss = step(s, images, segs)
