@@ -1,6 +1,7 @@
 from .mesh import (data_sharding, initialize_distributed, make_mesh,
                    put_global_batch, replicated_sharding, shard_batch)
-from .ep import ep_param_spec, ep_state_shardings, make_ep_mesh, shard_ep
+from .ep import (ep_param_spec, ep_state_shardings,
+                 ep_zero_state_shardings, make_ep_mesh, shard_ep)
 from .pp import make_pp_mesh, pipeline_blocks, pp_state_shardings, shard_pp
 from .tp import make_tp_mesh, shard_tp, tp_param_spec, tp_state_shardings
 from .zero import shard_zero, zero_leaf_spec, zero_state_shardings
@@ -12,4 +13,5 @@ __all__ = [
     "make_pp_mesh", "pipeline_blocks", "pp_state_shardings", "shard_pp",
     "shard_zero", "zero_leaf_spec", "zero_state_shardings",
     "make_ep_mesh", "shard_ep", "ep_param_spec", "ep_state_shardings",
+    "ep_zero_state_shardings",
 ]

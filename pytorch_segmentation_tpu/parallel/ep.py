@@ -74,3 +74,52 @@ def make_ep_mesh(ep: int, devices=None) -> Mesh:
     assert devices.size % ep == 0, (devices.size, ep)
     return Mesh(devices.reshape(devices.size // ep, ep),
                 ("data", "expert"))
+
+
+def ep_zero_state_shardings(state, mesh: Mesh, axis: str = "expert",
+                            data_axis: str = "data"):
+    """MoE(EP) + ZeRO-1 composed state shardings on a (data, expert)
+    mesh: expert parameter stacks shard over 'expert' everywhere they
+    appear (params AND their optimizer/accumulator/EMA copies — 2-D
+    sharded over expert x data when a second dimension divides), while
+    every NON-expert optimizer-state leaf takes the ZeRO data-axis shard
+    (parallel/zero.py). Params/batch_stats of non-expert modules stay
+    replicated (the DDP-equivalent placement). Feed to put_tree and the
+    train step's out_shardings like the zero path."""
+    from .zero import zero_leaf_spec
+    ep = mesh.shape[axis]
+    nd = mesh.shape[data_axis]
+    repl = NamedSharding(mesh, P())
+
+    def opt_spec(path, leaf):
+        s = jax.tree_util.keystr(path)
+        shape = getattr(leaf, "shape", ())
+        if "['experts']" in s and len(shape) >= 1 and shape[0] % ep == 0:
+            # expert-stacked state: leading dim over 'expert', plus the
+            # largest remaining divisible dim over 'data' (2-D ZeRO)
+            best_dim, best_size = None, 0
+            for d, sz in enumerate(shape[1:], start=1):
+                if sz % nd == 0 and sz > best_size:
+                    best_dim, best_size = d, sz
+            inner = [None] * (len(shape) - 1)
+            if best_dim is not None:
+                inner[best_dim - 1] = data_axis
+            return NamedSharding(mesh, P(axis, *inner))
+        return NamedSharding(mesh, zero_leaf_spec(leaf, nd, data_axis))
+
+    def param_spec(path, leaf):
+        return NamedSharding(mesh, ep_param_spec(path, leaf, ep, axis))
+
+    def opt(tree):
+        return None if tree is None else \
+            jax.tree_util.tree_map_with_path(opt_spec, tree)
+
+    return state.replace(
+        step=repl,
+        params=jax.tree_util.tree_map_with_path(param_spec, state.params),
+        batch_stats=jax.tree.map(lambda _: repl, state.batch_stats),
+        opt_state=opt(state.opt_state),
+        grad_acc=opt(state.grad_acc),
+        micro_step=repl,
+        ema_params=opt(state.ema_params),
+    )

@@ -62,6 +62,14 @@ _RULES = (
     (re.compile(r"\['attn'\]\['proj'\]\['kernel'\]$"), ("row",), 0),
     (re.compile(r"\['ffn'\]\['fc2'\]\['kernel'\]$"), ("row",), 0),
     (re.compile(r"\['ffn'\]\['dwconv'\]\['kernel'\]$"), ("dw",), 3),
+    # ViT-style blocks (nn/backbones/vit.py: Segmenter/UPerNet-ViT and
+    # the maskformer decoder's bare fc1/fc2/proj Denses): fused qkv and
+    # fc1 column-parallel, proj/fc2 row-parallel. The 2-D shape guard in
+    # tp_param_spec keeps these name rules away from conv kernels.
+    (re.compile(r"\['qkv'\]\['kernel'\]$"), ("col",), 1),
+    (re.compile(r"\['fc1'\]\['kernel'\]$"), ("col",), 1),
+    (re.compile(r"\['(proj|fc2)'\]\['kernel'\]$"), ("row",), 0),
+    (re.compile(r"\['(qkv|fc1)'\]\['bias'\]$"), ("vec",), 0),
 )
 
 
@@ -74,13 +82,18 @@ def tp_param_spec(path, leaf, tp: int, axis: str = "model"):
         if rx.search(s):
             if len(shape) <= dim or shape[dim] % tp != 0:
                 return P()  # indivisible -> replicated (still correct)
-            if kind == "col":
+            # col/row apply to 2-D Dense kernels, vec to 1-D biases, dw
+            # to 4-D depthwise convs — other ranks (e.g. a 4-D conv
+            # named 'proj') replicate rather than mis-shard
+            if kind == "col" and len(shape) == 2:
                 return P(None, axis)
-            if kind == "row":
+            if kind == "row" and len(shape) == 2:
                 return P(axis, None)
-            if kind == "vec":
+            if kind == "vec" and len(shape) == 1:
                 return P(axis)
-            return P(None, None, None, axis)  # depthwise kernel
+            if kind == "dw" and len(shape) == 4:
+                return P(None, None, None, axis)
+            return P()
     return P()
 
 
