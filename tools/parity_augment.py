@@ -73,58 +73,62 @@ def _make_u8_shapes(n, hw, rng):
     return u8, ys.astype(np.uint8)
 
 
-def run_variant(cfg, steps, hw, bs, train_n, val_n, seed, lr=1e-2):
-    rng = np.random.default_rng(seed)
-    xu8, yu8 = _make_u8_shapes(train_n, hw, rng)
-    vx, vy = _make_u8_shapes(val_n, hw, rng)
-    vx_n = jnp.asarray((vx.astype(np.float32) / 255.0 - IMAGENET_MEAN)
-                       / IMAGENET_STD)
-    vy = jnp.asarray(vy.astype(np.int32))
-
+def make_runner(cfg, steps, hw, bs, train_n, val_n, lr=1e-2):
+    """One compiled whole-training program per VARIANT, reused across
+    seeds (data, batch order and rng key are arguments, so every seed
+    hits the same executable — per-step dispatches crawl on this
+    tunneled runtime, and per-seed closures would recompile)."""
     aug = make_augment_fn(cfg)
     mean = jnp.asarray(IMAGENET_MEAN)
     std = jnp.asarray(IMAGENET_STD)
-
     model = UNet(num_classes=NC, dtype=jnp.float32)
     tx = optax.sgd(optax.polynomial_schedule(lr, 0.0, 0.9, steps),
                    momentum=0.9)
-    state = create_train_state(model, jax.random.PRNGKey(seed),
-                               jnp.zeros((1, hw, hw, 3), jnp.float32), tx)
     step = make_train_step(accumulate=1, donate=False)
 
-    order = np.random.default_rng(seed + 1)
-    idx = []
-    while len(idx) < steps * bs:
-        idx.extend(order.permutation(train_n))
-    idx_dev = jnp.asarray(np.asarray(idx[:steps * bs]).reshape(steps, bs))
-    key = jax.random.PRNGKey(seed + 2)
-    xu8j, yu8j = jnp.asarray(xu8), jnp.asarray(yu8)
-
-    # counter folded and batch gathered INSIDE the jitted program — an
-    # eager per-step fold_in is a serializing tiny dispatch on this
-    # runtime (CLAUDE.md dispatch poison)
     @jax.jit
-    def prep(i):
-        k = jax.random.fold_in(key, i)
-        b = idx_dev[i]
-        im, sg = aug(k, xu8j[b], yu8j[b])
-        return ((im / 255.0 - mean) / std), sg.astype(jnp.int32)
-
-    for i in range(steps):
-        im, sg = prep(np.int32(i))
-        state, loss = step(state, im, sg)
-    float(loss)
+    def train_all(state, key, idx_dev, xu8j, yu8j):
+        def body(s, i):
+            k = jax.random.fold_in(key, i)
+            b = idx_dev[i]
+            im, sg = aug(k, xu8j[b], yu8j[b])
+            im = (im / 255.0 - mean) / std
+            s, loss = step(s, im, sg.astype(jnp.int32))
+            return s, loss
+        return jax.lax.scan(body, state, jnp.arange(steps))
 
     @jax.jit
     def predict(params, stats, x):
         return jnp.argmax(model.apply(
             {"params": params, "batch_stats": stats}, x, train=False), -1)
 
-    preds = np.concatenate(
-        [np.asarray(predict(state.params, state.batch_stats,
-                            vx_n[i:i + 8])) for i in range(0, val_n, 8)])
-    from parity_e2e import miou_from_preds
-    return miou_from_preds(preds, np.asarray(vy))
+    def run(seed):
+        rng = np.random.default_rng(seed)
+        xu8, yu8 = _make_u8_shapes(train_n, hw, rng)
+        vx, vy = _make_u8_shapes(val_n, hw, rng)
+        vx_n = jnp.asarray((vx.astype(np.float32) / 255.0 - IMAGENET_MEAN)
+                           / IMAGENET_STD)
+        state = create_train_state(model, jax.random.PRNGKey(seed),
+                                   jnp.zeros((1, hw, hw, 3), jnp.float32),
+                                   tx)
+        order = np.random.default_rng(seed + 1)
+        idx = []
+        while len(idx) < steps * bs:
+            idx.extend(order.permutation(train_n))
+        idx_dev = jnp.asarray(
+            np.asarray(idx[:steps * bs]).reshape(steps, bs))
+        state, losses = train_all(state, jax.random.PRNGKey(seed + 2),
+                                  idx_dev, jnp.asarray(xu8),
+                                  jnp.asarray(yu8))
+        float(losses[-1])
+        preds = np.concatenate(
+            [np.asarray(predict(state.params, state.batch_stats,
+                                vx_n[i:i + 8]))
+             for i in range(0, val_n, 8)])
+        from parity_e2e import miou_from_preds
+        return miou_from_preds(preds, np.asarray(vy))
+
+    return run
 
 
 def main():
@@ -142,12 +146,12 @@ def main():
 
     rows = {}
     for name in opt.variants.split(","):
-        cfg = VARIANTS[name]
+        run = make_runner(VARIANTS[name], opt.steps, opt.hw, opt.bs,
+                          opt.train_n, opt.val_n)
         mious = []
         for s in range(opt.seeds):
             t0 = time.time()
-            m = run_variant(cfg, opt.steps, opt.hw, opt.bs, opt.train_n,
-                            opt.val_n, seed=100 + s)
+            m = run(seed=100 + s)
             mious.append(m)
             print(f"{name:14s} seed {s}: mIoU {m:.4f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
