@@ -52,9 +52,13 @@ def jit_with_options(fun, donate_argnums=(), static_argnums=(),
         return exe(*(a for i, a in enumerate(args)
                      if i not in static_argnums))
     # expose the underlying jit's lower/eval_shape so AOT tools
-    # (tools/dump_hlo.py) work whether or not compiler options are active
+    # (tools/dump_hlo.py) work whether or not compiler options are active,
+    # and the jit object itself for callers that need to TRACE the step
+    # inside a larger program (the AOT executable can't take tracers —
+    # e.g. tools/parity_augment.py's whole-training scan)
     wrapper.lower = jitted.lower
     wrapper.eval_shape = jitted.eval_shape
+    wrapper.jitted = jitted
     return wrapper
 
 

@@ -88,12 +88,15 @@ def make_runner(cfg, steps, hw, bs, train_n, val_n, lr=1e-2):
 
     @jax.jit
     def train_all(state, key, idx_dev, xu8j, yu8j):
+        # the AOT-compiled step can't take tracers; trace its jit form
+        step_t = getattr(step, "jitted", step)
+
         def body(s, i):
             k = jax.random.fold_in(key, i)
             b = idx_dev[i]
             im, sg = aug(k, xu8j[b], yu8j[b])
             im = (im / 255.0 - mean) / std
-            s, loss = step(s, im, sg.astype(jnp.int32))
+            s, loss = step_t(s, im, sg.astype(jnp.int32))
             return s, loss
         return jax.lax.scan(body, state, jnp.arange(steps))
 
