@@ -79,13 +79,13 @@ def _kernel(starts_ref, ends_ref, ubil_ref, planes_ref, coords_ref,
     # the build + dots (typical spans cover 2-3 of the 4 blocks)
     @pl.when(sb + kb <= ends_ref[lin])
     def _():
-        c = coords_ref[0]                          # [8, 128] f32 abs cols
+        c = coords_ref[0]                          # [16, 128] f32 abs cols
         cn = jnp.floor(c + 0.5)                    # nearest-tap coords
 
         # block-diag lhs: A[(p*8+r), (r'*128+j)] = plane[p, r, j] @ r==r'
         rows = jax.lax.broadcasted_iota(
             jnp.int32, (4 * _ROWS, _TILE), 0) % _ROWS
-        pin = planes_ref[0].reshape(4 * _ROWS, _TILE)   # [32, 128]
+        pin = planes_ref[0].reshape(4 * _ROWS, _TILE)   # [64, 128]
         for r in range(_ROWS):
             a_ref[:, r * _TILE:(r + 1) * _TILE] = jnp.where(
                 rows == r, pin, jnp.bfloat16(0))
@@ -162,7 +162,12 @@ def banded_resample_rows(planes, coords, use_bil, *, interpret=False):
     if rp or cp:
         planes = jnp.pad(planes, ((0, 0), (0, 0), (0, rp), (0, cp)))
     if rp or wp:
-        coords = jnp.pad(coords, ((0, 0), (0, rp), (0, wp)))
+        # edge-replicate: zero-fill would drag the per-tile cmin to 0 on
+        # partial edge tiles, anchoring the 4-block window at column 0 and
+        # min-clamping real coords near C-1 (~1.5px at 513^2, unbounded for
+        # wide non-square inputs). Replicated values keep the window-start
+        # and hi-clamp reductions driven only by real coordinates.
+        coords = jnp.pad(coords, ((0, 0), (0, rp), (0, wp)), mode="edge")
     rr, cc, ww = r + rp, c + cp, w + wp
     nkb = cc // _TILE
 
@@ -176,7 +181,14 @@ def banded_resample_rows(planes, coords, use_bil, *, interpret=False):
     # last window block any tap in the tile touches (gates dead blocks)
     eb = jnp.minimum((jnp.ceil(cmax).astype(jnp.int32) + 1) // _TILE,
                      sb + _KB - 1)
-    hi = (sb + _KB) * _TILE - 1.5   # last in-window tap stays <= window end
+    # last in-window tap stays <= window end: the -1.5 margin keeps the
+    # bilinear upper tap and the nearest round inside the 4 blocks.  When
+    # the window already ends at the input end (sb clamped to nkb-_KB) the
+    # margin is unnecessary — coords <= cc-1 tap only in-window columns
+    # (the pos = cc upper tap has exactly zero weight) — and WOULD wrongly
+    # clamp real edge coords in (end-1.5, end] for wide non-square inputs.
+    hi = jnp.where(sb + _KB >= nkb, jnp.float32(cc - 1),
+                   (sb + _KB) * _TILE - 1.5)
     coords = jnp.minimum(
         coords, jnp.repeat(jnp.repeat(hi, _ROWS, 1), _TILE, 2)[:, :rr])
 
