@@ -233,7 +233,10 @@ def _e2e_throughput(state, step, bs, img):
     @jax.jit
     def prep(rng, images, segs):
         im, sg = aug(rng, images, segs)
-        return normalize_images(im, jnp.float32), sg
+        # bf16 feed: bit-identical after the model's own input cast,
+        # half the prep-out/step-in HBM traffic (production default too —
+        # train.py PostFetch dtype)
+        return normalize_images(im, jnp.bfloat16), sg
 
     key = jax.random.PRNGKey(2)
     images = jax.random.randint(key, (bs, img, img, 3), 0, 255, jnp.uint8)

@@ -111,25 +111,46 @@ class AugmentConfig:
     # Square images only (the 90-deg transpose factoring needs square
     # frames); legacy samplers otherwise.
     separable_warp: bool = False
-    # photo_bf16=True carries the photometric pool's scan state in bf16
-    # instead of f32: the pool is bandwidth-bound (13 sequential
-    # full-batch [B,H,W,3] iterations, ~28 of the 55 ms policy — profiled
-    # round 4), and the REFERENCE pool operates on uint8 (imgaug rounds
-    # every op's output to integer 0..255), so the bf16 carry's <=1
-    # intensity-step rounding is the same quantization class. Op-internal
-    # math stays f32.
-    photo_bf16: bool = True
+    # photo_carry selects the photometric pool's scan-state dtype. The pool
+    # is bandwidth-bound (13 sequential full-batch [B,H,W,3] iterations —
+    # profiled rounds 4/5), so carry width is its cost knob:
+    #   "u8"   (default): round+clip every op output to integer 0..255 and
+    #          carry uint8 — EXACTLY the reference's quantization (imgaug
+    #          requantizes every augmenter's output to uint8, Affine
+    #          included; utils/datasets.py:59-124) at 1 byte/elem, half the
+    #          bf16 pool bandwidth.
+    #   "bf16": round-4 default; <=1 intensity-step rounding, no per-op
+    #          integer requantization (a *finer* class than the reference).
+    #   "f32": full precision (the round-3 behavior).
+    # Op-internal math is f32 in all modes.
+    photo_carry: str = "u8"
+    # pool_compute selects the internal dtype of the BANDWIDTH-HEAVY pool
+    # ops (blur/sharpen/emboss/edge/hue-sat/noise/dropout fields — the
+    # ~17 ms of op compute in the 51.6 ms policy, tools/bench_pool.py):
+    # "bf16" halves their read traffic. Every op output feeds the u8
+    # requantization (photo_carry default), and the reference pool runs on
+    # uint8 tables (cv2 u8 HSV hue granularity is 2 deg ~= bf16 ULP at
+    # 360), so bf16 internals stay a finer quantization class than the
+    # distribution being rebuilt. Scalar parameter math stays f32.
+    pool_compute: str = "bf16"
+    # legacy_ops=True reconstructs the ROUND-4 program shapes (depthwise
+    # conv blur, VPU shift-add 3x3s, scan-of-switch pool, f32 kernel
+    # output, f32 jitter draws) for tools/bench_regress.py's drift-proof
+    # cross-round legs. Not a production mode.
+    legacy_ops: bool = False
     # per_sample_photo_order=True draws the photometric pool order per
     # SAMPLE (the reference SomeOf random_order=True semantics) instead of
     # per batch; costs 13x the pool's op applications under vmap —
     # measurement-gated, see _photometric_batch
     per_sample_photo_order: bool = False
     # rng_impl='rbg' draws the augmentation randomness with the
-    # counter-based RBG generator instead of threefry — much cheaper per
-    # word on TPU for the big per-pixel fields (dither/elastic/noise);
-    # statistically fine for augmentation noise. None keeps the key's own
-    # implementation (threefry via PRNGKey).
-    rng_impl: str | None = None
+    # counter-based RBG generator instead of threefry — cheaper per word
+    # on TPU for the big per-pixel fields (dither/elastic/noise);
+    # statistically fine for augmentation noise. Measured null in round 3
+    # (1.016x when the f32 pool dominated) but a repeatable 1.4 ms/batch
+    # (45.6 -> 44.2) on the round-5 slimmed policy, so it is now the
+    # DEFAULT. None keeps the key's own implementation (threefry).
+    rng_impl: str | None = "rbg"
     # geometric (reference utils/datasets.py:29-57)
     p_fliplr: float = 0.5
     p_flipud: float = 0.2
@@ -517,8 +538,14 @@ def _twopass_coords(key, h, w, gates, cfg: AugmentConfig):
     # iid elastic jitter, one fresh field per pass: the reference's field
     # (sigma 0.25) is near-iid per-pixel noise, so drawing it on either
     # pass grid realizes the same distribution (module docstring)
-    sx = sx + (jax.random.uniform(ks[4], (h, w)) * 2.0 - 1.0) * alpha
-    vt = vt + (jax.random.uniform(ks[5], (w, h)) * 2.0 - 1.0) * alpha
+    # bf16 jitter draws: amplitude <= 3.5 px of iid noise — the draw's
+    # quantization (2^-8 of the amplitude) is far below the elastic
+    # distribution's own scale; halves the two full-grid field writes
+    jdt = jnp.float32 if cfg.legacy_ops else jnp.bfloat16
+    sx = sx + ((jax.random.uniform(ks[4], (h, w), dtype=jdt)
+                * 2.0 - 1.0) * alpha.astype(jdt)).astype(jnp.float32)
+    vt = vt + ((jax.random.uniform(ks[5], (w, h), dtype=jdt)
+                * 2.0 - 1.0) * alpha.astype(jdt)).astype(jnp.float32)
 
     mode = jax.random.randint(k_mode, (), 0, 4)
     cval = jax.random.uniform(k_cval, (), maxval=255.0)
@@ -588,7 +615,7 @@ def _sample_two_pass(imgs_u8, segs_u8, vt, sx, sy_msk, mode, cval, use_bil,
 
 
 def _sample_two_pass_banded(imgs_u8, segs_u8, vt, sx, sy_msk, mode, cval,
-                            use_bil, tf):
+                            use_bil, tf, out_dtype=jnp.bfloat16):
     """Two-pass warp via the banded-matmul resampler — identical geometry
     fields to _sample_two_pass, but each pass is the gather-free Pallas
     kernel (ops/pallas/banded_resample.py): exact deterministic bilinear
@@ -606,11 +633,15 @@ def _sample_two_pass_banded(imgs_u8, segs_u8, vt, sx, sy_msk, mode, cval,
     pt = jnp.where(tf[:, None, None, None], planes,
                    jnp.swapaxes(planes, 2, 3))
     m = mode[:, None, None]
-    mid = banded_resample_rows(pt, _boundary(vt, n, m), use_bil)
+    # bf16 kernel output: halves each pass's HBM write + readback (the
+    # f32 [B,4,528,640] out was ~108 MB); accumulation stays f32 in-kernel
+    mid = banded_resample_rows(pt, _boundary(vt, n, m), use_bil,
+                               out_dtype=out_dtype)
     mid = jnp.swapaxes(mid, 2, 3).astype(jnp.bfloat16)   # [B,4,out-row,x]
-    out2 = banded_resample_rows(mid, _boundary(sx, n, m), use_bil)
-    rgb2 = jnp.moveaxis(out2[:, :3], 1, -1)              # [B, H, W, 3] f32
-    seg2 = jnp.round(out2[:, 3]).astype(jnp.int32)
+    out2 = banded_resample_rows(mid, _boundary(sx, n, m), use_bil,
+                                out_dtype=out_dtype)
+    rgb2 = jnp.moveaxis(out2[:, :3], 1, -1).astype(jnp.float32)
+    seg2 = jnp.round(out2[:, 3].astype(jnp.float32)).astype(jnp.int32)
     # constant-mode fill from the TOTAL source coords (legacy semantics;
     # sy_msk omits the elastic jitter — border effect <= alpha px)
     img_in = (sx >= 0) & (sx <= n - 1) & (sy_msk >= 0) & (sy_msk <= n - 1)
@@ -669,10 +700,12 @@ def _geometric_batch(keys, imgs_u8, segs_u8, gates, cfg: AugmentConfig):
             return _twopass_coords(jax.random.fold_in(k, 2), h, w, g, cfg)
         vt, sx, sy_msk, mode, cval, use_bil, tf = jax.vmap(coords2)(keys,
                                                                     gates)
-        sampler = (_sample_two_pass_banded if cfg.banded_warp
-                   else _sample_two_pass)
-        return sampler(imgs_u8, segs_u8, vt, sx, sy_msk, mode,
-                       cval, use_bil, tf)
+        if cfg.banded_warp:
+            return _sample_two_pass_banded(
+                imgs_u8, segs_u8, vt, sx, sy_msk, mode, cval, use_bil, tf,
+                out_dtype=jnp.float32 if cfg.legacy_ops else jnp.bfloat16)
+        return _sample_two_pass(imgs_u8, segs_u8, vt, sx, sy_msk, mode,
+                                cval, use_bil, tf)
 
     def coords(k, g):
         return _geometric_coords(jax.random.fold_in(k, 2), h, w, g, cfg)
@@ -688,15 +721,17 @@ def _geometric_batch(keys, imgs_u8, segs_u8, gates, cfg: AugmentConfig):
 # photometric pool ops (per-sample fns; f32, 0..255 domain, [H, W, 3])
 # ---------------------------------------------------------------------------
 
-def _sep_blur(img, kernel):
-    """Separable blur on [H, W, C]: 1-D kernel along H then W, edge padding.
-    Lowered as two depthwise convs (VPU-friendly)."""
+def _sep_blur(img, kernel, kernel_w=None):
+    """Separable filter on [H, W, C]: 1-D kernel along H then W (kernel_w
+    if given, else the same), edge padding. Lowered as two depthwise convs
+    (VPU-friendly). Rect-shape fallback of _sep_filter_mxu."""
     k = kernel.shape[0]
     p = k // 2
     c = img.shape[-1]
+    kw1 = kernel if kernel_w is None else kernel_w
     dn = ("NHWC", "HWIO", "NHWC")
     kh = jnp.tile(kernel.reshape(k, 1, 1, 1), (1, 1, 1, c))
-    kw = jnp.tile(kernel.reshape(1, k, 1, 1), (1, 1, 1, c))
+    kw = jnp.tile(kw1.reshape(1, k, 1, 1), (1, 1, 1, c))
     x = jnp.pad(img, ((p, p), (0, 0), (0, 0)), mode="edge")[None]
     x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID",
                                      dimension_numbers=dn,
@@ -706,6 +741,46 @@ def _sep_blur(img, kernel):
                                      dimension_numbers=dn,
                                      feature_group_count=c)
     return x[0]
+
+
+def _sep_blur_mxu(img, kernel):
+    """Separable blur on [H, W, C] (square H == W) as two MXU matmuls
+    against a banded blur matrix (same trick as the banded warp kernel:
+    TPUs do dense matmuls ~for free, so a 13-banded [N, N] matrix applied
+    on the MXU beats the depthwise-conv lowering, which measured 3.4
+    ms/application at 32x513^2 vs ~1.3 for this form — tools/bench_pool).
+    Boundary = edge replication: out-of-range taps accumulate onto the
+    clamped edge column, exactly _sep_blur's pad(mode='edge') semantics.
+    The tap masks are sample-independent (hoisted out of vmap); only the
+    13-weight combination is per-sample."""
+    return _sep_filter_mxu(img, kernel, kernel)
+
+
+def _band_matrix(kernel, n, dtype):
+    """[n, n] banded filter matrix: K[i, j] = sum_t kernel[t] *
+    1{j == clip(i + t - half)} (edge-replicate boundary), built as one
+    [k] x [k, n*n] MXU dot so the per-sample work is tiny."""
+    k = kernel.shape[0]
+    half = k // 2
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    eyes = jnp.stack([
+        (cols == jnp.clip(rows + (t - half), 0, n - 1)).astype(dtype)
+        for t in range(k)])
+    return jnp.tensordot(kernel.astype(dtype), eyes, axes=1)
+
+
+def _sep_filter_mxu(img, kh, kw):
+    """Separable filter on square [N, N, C]: 1-D kernel kh along H, kw
+    along W, as two banded-matrix MXU matmuls (edge boundary)."""
+    n = img.shape[0]
+    if img.shape[1] != n:
+        return _sep_blur(img, kh, kw)  # rect fallback (non-default sizes)
+    kmh = _band_matrix(kh, n, img.dtype)
+    tmp = jnp.tensordot(kmh, img, axes=((1,), (0,)))    # [H, W, C]
+    kmw = kmh if kw is kh else _band_matrix(kw, n, img.dtype)
+    out = jnp.einsum("hwc,vw->hvc", tmp, kmw)
+    return out
 
 
 def _gaussian_kernel(sigma, size: int = 13):
@@ -801,25 +876,42 @@ def _op_blur(key, x, cfg):
     mk = _gaussian_kernel(
         0.25 * jax.random.randint(r[3], (), 1, 6).astype(jnp.float32) * 2 + 0.25)
     kernel = jnp.where(which == 0, gk, jnp.where(which == 1, bk, mk))
-    return _sep_blur(x, kernel)
+    dt = _pool_dt(cfg)
+    blur = _sep_blur if cfg.legacy_ops else _sep_blur_mxu
+    return blur(x.astype(dt), kernel.astype(dt)).astype(jnp.float32)
+
+
+def _pool_dt(cfg):
+    return jnp.bfloat16 if cfg.pool_compute == "bf16" else jnp.float32
 
 
 def _op_sharpen(key, x, cfg):
+    # the imgaug sharpen kernel (all -1, center 8+lightness) decomposes as
+    # (9+lightness)*x - box3x3sum(x); the separable box sum rides the MXU
+    # (same banded-matmul trick as blur) instead of 9 VPU shift-reads
     r = jax.random.split(key, 2)
+    dt = _pool_dt(cfg)
     alpha = jax.random.uniform(r[0], ())
     lightness = jax.random.uniform(r[1], (), minval=0.75, maxval=1.5)
-    base = _conv3x3(x, jnp.full((3, 3), -1.0).at[1, 1].set(8.0 + lightness))
+    if cfg.legacy_ops:
+        k3 = jnp.full((3, 3), -1.0).at[1, 1].set(8.0 + lightness).astype(dt)
+        base = _conv3x3(x.astype(dt), k3).astype(jnp.float32)
+    else:
+        s3 = _sep_blur_mxu(x.astype(dt), jnp.ones((3,), dt))
+        base = (9.0 + lightness) * x - s3.astype(jnp.float32)
     return (1 - alpha) * x + alpha * base
 
 
 def _op_emboss(key, x, cfg):
     r = jax.random.split(key, 2)
+    dt = _pool_dt(cfg)
     strength = jax.random.uniform(r[0], (), maxval=2.0)
     ek = jnp.array([[-1.0 - strength, -strength, 0.0],
                     [-strength, 1.0, strength],
-                    [0.0, strength, 1.0 + strength]])
+                    [0.0, strength, 1.0 + strength]]).astype(dt)
     alpha = jax.random.uniform(r[1], ())
-    return (1 - alpha) * x + alpha * _conv3x3(x, ek)
+    return (1 - alpha) * x + alpha * _conv3x3(x.astype(dt),
+                                              ek).astype(jnp.float32)
 
 
 def _op_edge_blend(key, x, cfg):
@@ -828,9 +920,20 @@ def _op_edge_blend(key, x, cfg):
     gradient along a random direction."""
     h, w = x.shape[0], x.shape[1]
     r = jax.random.split(key, 4)
-    sobel_x = jnp.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
-    gx = _conv3x3(x, sobel_x)
-    gy = _conv3x3(x, sobel_x.T)
+    dt = _pool_dt(cfg)
+    # sobel is separable ([1,2,1] smooth x [-1,0,1] diff): two MXU banded
+    # matmuls per gradient (same trick as _sep_filter_mxu for blur/sharpen)
+    xc = x.astype(dt)
+    if cfg.legacy_ops:
+        sob = jnp.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0],
+                         [-1.0, 0.0, 1.0]]).astype(dt)
+        gx = _conv3x3(xc, sob).astype(jnp.float32)
+        gy = _conv3x3(xc, sob.T).astype(jnp.float32)
+    else:
+        smooth = jnp.asarray([1.0, 2.0, 1.0], dt)
+        diff = jnp.asarray([-1.0, 0.0, 1.0], dt)
+        gx = _sep_filter_mxu(xc, smooth, diff).astype(jnp.float32)
+        gy = _sep_filter_mxu(xc, diff, smooth).astype(jnp.float32)
     mag = jnp.clip(jnp.sqrt(gx ** 2 + gy ** 2), 0, 255)
     direction = jax.random.uniform(r[0], ()) * 2.0 * jnp.pi
     directed = jnp.clip(jax.nn.relu(gx * jnp.cos(direction)
@@ -848,8 +951,10 @@ def _op_noise(key, x, cfg):
     nscale = jax.random.uniform(r[0], (), minval=cfg.noise_scale[0],
                                 maxval=cfg.noise_scale[1])
     per_ch = jax.random.bernoulli(r[1], 0.5)
-    n = jax.random.normal(r[2], (h, w, 3)) * nscale
-    return x + jnp.where(per_ch, n, jnp.broadcast_to(n[..., :1], (h, w, 3)))
+    dt = _pool_dt(cfg)
+    n = jax.random.normal(r[2], (h, w, 3), dtype=dt) * nscale.astype(dt)
+    return x + jnp.where(per_ch, n,
+                         jnp.broadcast_to(n[..., :1], (h, w, 3)))
 
 
 def _op_dropout(key, x, cfg):
@@ -860,7 +965,9 @@ def _op_dropout(key, x, cfg):
     r = jax.random.split(key, 6)
     dp = jax.random.uniform(r[0], (), minval=cfg.dropout_p[0],
                             maxval=cfg.dropout_p[1])
-    u = jax.random.uniform(r[1], (h, w, 3))
+    dt = _pool_dt(cfg)
+    u = jax.random.uniform(r[1], (h, w, 3), dtype=dt)
+    dp = dp.astype(dt)
     keep = jnp.where(jax.random.bernoulli(r[2], 0.5),
                      u >= dp, jnp.broadcast_to(u[..., :1] >= dp, (h, w, 3)))
     cdp = jax.random.uniform(r[3], (), minval=cfg.coarse_dropout_p[0],
@@ -891,15 +998,19 @@ def _op_add(key, x, cfg):
 
 
 def _op_hue_sat(key, x, cfg):
+    # bf16 HSV roundtrip: hue ULP at 360 deg ~= 2 deg == cv2's u8 HSV
+    # granularity (H in 0..179), the space the reference op runs in
     r = jax.random.split(key, 2)
-    hsv = _rgb_to_hsv(jnp.clip(x, 0, 255) / 255.0)
+    dt = _pool_dt(cfg)
+    hsv = _rgb_to_hsv(jnp.clip(x.astype(dt), 0, 255) / dt(255.0))
     dh = jax.random.uniform(r[0], (), minval=cfg.hue_sat_range[0],
                             maxval=cfg.hue_sat_range[1]) * 2.0  # 0..179 -> deg
     dsat = jax.random.uniform(r[1], (), minval=cfg.hue_sat_range[0],
                               maxval=cfg.hue_sat_range[1]) / 255.0
-    hsv = hsv.at[..., 0].add(dh)
-    hsv = hsv.at[..., 1].set(jnp.clip(hsv[..., 1] + dsat, 0.0, 1.0))
-    return _hsv_to_rgb(hsv) * 255.0
+    hsv = hsv.at[..., 0].add(dh.astype(dt))
+    hsv = hsv.at[..., 1].set(jnp.clip(hsv[..., 1] + dsat.astype(dt),
+                                      0.0, 1.0))
+    return (_hsv_to_rgb(hsv) * 255.0).astype(jnp.float32)
 
 
 def _op_multiply(key, x, cfg):
@@ -958,14 +1069,21 @@ def _photometric_batch(key_order, keys, x, gates, cfg: AugmentConfig):
     per-sample ordering via vmapped switch — under vmap every branch
     executes at every scan position (13x13 op applications vs 13), so this
     is measurement-gated (tools/bench_augment.py ab; PERF.md)."""
-    carry_dt = jnp.bfloat16 if cfg.photo_bf16 else jnp.float32
+    carry_dt = {"u8": jnp.uint8, "bf16": jnp.bfloat16,
+                "f32": jnp.float32}[cfg.photo_carry]
+    u8 = cfg.photo_carry == "u8"
+
+    def _quant(v):
+        # u8 carry: requantize like imgaug does after EVERY augmenter
+        return jnp.clip(jnp.round(v), 0.0, 255.0) if u8 else v
+
     if cfg.per_sample_photo_order:
         def one_sample(k, img, g):
             branches = [
                 (lambda im, i=i, op=op: jnp.where(
                     g[i],
-                    op(jax.random.fold_in(k, 100 + i),
-                       im.astype(jnp.float32), cfg),
+                    _quant(op(jax.random.fold_in(k, 100 + i),
+                              im.astype(jnp.float32), cfg)),
                     im.astype(jnp.float32)).astype(carry_dt))
                 for i, op in enumerate(_PHOTO_OPS)]
 
@@ -974,7 +1092,7 @@ def _photometric_batch(key_order, keys, x, gates, cfg: AugmentConfig):
 
             perm = jax.random.permutation(jax.random.fold_in(k, 977),
                                           _N_PHOTO)
-            im, _ = jax.lax.scan(body, img.astype(carry_dt), perm)
+            im, _ = jax.lax.scan(body, _quant(img).astype(carry_dt), perm)
             return im
 
         x = jax.vmap(one_sample)(keys, x, gates)
@@ -985,17 +1103,25 @@ def _photometric_batch(key_order, keys, x, gates, cfg: AugmentConfig):
         def branch(xb, i=i, op=op):
             def one(k, img, g):
                 img = img.astype(jnp.float32)
-                out = op(jax.random.fold_in(k, 100 + i), img, cfg)
+                out = _quant(op(jax.random.fold_in(k, 100 + i), img, cfg))
                 return jnp.where(g, out, img).astype(carry_dt)
             return jax.vmap(one)(keys, xb, gates[:, i])
         branches.append(branch)
 
     perm = jax.random.permutation(key_order, _N_PHOTO)
 
-    def body(xb, idx):
-        return jax.lax.switch(idx, branches, xb), None
-
-    x, _ = jax.lax.scan(body, x.astype(carry_dt), perm)
+    # unrolled runtime-permuted switches: a lax.scan-of-switch pays while
+    # loop carry/condition overhead per iteration (~0.3 ms/iter at
+    # 32x513^2 over the pure branch cost — tools/bench_pool.py round 5);
+    # 13 unrolled switches keep the identical per-batch order semantics
+    x = _quant(x).astype(carry_dt)
+    if cfg.legacy_ops:
+        def body(xb, idx):
+            return jax.lax.switch(idx, branches, xb), None
+        x, _ = jax.lax.scan(body, x, perm)
+    else:
+        for s in range(_N_PHOTO):
+            x = jax.lax.switch(perm[s], branches, x)
     return jnp.clip(x.astype(jnp.float32), 0.0, 255.0)
 
 

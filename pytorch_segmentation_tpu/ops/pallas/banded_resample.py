@@ -90,9 +90,16 @@ def _kernel(starts_ref, ends_ref, ubil_ref, planes_ref, coords_ref,
             a_ref[:, r * _TILE:(r + 1) * _TILE] = jnp.where(
                 rows == r, pin, jnp.bfloat16(0))
 
-        # weight matrices per source row r': [128 j, 128 x] subtiles
+        # weight matrices per source row r': [128 j, 128 x] subtiles.
+        # Nearest weights use max(1 - d^2, 0): for integer-valued d =
+        # cn - pos this is the exact one-hot at 3 VPU ops/entry (the hat
+        # form costs 4; an i1 equality hits a Mosaic relayout error).
         pos = (jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 0)
                + base).astype(jnp.float32)
+
+        def wnear(r):
+            d = cn[r:r + 1, :] - pos
+            return jnp.maximum(1.0 - d * d, 0.0).astype(jnp.bfloat16)
 
         @pl.when(u)
         def _():                                   # bilinear image taps
@@ -100,10 +107,7 @@ def _kernel(starts_ref, ends_ref, ubil_ref, planes_ref, coords_ref,
                 wb = jnp.maximum(1.0 - jnp.abs(c[r:r + 1, :] - pos), 0.0)
                 bi_ref[r * _TILE:(r + 1) * _TILE, :] = wb.astype(
                     jnp.bfloat16)
-                wn = jnp.maximum(
-                    1.0 - jnp.abs(cn[r:r + 1, :] - pos), 0.0)
-                bn_ref[r * _TILE:(r + 1) * _TILE, :] = wn.astype(
-                    jnp.bfloat16)
+                bn_ref[r * _TILE:(r + 1) * _TILE, :] = wnear(r)
             acc_ref[0:3 * _ROWS, :] += jnp.dot(a_ref[0:3 * _ROWS, :], bi_ref[:],
                                         preferred_element_type=jnp.float32)
             acc_ref[3 * _ROWS:, :] += jnp.dot(a_ref[3 * _ROWS:, :], bn_ref[:],
@@ -112,16 +116,14 @@ def _kernel(starts_ref, ends_ref, ubil_ref, planes_ref, coords_ref,
         @pl.when(jnp.logical_not(u))
         def _():                                   # nearest: one matrix
             for r in range(_ROWS):
-                wn = jnp.maximum(
-                    1.0 - jnp.abs(cn[r:r + 1, :] - pos), 0.0)
-                bn_ref[r * _TILE:(r + 1) * _TILE, :] = wn.astype(
-                    jnp.bfloat16)
+                bn_ref[r * _TILE:(r + 1) * _TILE, :] = wnear(r)
             acc_ref[:] += jnp.dot(a_ref[:], bn_ref[:],
                                   preferred_element_type=jnp.float32)
 
     @pl.when(kb == _KB - 1)
     def _():
-        out_ref[0] = acc_ref[:].reshape(4, _ROWS, _TILE)
+        out_ref[0] = acc_ref[:].reshape(4, _ROWS, _TILE).astype(
+            out_ref.dtype)
 
 
 def _reference(planes, coords, use_bil):
@@ -141,20 +143,24 @@ def _reference(planes, coords, use_bil):
     return jnp.concatenate([img, seg[:, None]], 1)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def banded_resample_rows(planes, coords, use_bil, *, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+def banded_resample_rows(planes, coords, use_bil, *, interpret=False,
+                         out_dtype=jnp.float32):
     """Resample the last axis of `planes` at per-row coordinates.
 
     planes:  [B, 4, R, C] bf16 — r, g, b, seg-id value planes
     coords:  [B, R, W] f32 source columns, in [0, C-1]
     use_bil: [B] bool — imgaug Affine order draw (True: bilinear image
              taps; False: nearest). Plane 3 (seg) is always nearest.
-    Returns [B, 4, R, W] f32 (seg plane holds exact integer values).
+    Returns [B, 4, R, W] `out_dtype` (seg plane holds exact integer
+    values; accumulation is f32 either way — bf16 output halves the
+    kernel's HBM write + downstream read traffic and represents u8-range
+    values and integer seg ids exactly).
     """
     b, p, r, c = planes.shape
     assert p == 4, planes.shape
     if not interpret and jax.devices()[0].platform != "tpu":
-        return _reference(planes, coords, use_bil)
+        return _reference(planes, coords, use_bil).astype(out_dtype)
     w = coords.shape[-1]
     rp = -r % _ROWS
     wp = -w % _TILE
@@ -218,7 +224,7 @@ def banded_resample_rows(planes, coords, use_bil, *, interpret=False):
                 pltpu.VMEM((_ROWS * _TILE, _TILE), jnp.bfloat16),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, 4, rr, ww), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, 4, rr, ww), out_dtype),
         interpret=interpret,
     )(sb.reshape(-1), eb.reshape(-1), use_bil.astype(jnp.int32), planes,
       coords)

@@ -1,6 +1,7 @@
 """On-device augmentation: shape/dtype invariants, image-mask geometric
 consistency, determinism, value ranges."""
 
+import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -113,10 +114,13 @@ def test_warp_order_sampled_per_image(rng):
     two configs consume identical geometric randomness per sample, so only
     the dither distinguishes them). Also: exact 4-tap bilinear (order=1)
     yields fractional values on a ramp where nearest stays integral."""
+    # photo_carry="f32": the default u8 pool entry requantizes the warp
+    # output to integers (imgaug-faithful) and would hide the fractional
+    # bilinear values this test asserts on
     kw = dict(p_fliplr=0.0, p_flipud=0.0, p_crop_pad=0.0, p_affine=1.0,
               rotate_range=(30.0, 30.0), shear_range=(0.0, 0.0),
               scale_range=(1.0, 1.0), translate_range=(0.0, 0.0),
-              p_sometimes=0.0, someof_max=0)
+              p_sometimes=0.0, someof_max=0, photo_carry="f32")
     ramp = np.linspace(0, 255, 32 * 32).reshape(32, 32).astype(np.uint8)
     imgs = jnp.asarray(np.tile(ramp[None, :, :, None], (8, 1, 1, 3)))
     segs = jnp.zeros((8, 32, 32), jnp.uint8)
@@ -135,6 +139,24 @@ def test_warp_order_sampled_per_image(rng):
         AugmentConfig(image_warp_order=1, **kw))(key, imgs, segs)[0])
     frac = np.abs(out_bil - np.round(out_bil)).max()
     assert frac > 1e-3, "exact bilinear should interpolate fractionally"
+
+
+def test_u8_pool_carry_requantizes_like_imgaug(rng):
+    """Default photo_carry='u8': every pool op's output (and the pool
+    entry) is rounded to integer 0..255 — the reference's per-augmenter
+    uint8 requantization (imgaug rounds every op output; Affine included).
+    The full default-policy output must therefore be integral and in
+    range; photo_carry='bf16'/'f32' keep fractional values."""
+    cfg = AugmentConfig(someof_max=5)
+    imgs, segs = _batch(rng, b=4)
+    out = np.asarray(make_augment_fn(cfg)(jax.random.PRNGKey(3), imgs,
+                                          segs)[0])
+    np.testing.assert_array_equal(out, np.round(out))
+    assert out.min() >= 0.0 and out.max() <= 255.0
+    out_f32 = np.asarray(make_augment_fn(
+        dataclasses.replace(cfg, photo_carry="f32"))(
+            jax.random.PRNGKey(3), imgs, segs)[0])
+    assert np.abs(out_f32 - np.round(out_f32)).max() > 1e-3
 
 
 def test_photometric_order_is_batch_random(rng):

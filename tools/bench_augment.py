@@ -72,7 +72,9 @@ def bench_e2e(cfg, label):
         # separate tiny dispatch costing ~190 ms on this tunneled runtime
         # (tools/bench_e2e_diag.py); production PostFetch does the same
         img, seg = aug(jax.random.fold_in(key, step_i), images, segs)
-        return normalize_images(img, jnp.float32), seg
+        # bf16 feed: the model's first conv casts to bf16 anyway, so this
+        # is bit-identical downstream and halves the prep-out/step-in HBM
+        return normalize_images(img, jnp.bfloat16), seg
 
     import numpy as np
     images = jax.random.randint(key, (B, H, W, 3), 0, 255, jnp.uint8)
@@ -133,6 +135,9 @@ def ab_twopass():
         ("legacy rbg-rng", AugmentConfig(banded_warp=False,
                                          separable_warp=False,
                                          rng_impl="rbg")),
+        ("pool u8 (default)", AugmentConfig(photo_carry="u8")),
+        ("pool bf16", AugmentConfig(photo_carry="bf16")),
+        ("pool f32", AugmentConfig(photo_carry="f32")),
     ]
     import sys
     if len(sys.argv) > 2:  # substring filter: bench_augment.py ab rbg

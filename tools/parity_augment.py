@@ -54,12 +54,13 @@ NC = 3
 
 VARIANTS = {
     "banded": AugmentConfig(),
-    "gather": AugmentConfig(banded_warp=False, photo_bf16=False),
-    "exact4": AugmentConfig(banded_warp=False, photo_bf16=False,
+    "gather": AugmentConfig(banded_warp=False, photo_carry="f32"),
+    "exact4": AugmentConfig(banded_warp=False, photo_carry="f32",
                             image_warp_order=1),
     "fast": AugmentConfig(fast_geometric=True),
     "psample-photo": AugmentConfig(per_sample_photo_order=True),
-    "f32-pool": AugmentConfig(photo_bf16=False),
+    "f32-pool": AugmentConfig(photo_carry="f32"),
+    "bf16-pool": AugmentConfig(photo_carry="bf16"),
 }
 
 

@@ -231,7 +231,8 @@ def run_parity(name: str, steps: int = 400, hw: int = 64, bs: int = 8,
                lr: float = 1e-2, momentum: float = 0.9,
                train_n: int = 256, val_n: int = 64, seed: int = 0,
                eval_every: int = 50, noise_floor: bool = False,
-               schedule: str = "constant", log=print) -> dict:
+               schedule: str = "constant", floor_runs: int = 1,
+               log=print) -> dict:
     """Train torch mirror + JAX framework from identical weights on
     identical batches; return the parity record."""
     from test_model_golden_parity import _port
@@ -280,21 +281,29 @@ def run_parity(name: str, steps: int = 400, hw: int = 64, bs: int = 8,
 
     if noise_floor:
         # same init, different batch ORDER: the intrinsic outcome spread
-        # of the torch reference against itself
-        torch.manual_seed(seed)
-        tmodel2 = tbuild()
-        order2 = np.random.default_rng(seed + 999)
-        idx2 = []
-        while len(idx2) < steps * bs:
-            idx2.extend(order2.permutation(train_n))
-        idx2 = np.asarray(idx2[:steps * bs]).reshape(steps, bs)
-        batches2 = [(tr[0][b], tr[1][b]) for b in idx2]
-        log(f"[{name}] torch noise-floor run...")
-        nevals, _ = _train_torch(tmodel2, batches2, lr, momentum,
-                                 eval_every, val, log, schedule)
+        # of the torch reference against itself. floor_runs > 1 (round-5
+        # statistics protocol, VERDICT r4 #1) samples the torch-vs-torch
+        # delta DISTRIBUTION instead of a single floor estimate.
+        floors = []
+        for k in range(floor_runs):
+            torch.manual_seed(seed)
+            tmodel2 = tbuild()
+            order2 = np.random.default_rng(seed + 999 + 1000 * k)
+            idx2 = []
+            while len(idx2) < steps * bs:
+                idx2.extend(order2.permutation(train_n))
+            idx2 = np.asarray(idx2[:steps * bs]).reshape(steps, bs)
+            batches2 = [(tr[0][b], tr[1][b]) for b in idx2]
+            log(f"[{name}] torch noise-floor run {k + 1}/{floor_runs}...")
+            nevals, _ = _train_torch(tmodel2, batches2, lr, momentum,
+                                     eval_every, val, log, schedule)
+            floors.append(_plateau(nevals))
         rec["noise_floor_plateau_delta"] = abs(
-            _plateau(tevals) - _plateau(nevals))
-        rec["torch2_plateau"] = _plateau(nevals)
+            _plateau(tevals) - floors[0])
+        rec["torch2_plateau"] = floors[0]
+        rec["floor_plateaus"] = floors
+        rec["floor_deltas_signed"] = [f - _plateau(tevals) for f in floors]
+        rec["cross_delta_signed"] = _plateau(jevals) - _plateau(tevals)
     return rec
 
 
@@ -310,6 +319,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval-every", type=int, default=50)
     ap.add_argument("--noise-floor", action="store_true")
+    ap.add_argument("--floor-runs", type=int, default=1,
+                    help="number of torch noise-floor reruns (distinct "
+                         "batch orders; >1 samples the null distribution)")
     ap.add_argument("--schedule", default="constant",
                     choices=["constant", "poly"])
     ap.add_argument("--noise-floor-models", default="",
@@ -331,7 +343,7 @@ def main():
             name, steps=opt.steps, hw=opt.hw, bs=opt.bs, lr=opt.lr,
             train_n=opt.train_n, val_n=opt.val_n, seed=opt.seed,
             eval_every=opt.eval_every, noise_floor=nf,
-            schedule=opt.schedule))
+            schedule=opt.schedule, floor_runs=opt.floor_runs))
 
     lines = ["| model | steps | torch mIoU (final/plateau) | "
              "jax mIoU (final/plateau) | Δplateau | noise floor | pass |",

@@ -138,9 +138,14 @@ def train(data_dir, model_name, epochs, img_size, batch_size, accumulate, lr,
     augment_fn = make_augment_fn(
         AugmentConfig(fast_geometric=True) if fast_augment else None)
     from pytorch_segmentation_tpu.data.mix import make_mix_fn
+    # bf16 feed when the model computes bf16: its first conv casts the
+    # input anyway, so this is bit-identical downstream and halves the
+    # prep-out/step-in HBM traffic (PERF.md round 5)
+    feed_dtype = jnp.bfloat16 if mixed_precision else jnp.float32
     train_fetcher = Fetcher(train_loader, PostFetch(
         augment_fn=augment_fn, multi_scale=multi_scale, base_hw=(h, w),
-        seed=seed, mix_fn=make_mix_fn(cutmix_p=cutmix, mosaic_p=mosaic)))
+        seed=seed, dtype=feed_dtype,
+        mix_fn=make_mix_fn(cutmix_p=cutmix, mosaic_p=mosaic)))
 
     if not notest:
         val_data = ds_cls(val_coco, img_size=img_size, augments=False,
