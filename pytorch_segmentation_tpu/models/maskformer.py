@@ -78,9 +78,10 @@ def _sine_pos_embed(h, w, dim, dtype):
 
 
 class _MHA(nn.Module):
-    """Plain multi-head attention (torch nn.MultiheadAttention layout:
-    packed in-proj, out-proj) with DETR's additive positional terms on
-    query/key only."""
+    """Plain multi-head attention (separate q/k/v/proj Linears — the
+    torch mirror uses the same separate-projection layout, NOT
+    nn.MultiheadAttention's packed in-proj) with DETR's additive
+    positional terms on query/key only."""
     dim: int
     heads: int
     dtype: jnp.dtype
@@ -144,6 +145,12 @@ class MaskFormer(nn.Module):
     up_align_corners: bool = False
     output_stride: int = 4
     remat: bool = False
+    # aux_loss=True (the paper's training recipe) additionally returns
+    # per-decoder-layer predictions from the SHARED heads in train mode
+    # ("aux_cls"/"aux_mask", stacked over the first dec_layers-1 layers);
+    # make_maskformer_loss applies the full matched loss to each
+    # (deep supervision, arXiv:2107.06278 app. — as in DETR)
+    aux_loss: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -184,25 +191,38 @@ class MaskFormer(nn.Module):
                            nn.initializers.normal(1.0),
                            (self.num_queries, self.dim), jnp.float32)
         q_pos = q_emb.astype(self.dtype)[None]
+        # ---- shared heads (applied to every supervised layer) --------
+        dense = functools.partial(nn.Dense, dtype=self.dtype,
+                                  param_dtype=jnp.float32)
+        dec_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                param_dtype=jnp.float32, name="dec_norm")
+        cls_head = dense(self.num_classes + 1, name="cls_head")
+        mlp0 = dense(self.dim, name="mask_mlp0")
+        mlp1 = dense(self.dim, name="mask_mlp1")
+        mlp2 = dense(self.mask_dim, name="mask_mlp2")
+
+        def heads(qn):
+            cl = cls_head(qn)
+            e = mlp2(nn.relu(mlp1(nn.relu(mlp0(qn)))))
+            ml = jnp.einsum("bqc,bhwc->bqhw", e, pixel_emb)
+            return cl.astype(jnp.float32), ml.astype(jnp.float32)
+
         q = jnp.zeros((b, self.num_queries, self.dim), self.dtype)
+        aux = []
         for i in range(self.dec_layers):
             q = _DecoderLayer(self.dim, self.heads, self.dtype,
                               name=f"dec{i}")(q, mem, q_pos, m_pos)
-        q = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
-                         param_dtype=jnp.float32, name="dec_norm")(q)
-
-        # ---- heads ---------------------------------------------------
-        dense = functools.partial(nn.Dense, dtype=self.dtype,
-                                  param_dtype=jnp.float32)
-        cls_logits = dense(self.num_classes + 1, name="cls_head")(q)
-        e = nn.relu(dense(self.dim, name="mask_mlp0")(q))
-        e = nn.relu(dense(self.dim, name="mask_mlp1")(e))
-        e = dense(self.mask_dim, name="mask_mlp2")(e)
-        mask_logits = jnp.einsum("bqc,bhwc->bqhw", e, pixel_emb)
+            if train and self.aux_loss and i < self.dec_layers - 1:
+                aux.append(heads(dec_norm(q)))
+        q = dec_norm(q)
+        cls_logits, mask_logits = heads(q)
 
         if train:
-            return {"cls": cls_logits.astype(jnp.float32),
-                    "mask": mask_logits.astype(jnp.float32)}
+            out = {"cls": cls_logits, "mask": mask_logits}
+            if aux:
+                out["aux_cls"] = jnp.stack([a[0] for a in aux])
+                out["aux_mask"] = jnp.stack([a[1] for a in aux])
+            return out
 
         # ---- semantic inference (paper eq. of §3.4) ------------------
         p_cls = jax.nn.softmax(cls_logits.astype(jnp.float32),
@@ -282,33 +302,29 @@ def make_maskformer_loss(num_classes: int, matcher: str = "sinkhorn",
     dice on the matched masks. Targets are built statically: one binary
     mask per class with a presence gate (semantic set prediction)."""
 
-    def loss_fn(outputs, segs):
-        cls, mask = outputs["cls"], outputs["mask"]     # f32
-        b, nq, hh, ww = mask.shape
-        # stride-aligned order-0 target subsample (mask stride vs labels)
-        sy, sx = segs.shape[1] // hh, segs.shape[2] // ww
-        tgt = segs[:, ::sy, ::sx][:, :hh, :ww]
-        onehot = jax.nn.one_hot(tgt, num_classes,
-                                dtype=jnp.float32)          # [B,h,w,C]
-        present = jnp.sum(onehot, (1, 2)) > 0               # [B, C]
-        tsum = jnp.sum(onehot, (1, 2))                      # [B, C]
-        npx = float(hh * ww)
-
+    def one_layer(cls, mask, onehot, present, tsum, valid, nvalid):
+        """Matched set loss for ONE prediction layer (shared by the final
+        output and every deep-supervision layer — each layer is matched
+        independently, as in DETR/MaskFormer)."""
         logp = jax.nn.log_softmax(cls, -1)                  # [B,Q,K+1]
         m = jax.nn.sigmoid(mask)
         # focal terms, decomposed so the [B,Q,C] cost needs only einsums:
-        #   focal_pos = alpha * (1-m)^g * -log(m); focal_neg analogous
+        #   focal_pos = alpha * (1-m)^g * -log(m); focal_neg analogous.
+        # Ignored pixels (label >= num_classes, e.g. 255) are excluded
+        # from every pixel sum via `valid` — they are neither positives
+        # (all-zero one-hot) nor negatives (masked fneg/denominators).
         fpos = -focal_alpha * ((1 - m) ** focal_gamma) \
             * jnp.log(jnp.clip(m, 1e-8))
         fneg = -(1 - focal_alpha) * (m ** focal_gamma) \
-            * jnp.log(jnp.clip(1 - m, 1e-8))
-        inter = jnp.einsum("bqhw,bhwc->bqc", m, onehot)
+            * jnp.log(jnp.clip(1 - m, 1e-8)) * valid[:, None]
+        inter = jnp.einsum("bqhw,bhwc->bqc", m * valid[:, None], onehot)
         pos = jnp.einsum("bqhw,bhwc->bqc", fpos, onehot)
         neg = (jnp.sum(fneg, (2, 3))[..., None]
                - jnp.einsum("bqhw,bhwc->bqc", fneg, onehot))
-        focal_qc = (pos + neg) / npx
+        focal_qc = (pos + neg) / nvalid[:, None, None]
         dice_qc = 1.0 - (2 * inter + 1.0) / (
-            jnp.sum(m, (2, 3))[..., None] + tsum[:, None, :] + 1.0)
+            jnp.sum(m * valid[:, None], (2, 3))[..., None]
+            + tsum[:, None, :] + 1.0)
         cost = (w_cls * (-jnp.exp(logp[..., :num_classes]))
                 + w_focal * focal_qc + w_dice * dice_qc)
 
@@ -319,10 +335,13 @@ def make_maskformer_loss(num_classes: int, matcher: str = "sinkhorn",
 
         n_match = jnp.maximum(jnp.sum(asgn), 1.0)
         # class CE over every query: matched -> its class, else no-object
-        # (weight eos_coef) — the DETR/MaskFormer classification loss
+        # (weight eos_coef) — the DETR/MaskFormer classification loss.
+        # `matched` is clamped to [0,1]: a (rare) Sinkhorn decode
+        # collision would otherwise drive 1-matched negative and flip the
+        # sign of the no-object term.
         q_cls_logp = jnp.einsum("bcq,bqc->bq", asgn,
                                 logp[..., :num_classes])
-        matched = jnp.sum(asgn, 1)                          # [B, Q] 0/1
+        matched = jnp.minimum(jnp.sum(asgn, 1), 1.0)        # [B, Q] 0/1
         ce = -(q_cls_logp + (1 - matched) * eos_coef
                * logp[..., num_classes])
         denom = jnp.sum(matched) + eos_coef * jnp.sum(1 - matched)
@@ -336,5 +355,29 @@ def make_maskformer_loss(num_classes: int, matcher: str = "sinkhorn",
         loss_mask = (w_focal * jnp.sum(focal_m)
                      + w_dice * jnp.sum(dice_m)) / n_match
         return w_cls * loss_cls + loss_mask
+
+    def loss_fn(outputs, segs):
+        cls, mask = outputs["cls"], outputs["mask"]     # f32
+        b, nq, hh, ww = mask.shape
+        # stride-aligned order-0 target subsample (mask stride vs labels)
+        sy, sx = segs.shape[1] // hh, segs.shape[2] // ww
+        tgt = segs[:, ::sy, ::sx][:, :hh, :ww]
+        onehot = jax.nn.one_hot(tgt, num_classes,
+                                dtype=jnp.float32)          # [B,h,w,C]
+        valid = (tgt < num_classes).astype(jnp.float32)     # [B,h,w]
+        nvalid = jnp.maximum(jnp.sum(valid, (1, 2)), 1.0)   # [B]
+        present = jnp.sum(onehot, (1, 2)) > 0               # [B, C]
+        tsum = jnp.sum(onehot, (1, 2))                      # [B, C]
+
+        total = one_layer(cls, mask, onehot, present, tsum, valid, nvalid)
+        if "aux_cls" in outputs:
+            # deep supervision: the full matched loss at every decoder
+            # layer, unit weight each (the paper's recipe)
+            for i in range(outputs["aux_cls"].shape[0]):
+                total = total + one_layer(outputs["aux_cls"][i],
+                                          outputs["aux_mask"][i],
+                                          onehot, present, tsum, valid,
+                                          nvalid)
+        return total
 
     return loss_fn

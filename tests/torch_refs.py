@@ -1801,19 +1801,28 @@ class TMaskFormer(nn.Module):
         mem = self.input_proj(c5).flatten(2).transpose(1, 2)
         m_pos = _t_sine_pos_embed(h5, w5, mem.shape[-1])[None]
         q_pos = self.query_embed[None]
+        def heads(qn):
+            cl = self.cls_head(qn)
+            e = self.mask_mlp2(F.relu(self.mask_mlp1(
+                F.relu(self.mask_mlp0(qn)))))
+            return cl, torch.einsum("bqc,bchw->bqhw", e, pixel_emb)
+
         q = torch.zeros(b, self.query_embed.shape[0],
                         self.query_embed.shape[1])
+        aux = []
         for i in range(self.dec_layers):
             q = getattr(self, f"dec{i}")(q, mem, q_pos, m_pos)
+            if return_heads == "all" and i < self.dec_layers - 1:
+                aux.append(heads(self.dec_norm(q)))  # shared norm + heads
         q = self.dec_norm(q)
 
-        cls_logits = self.cls_head(q)
-        e = self.mask_mlp2(F.relu(self.mask_mlp1(F.relu(self.mask_mlp0(q)))))
-        mask_logits = torch.einsum("bqc,bchw->bqhw", e, pixel_emb)
+        cls_logits, mask_logits = heads(q)
         p_cls = cls_logits.softmax(-1)[..., :self.num_classes]
         sem = torch.einsum("bqc,bqhw->bchw", p_cls, mask_logits.sigmoid())
         sem = F.interpolate(sem, scale_factor=4, mode="bilinear",
                             align_corners=False)
+        if return_heads == "all":
+            return cls_logits, mask_logits, aux, sem
         if return_heads:
             return cls_logits, mask_logits, sem
         return sem

@@ -125,7 +125,8 @@ def miou_from_preds(preds: np.ndarray, labels: np.ndarray,
 # configs — unlike the trajectory tests these are the production depths
 # (reference models/{unet,deeplabv3plus,hrnet}.py).
 def _cases():
-    from torch_refs import TDeepLabV3Plus, THRNet, TUNet
+    from torch_refs import TDeepLabV3Plus, THRNet, TMaskFormer, TUNet
+    from pytorch_segmentation_tpu.models import MaskFormer
     return {
         "unet": (lambda: UNet(num_classes=NC, dtype=jnp.float32),
                  lambda: TUNet(NC), convert_mobilenetv2),
@@ -135,7 +136,98 @@ def _cases():
             lambda sd: convert_resnet(sd, layers=(3, 4, 6, 3))),
         "hrnet": (lambda: HRNet(num_classes=NC, dtype=jnp.float32),
                   lambda: THRNet(NC), None),
+        "maskformer": (
+            lambda: MaskFormer(num_classes=NC, dtype=jnp.float32),
+            lambda: TMaskFormer(NC),
+            lambda sd: convert_resnet(sd, layers=(3, 4, 6, 3))),
     }
+
+
+# ---------------------------------------------------------------------------
+# maskformer torch-side training (the set-prediction loss with EXACT
+# Hungarian matching — the jax side trains with the production device
+# Sinkhorn, so this side-by-side also bounds the matcher approximation's
+# outcome cost; VERDICT r4 #4)
+# ---------------------------------------------------------------------------
+
+def _t_mf_layer(cls, mask, tgt, nc, w_cls=1.0, w_focal=20.0, w_dice=1.0,
+                eos=0.1, alpha=0.25, gamma=2.0):
+    """torch mirror of models/maskformer.py make_maskformer_loss.one_layer
+    (same decomposed focal/dice costs and CE normalization), with scipy
+    Hungarian on the detached cost."""
+    from scipy.optimize import linear_sum_assignment
+    b, nq, hh, ww = mask.shape
+    onehot = F.one_hot(tgt.clamp(max=nc - 1), nc).float() \
+        * (tgt < nc).float().unsqueeze(-1)                  # [B,h,w,C]
+    valid = (tgt < nc).float()                              # [B,h,w]
+    nvalid = valid.sum((1, 2)).clamp(min=1.0)               # [B]
+    present = onehot.sum((1, 2)) > 0                        # [B, C]
+    tsum = onehot.sum((1, 2))
+
+    logp = F.log_softmax(cls, -1)
+    m = torch.sigmoid(mask)
+    fpos = -alpha * ((1 - m) ** gamma) * torch.log(m.clamp(min=1e-8))
+    fneg = -(1 - alpha) * (m ** gamma) \
+        * torch.log((1 - m).clamp(min=1e-8)) * valid[:, None]
+    inter = torch.einsum("bqhw,bhwc->bqc", m * valid[:, None], onehot)
+    pos = torch.einsum("bqhw,bhwc->bqc", fpos, onehot)
+    neg = (fneg.sum((2, 3))[..., None]
+           - torch.einsum("bqhw,bhwc->bqc", fneg, onehot))
+    focal_qc = (pos + neg) / nvalid[:, None, None]
+    dice_qc = 1.0 - (2 * inter + 1.0) / (
+        (m * valid[:, None]).sum((2, 3))[..., None]
+        + tsum[:, None, :] + 1.0)
+    cost = (w_cls * (-logp[..., :nc].exp()) + w_focal * focal_qc
+            + w_dice * dice_qc)
+
+    asgn = torch.zeros(b, nc, nq)
+    cnp = cost.detach().numpy()
+    pnp = present.numpy()
+    for i in range(b):
+        cols = np.nonzero(pnp[i])[0]
+        if len(cols) == 0:
+            continue
+        r, c = linear_sum_assignment(cnp[i][:, cols])
+        asgn[i, cols[c], r] = 1.0
+
+    n_match = asgn.sum().clamp(min=1.0)
+    q_cls_logp = torch.einsum("bcq,bqc->bq", asgn, logp[..., :nc])
+    matched = asgn.sum(1).clamp(max=1.0)
+    ce = -(q_cls_logp + (1 - matched) * eos * logp[..., nc])
+    denom = (matched.sum() + eos * (1 - matched).sum()).clamp(min=1.0)
+    loss_cls = ce.sum() / denom
+    focal_m = torch.einsum("bcq,bqc->bc", asgn, focal_qc)
+    dice_m = torch.einsum("bcq,bqc->bc", asgn, dice_qc)
+    loss_mask = (w_focal * focal_m.sum() + w_dice * dice_m.sum()) / n_match
+    return w_cls * loss_cls + loss_mask
+
+
+def _torch_step_maskformer(tmodel, x, y):
+    cls, mask, aux, _ = tmodel(
+        torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+        return_heads="all")
+    ty = torch.from_numpy(y).long()
+    hh, ww = mask.shape[-2:]
+    sy, sx = y.shape[1] // hh, y.shape[2] // ww
+    tgt = ty[:, ::sy, ::sx][:, :hh, :ww]
+    total = _t_mf_layer(cls, mask, tgt, NC)
+    for c, mk in aux:
+        total = total + _t_mf_layer(c, mk, tgt, NC)
+    return total
+
+
+def _torch_step_ce(tmodel, x, y):
+    out = tmodel(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    return F.cross_entropy(out, torch.from_numpy(y).long())
+
+
+def _case_losses(name):
+    """(jax loss_fn for make_train_step, torch per-batch loss fn)."""
+    if name == "maskformer":
+        from pytorch_segmentation_tpu.models.maskformer import (
+            make_maskformer_loss)
+        return make_maskformer_loss(NC), _torch_step_maskformer
+    return compute_loss, _torch_step_ce
 
 
 def _poly_lr(lr, i, total):
@@ -146,7 +238,7 @@ def _poly_lr(lr, i, total):
 
 
 def _train_torch(tmodel, batches, lr, momentum, eval_every, val, log,
-                 schedule="constant"):
+                 schedule="constant", step_fn=_torch_step_ce):
     topt = torch.optim.SGD(tmodel.parameters(), lr=lr, momentum=momentum)
     evals, losses = [], []
     tmodel.train()
@@ -155,8 +247,7 @@ def _train_torch(tmodel, batches, lr, momentum, eval_every, val, log,
             for g in topt.param_groups:
                 g["lr"] = _poly_lr(lr, i, len(batches))
         topt.zero_grad()
-        out = tmodel(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
-        tl = F.cross_entropy(out, torch.from_numpy(y).long())
+        tl = step_fn(tmodel, x, y)
         tl.backward()
         topt.step()
         losses.append(float(tl.detach()))
@@ -181,7 +272,7 @@ def _eval_torch(tmodel, val, bs=8):
 
 
 def _train_jax(model, variables, batches, lr, momentum, eval_every, val,
-               log, schedule="constant"):
+               log, schedule="constant", loss_fn=compute_loss):
     if schedule == "poly":
         # optax polynomial_schedule(init, 0, 0.9, T) == _poly_lr at the
         # same update index (optax counts from 0, as does the torch loop)
@@ -196,7 +287,7 @@ def _train_jax(model, variables, batches, lr, momentum, eval_every, val,
                            jnp.asarray, variables["batch_stats"]),
                        opt_state=tx.init(params), tx=tx,
                        apply_fn=model.apply)
-    step = make_train_step(loss_fn=compute_loss, accumulate=1,
+    step = make_train_step(loss_fn=loss_fn, accumulate=1,
                            donate=False)
 
     @jax.jit
@@ -255,16 +346,19 @@ def run_parity(name: str, steps: int = 400, hw: int = 64, bs: int = 8,
     model = build()
     variables = _port(model, tmodel, conv, sample_hw=(hw, hw))
 
+    jax_loss, torch_step = _case_losses(name)
     t0 = time.time()
     log(f"[{name}] torch training ({steps} steps)...")
     tevals, tlosses = _train_torch(tmodel, batches, lr, momentum,
-                                   eval_every, val, log, schedule)
+                                   eval_every, val, log, schedule,
+                                   step_fn=torch_step)
     t_torch = time.time() - t0
 
     t0 = time.time()
     log(f"[{name}] jax training ({steps} steps)...")
     jevals, jlosses = _train_jax(model, variables, batches, lr, momentum,
-                                 eval_every, val, log, schedule)
+                                 eval_every, val, log, schedule,
+                                 loss_fn=jax_loss)
     t_jax = time.time() - t0
 
     rec = {
@@ -296,7 +390,8 @@ def run_parity(name: str, steps: int = 400, hw: int = 64, bs: int = 8,
             batches2 = [(tr[0][b], tr[1][b]) for b in idx2]
             log(f"[{name}] torch noise-floor run {k + 1}/{floor_runs}...")
             nevals, _ = _train_torch(tmodel2, batches2, lr, momentum,
-                                     eval_every, val, log, schedule)
+                                     eval_every, val, log, schedule,
+                                     step_fn=torch_step)
             floors.append(_plateau(nevals))
         rec["noise_floor_plateau_delta"] = abs(
             _plateau(tevals) - floors[0])
