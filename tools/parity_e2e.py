@@ -363,7 +363,7 @@ def run_parity(name: str, steps: int = 400, hw: int = 64, bs: int = 8,
 
     rec = {
         "model": name, "steps": steps, "hw": hw, "bs": bs, "lr": lr,
-        "schedule": schedule,
+        "schedule": schedule, "seed": seed,
         "torch_miou": tevals[-1][1], "jax_miou": jevals[-1][1],
         "torch_plateau": _plateau(tevals), "jax_plateau": _plateau(jevals),
         "delta_final": abs(tevals[-1][1] - jevals[-1][1]),
