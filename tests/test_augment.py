@@ -159,6 +159,29 @@ def test_u8_pool_carry_requantizes_like_imgaug(rng):
     assert np.abs(out_f32 - np.round(out_f32)).max() > 1e-3
 
 
+def test_legacy_ops_round4_reconstruction(rng):
+    """AugmentConfig(legacy_ops=True) — the round-4 program shapes used by
+    tools/bench_regress.py's drift-proof cross-round legs — must still
+    produce valid output (conv blur, shift-add 3x3s, scan-of-switch pool,
+    f32 kernel out), and the MXU rewrites must stay numerically close to
+    the legacy forms under identical keys (same draws, filters verified
+    equivalent to <4e-4 at f32; bf16 internals allow ~1 intensity step)."""
+    # elastic_alpha=0: the bf16 jitter DRAW (non-legacy) consumes the
+    # same key with a different dtype, so nonzero amplitudes would give
+    # different (equally valid) coordinate noise and break the pairing
+    cfg4 = AugmentConfig(photo_carry="bf16", rng_impl=None,
+                         pool_compute="f32", legacy_ops=True,
+                         elastic_alpha=(0.0, 0.0))
+    cfg4_mxu = dataclasses.replace(cfg4, legacy_ops=False)
+    imgs, segs = _batch(rng, b=4)
+    a_i, a_s = make_augment_fn(cfg4)(jax.random.PRNGKey(5), imgs, segs)
+    b_i, b_s = make_augment_fn(cfg4_mxu)(jax.random.PRNGKey(5), imgs, segs)
+    np.testing.assert_array_equal(np.asarray(a_s), np.asarray(b_s))
+    assert float(jnp.max(jnp.abs(a_i - b_i))) <= 2.0  # bf16 blur vs f32
+    assert a_i.shape == imgs.shape
+    assert float(a_i.min()) >= 0.0 and float(a_i.max()) <= 255.0
+
+
 def test_photometric_order_is_batch_random(rng):
     """Two keys with identical per-sample streams but different order keys
     give different compositions for the same image when several ops fire."""
