@@ -61,6 +61,11 @@ VARIANTS = {
     "psample-photo": AugmentConfig(per_sample_photo_order=True),
     "f32-pool": AugmentConfig(photo_carry="f32"),
     "bf16-pool": AugmentConfig(photo_carry="bf16"),
+    # deconfounders for the bars study (round 5): same order distribution
+    # / same carry, isolating one factor each
+    "banded-o1": AugmentConfig(image_warp_order=1),
+    "gather-u8": AugmentConfig(banded_warp=False),
+    "gather-f32": AugmentConfig(banded_warp=False, photo_carry="f32"),
 }
 
 

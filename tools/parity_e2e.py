@@ -238,8 +238,15 @@ def _poly_lr(lr, i, total):
 
 
 def _train_torch(tmodel, batches, lr, momentum, eval_every, val, log,
-                 schedule="constant", step_fn=_torch_step_ce):
-    topt = torch.optim.SGD(tmodel.parameters(), lr=lr, momentum=momentum)
+                 schedule="constant", step_fn=_torch_step_ce,
+                 opt="sgd"):
+    # adam: the transformer families (maskformer) never leave the trivial
+    # plateau under bare SGD at these horizons; torch.optim.Adam and
+    # optax.adam implement the identical update (bias-corrected
+    # m/(sqrt(v)+eps)), so the mirror stays exact
+    topt = (torch.optim.Adam(tmodel.parameters(), lr=lr)
+            if opt == "adam" else
+            torch.optim.SGD(tmodel.parameters(), lr=lr, momentum=momentum))
     evals, losses = [], []
     tmodel.train()
     for i, (x, y) in enumerate(batches):
@@ -272,15 +279,15 @@ def _eval_torch(tmodel, val, bs=8):
 
 
 def _train_jax(model, variables, batches, lr, momentum, eval_every, val,
-               log, schedule="constant", loss_fn=compute_loss):
+               log, schedule="constant", loss_fn=compute_loss, opt="sgd"):
     if schedule == "poly":
         # optax polynomial_schedule(init, 0, 0.9, T) == _poly_lr at the
         # same update index (optax counts from 0, as does the torch loop)
-        tx = optax.sgd(optax.polynomial_schedule(lr, 0.0, 0.9,
-                                                 len(batches)),
-                       momentum=momentum)
+        sched = optax.polynomial_schedule(lr, 0.0, 0.9, len(batches))
     else:
-        tx = optax.sgd(lr, momentum=momentum)
+        sched = lr
+    tx = optax.adam(sched) if opt == "adam" else \
+        optax.sgd(sched, momentum=momentum)
     params = jax.tree.map(jnp.asarray, variables["params"])
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        batch_stats=jax.tree.map(
@@ -323,7 +330,7 @@ def run_parity(name: str, steps: int = 400, hw: int = 64, bs: int = 8,
                train_n: int = 256, val_n: int = 64, seed: int = 0,
                eval_every: int = 50, noise_floor: bool = False,
                schedule: str = "constant", floor_runs: int = 1,
-               log=print) -> dict:
+               opt_name: str = "sgd", log=print) -> dict:
     """Train torch mirror + JAX framework from identical weights on
     identical batches; return the parity record."""
     from test_model_golden_parity import _port
@@ -351,19 +358,19 @@ def run_parity(name: str, steps: int = 400, hw: int = 64, bs: int = 8,
     log(f"[{name}] torch training ({steps} steps)...")
     tevals, tlosses = _train_torch(tmodel, batches, lr, momentum,
                                    eval_every, val, log, schedule,
-                                   step_fn=torch_step)
+                                   step_fn=torch_step, opt=opt_name)
     t_torch = time.time() - t0
 
     t0 = time.time()
     log(f"[{name}] jax training ({steps} steps)...")
     jevals, jlosses = _train_jax(model, variables, batches, lr, momentum,
                                  eval_every, val, log, schedule,
-                                 loss_fn=jax_loss)
+                                 loss_fn=jax_loss, opt=opt_name)
     t_jax = time.time() - t0
 
     rec = {
         "model": name, "steps": steps, "hw": hw, "bs": bs, "lr": lr,
-        "schedule": schedule, "seed": seed,
+        "schedule": schedule, "seed": seed, "opt": opt_name,
         "torch_miou": tevals[-1][1], "jax_miou": jevals[-1][1],
         "torch_plateau": _plateau(tevals), "jax_plateau": _plateau(jevals),
         "delta_final": abs(tevals[-1][1] - jevals[-1][1]),
@@ -391,7 +398,7 @@ def run_parity(name: str, steps: int = 400, hw: int = 64, bs: int = 8,
             log(f"[{name}] torch noise-floor run {k + 1}/{floor_runs}...")
             nevals, _ = _train_torch(tmodel2, batches2, lr, momentum,
                                      eval_every, val, log, schedule,
-                                     step_fn=torch_step)
+                                     step_fn=torch_step, opt=opt_name)
             floors.append(_plateau(nevals))
         rec["noise_floor_plateau_delta"] = abs(
             _plateau(tevals) - floors[0])
@@ -419,6 +426,7 @@ def main():
                          "batch orders; >1 samples the null distribution)")
     ap.add_argument("--schedule", default="constant",
                     choices=["constant", "poly"])
+    ap.add_argument("--opt", default="sgd", choices=["sgd", "adam"])
     ap.add_argument("--noise-floor-models", default="",
                     help="comma list to restrict the extra torch run to")
     ap.add_argument("--tolerance", type=float, default=0.005,
@@ -438,7 +446,8 @@ def main():
             name, steps=opt.steps, hw=opt.hw, bs=opt.bs, lr=opt.lr,
             train_n=opt.train_n, val_n=opt.val_n, seed=opt.seed,
             eval_every=opt.eval_every, noise_floor=nf,
-            schedule=opt.schedule, floor_runs=opt.floor_runs))
+            schedule=opt.schedule, floor_runs=opt.floor_runs,
+            opt_name=opt.opt))
 
     lines = ["| model | steps | torch mIoU (final/plateau) | "
              "jax mIoU (final/plateau) | Δplateau | noise floor | pass |",
