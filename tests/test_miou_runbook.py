@@ -91,7 +91,7 @@ def test_runbook_chain_synthetic(tmp_path, monkeypatch):
     trainer = train_cli.train(
         # batch 8: the conftest mesh has 8 virtual devices and the global
         # batch must divide across them
-        data_dir, "unet", epochs=3, img_size=[64, 64], batch_size=8,
+        data_dir, "unet", epochs=6, img_size=[64, 64], batch_size=8,
         accumulate=1, lr=1e-3, adam=True, resume=False,
         weights=str(ported), num_workers=1, multi_scale=False, rect=False,
         mixed_precision=False, notest=False, nosave=False,
@@ -102,7 +102,7 @@ def test_runbook_chain_synthetic(tmp_path, monkeypatch):
     records = [json.loads(l) for l in open("runs/log.jsonl")]
     losses = [r["loss"] for r in records if "loss" in r]
     mious = [r["val_miou"] for r in records if "val_miou" in r]
-    assert len(losses) == 3 and len(mious) == 3
+    assert len(losses) == 6 and len(mious) == 6
     assert losses[-1] < losses[0], losses
     # runbook step 5 stand-in: the parity comparison input exists and beats
     # random (3 classes ~ 0.11 mIoU at random)
